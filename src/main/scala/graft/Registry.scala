@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One named query exposed through [[SparkEntry]]: the Spark implementation
+  * plus (when SQL-expressible) the equivalent ANSI SQL the driver runs in
+  * DuckDB over the same parquet tables. Column names/aliases MUST match
+  * between the two — the driver sorts columns by name before hashing.
+  */
+final case class QuerySpec(
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None
+)
+
+object Tables {
+  /** Load one of the driver-provided tables from a scale-factor dir.
+    *
+    * `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark's vectorized
+    * reader rejects; with `spark.sql.legacy.parquet.nanosAsLong` it surfaces
+    * as a LongType of nanoseconds — normalize it to a microsecond
+    * TimestampType column (the source data is µs-precision, so lossless).
+    */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.foldLeft(df) { (acc, f) =>
+      if (f.dataType == org.apache.spark.sql.types.LongType &&
+        (f.name == "ts" || f.name.endsWith("_ts_nanos")))
+        acc.withColumn(f.name,
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.floor(
+              org.apache.spark.sql.functions.col(f.name) / 1000L).cast("long")))
+      else acc
+    }
+  }
+}

@@ -1,0 +1,160 @@
+package graft.analytics
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.Column
+
+/** Event-stream analytics — the engine-side analog of the reference product's
+  * trend queries (SURVEY §2.9: Table Stats "volume written & key trends over
+  * time", README.md §Table Stats / §Weekly Insights), expressed over the
+  * driver's `events` table.
+  *
+  * All window/sessionization logic partitions by `user_id` (high cardinality)
+  * so state stays bounded per partition at 100 TB; time bucketing is pure
+  * column arithmetic (codegen'd, no UDF).
+  */
+object EventQueries {
+
+  private def ev(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.t(s, d, "events")
+
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  val all: Map[String, QuerySpec] = Map(
+
+    // ----- tumbling time-window aggregation (hourly) -----
+    "evt_hourly_stats" -> QuerySpec(
+      (s, d) => {
+        ev(s, d)
+          .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+          .orderBy(col("hour"), col("event_type"))
+      },
+      Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
+             |  COUNT(*) AS n_events,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+             |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin)
+    ),
+
+    // ----- weekly trend (reference README §Weekly Insights) -----
+    "evt_weekly_trend" -> QuerySpec(
+      (s, d) => {
+        ev(s, d)
+          .groupBy(date_trunc("week", col("ts")).as("week"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"),
+            dsum(col("value")).as("total_value"))
+          .orderBy(col("week"))
+      },
+      Some("""SELECT date_trunc('week', ts) AS week, COUNT(*) AS n_events,
+             |  COUNT(DISTINCT user_id) AS n_users,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+             |FROM events GROUP BY 1 ORDER BY week""".stripMargin)
+    ),
+
+    // ----- daily distinct users -----
+    "evt_daily_active_users" -> QuerySpec(
+      (s, d) => {
+        ev(s, d)
+          .groupBy(date_trunc("day", col("ts")).as("day"))
+          .agg(countDistinct(col("user_id")).as("dau"))
+          .orderBy(col("day"))
+      },
+      Some("""SELECT date_trunc('day', ts) AS day, COUNT(DISTINCT user_id) AS dau
+             |FROM events GROUP BY 1 ORDER BY day""".stripMargin)
+    ),
+
+    // ----- JSON extraction from the props payload -----
+    "evt_json_props" -> QuerySpec(
+      (s, d) => {
+        ev(s, d)
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+          .groupBy((col("k") % 10).as("k_bucket"))
+          .agg(count(lit(1)).as("n"), max(col("k")).as("max_k"))
+          .orderBy(col("k_bucket"))
+      },
+      Some("""SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+             |  COUNT(*) AS n, MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+             |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin)
+    ),
+
+    // ----- lag/lead analytics -----
+    "evt_value_delta" -> QuerySpec(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        ev(s, d)
+          .filter(col("user_id") < 30)
+          .withColumn("prev_value", lag(col("value"), 1).over(w))
+          .withColumn("delta",
+            round(col("value") - coalesce(col("prev_value"), lit(0.0)), 2))
+          .select(col("user_id"), col("event_id"), col("delta"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id,
+             |  ROUND(value - COALESCE(LAG(value, 1) OVER (PARTITION BY user_id
+             |    ORDER BY ts, event_id), 0.0), 2) AS delta
+             |FROM events WHERE user_id < 30
+             |ORDER BY user_id, event_id""".stripMargin)
+    ),
+
+    // ----- sessionization: 30-minute inactivity gap -----
+    "evt_sessionize" -> QuerySpec(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev(s, d)
+          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+          .withColumn("new_session",
+            when(col("gap_us").isNull || col("gap_us") > 1800L * 1000000L, 1L)
+              .otherwise(0L))
+          .withColumn("session_id", sum(col("new_session")).over(wRun))
+          .groupBy(col("user_id"))
+          .agg(max(col("session_id")).as("n_sessions"),
+            count(lit(1)).as("n_events"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, event_id, ts,
+             |    epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS gap_us
+             |  FROM events),
+             |m AS (
+             |  SELECT user_id,
+             |    SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800 * 1000000 THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |  FROM g)
+             |SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events
+             |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin)
+    ),
+
+    // ----- event funnel: users who signed up then purchased -----
+    "evt_funnel" -> QuerySpec(
+      (s, d) => {
+        val e = ev(s, d)
+        val signup = e.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("first_signup"))
+        val purchase = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"))
+        signup.join(purchase, "user_id")
+          .filter(col("ts") > col("first_signup"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("purchases_after_signup"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT e.user_id, COUNT(*) AS purchases_after_signup
+             |FROM events e
+             |JOIN (SELECT user_id, MIN(ts) AS first_signup FROM events
+             |      WHERE event_type = 'signup' GROUP BY user_id) s
+             |  ON e.user_id = s.user_id
+             |WHERE e.event_type = 'purchase' AND e.ts > s.first_signup
+             |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin)
+    )
+  )
+}
