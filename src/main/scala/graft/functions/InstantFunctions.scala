@@ -49,9 +49,12 @@ object InstantFunctions {
     when(lead.contains("_"), substring_index(lead, "_", -1)).otherwise(lit(null))
   }
 
-  /** Tokens after the leading ts token, split on '.', limit 3 overall. */
+  /** Tokens after the leading ts token, split on '.', limit 3 overall.
+    * Uses `get` (0-based, null on out-of-bounds) — `element_at` would throw
+    * under Spark 4's default ANSI mode when the state token is absent.
+    */
   private def part(filename: Column, i: Int): Column =
-    element_at(split(filename, "\\.", 3), i + 1)
+    get(split(filename, "\\.", 3), lit(i))
 
   /** P1/P5: action; bare "X.inflight" means an inflight commit. */
   def instantAction(filename: Column): Column = {
