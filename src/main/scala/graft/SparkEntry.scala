@@ -13,7 +13,8 @@ object SparkEntry {
   /** All registered query specs (name -> spark fn + optional oracle). */
   def registry: Map[String, QuerySpec] =
     analytics.RelationalQueries.all ++
-      analytics.EventQueries.all
+      analytics.EventQueries.all ++
+      analytics.TextQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

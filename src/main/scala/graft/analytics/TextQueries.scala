@@ -1,0 +1,170 @@
+package graft.analytics
+
+import graft.{QuerySpec, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines over the `documents` table:
+  * token counting, quality scoring, language ID (stopword-voting n-gram
+  * heuristic), document fingerprinting, and n-gram frequency. All Spark-side
+  * logic is built-in column expressions (no UDFs — split/regexp/HOFs), so
+  * plans stay declarative and scale linearly: each query is a narrow
+  * per-row projection followed by at most one shuffle for the final
+  * aggregate/sort. At 100 TB the projections pipeline inside one stage and
+  * the aggregates are partial (map-side combined).
+  *
+  * Oracle parity: integer-exact arithmetic per [[graft.functions.TextFunctions]];
+  * ratios are int/int double divisions (identical IEEE in DuckDB) rounded to
+  * >= 4 dp, away from tie boundaries for this data.
+  */
+object TextQueries {
+
+  private def docs(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.t(s, d, "documents")
+
+  val all: Map[String, QuerySpec] = Map(
+
+    // ----- token counting: whitespace tokens + regex token classes ----------
+    "txt_token_stats" -> QuerySpec(
+      (s, d) => {
+        docs(s, d)
+          .withColumn("t", expr(tokensS("text")))
+          .select(
+            col("doc_id"),
+            col("lang"),
+            expr("size(t)").as("n_tokens"),
+            expr("length(trim(text))").as("n_chars"),
+            expr("size(array_distinct(t))").as("n_distinct"),
+            expr("round(aggregate(t, cast(0 as bigint), (a, w) -> a + length(w)) / size(t), 4)")
+              .as("avg_token_len"),
+            expr("size(regexp_extract_all(text, '[a-z]+', 0))").as("n_alpha_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH toks AS (SELECT *, ${tokensD("text")} AS t FROM documents)
+             |SELECT doc_id, lang,
+             |  len(t) AS n_tokens,
+             |  length(trim(text)) AS n_chars,
+             |  len(list_distinct(t)) AS n_distinct,
+             |  round(CAST(list_sum(list_transform(t, w -> length(w))) AS BIGINT) / len(t), 4) AS avg_token_len,
+             |  len(regexp_extract_all(text, '[a-z]+')) AS n_alpha_tokens
+             |FROM toks ORDER BY doc_id""".stripMargin)
+    ),
+
+    // ----- quality scoring: stopword/distinct ratios + length prior ---------
+    "txt_quality_score" -> QuerySpec(
+      (s, d) => {
+        docs(s, d)
+          .withColumn("t", expr(tokensS("text")))
+          .withColumn("n_stop", expr(
+            "size(filter(t, w -> array_contains(array('the','a','of','and','is','to'), w)))"))
+          .withColumn("stop_ratio", expr("round(n_stop / size(t), 6)"))
+          .withColumn("distinct_ratio", expr("round(size(array_distinct(t)) / size(t), 6)"))
+          .withColumn("len_score", expr(
+            "round(least(length(trim(text)), 400) / 400, 6)"))
+          .withColumn("quality", expr(
+            "round(0.3 * stop_ratio + 0.4 * distinct_ratio + 0.3 * len_score, 6)"))
+          .select(col("doc_id"), col("stop_ratio"), col("distinct_ratio"),
+            col("len_score"), col("quality"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH toks AS (SELECT *, ${tokensD("text")} AS t FROM documents),
+             |q AS (SELECT doc_id,
+             |  round(len(list_filter(t, w -> list_contains(['the','a','of','and','is','to'], w))) / len(t), 6) AS stop_ratio,
+             |  round(len(list_distinct(t)) / len(t), 6) AS distinct_ratio,
+             |  round(least(length(trim(text)), 400) / 400, 6) AS len_score
+             |  FROM toks)
+             |SELECT doc_id, stop_ratio, distinct_ratio, len_score,
+             |  round(0.3 * stop_ratio + 0.4 * distinct_ratio + 0.3 * len_score, 6) AS quality
+             |FROM q ORDER BY doc_id""".stripMargin)
+    ),
+
+    // ----- language ID: stopword-voting heuristic, confusion matrix ---------
+    "txt_langid" -> QuerySpec(
+      (s, d) => {
+        docs(s, d)
+          .withColumn("t", expr(tokensS("text")))
+          .withColumn("n_en", expr("size(filter(t, w -> array_contains(array('the','a','of','and','is'), w)))"))
+          .withColumn("n_de", expr("size(filter(t, w -> array_contains(array('der','die','das','und','ist'), w)))"))
+          .withColumn("n_es", expr("size(filter(t, w -> array_contains(array('el','los','las','es','una'), w)))"))
+          .withColumn("n_fr", expr("size(filter(t, w -> array_contains(array('le','les','et','est','une'), w)))"))
+          .withColumn("predicted", expr(
+            """CASE WHEN n_en >= n_de AND n_en >= n_es AND n_en >= n_fr THEN 'en'
+              |     WHEN n_de >= n_es AND n_de >= n_fr THEN 'de'
+              |     WHEN n_es >= n_fr THEN 'es' ELSE 'fr' END""".stripMargin))
+          .groupBy(col("lang"), col("predicted"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("lang"), col("predicted"))
+      },
+      Some(s"""WITH toks AS (SELECT *, ${tokensD("text")} AS t FROM documents),
+             |v AS (SELECT lang,
+             |  len(list_filter(t, w -> list_contains(['the','a','of','and','is'], w))) AS n_en,
+             |  len(list_filter(t, w -> list_contains(['der','die','das','und','ist'], w))) AS n_de,
+             |  len(list_filter(t, w -> list_contains(['el','los','las','es','una'], w))) AS n_es,
+             |  len(list_filter(t, w -> list_contains(['le','les','et','est','une'], w))) AS n_fr
+             |  FROM toks)
+             |SELECT lang,
+             |  CASE WHEN n_en >= n_de AND n_en >= n_es AND n_en >= n_fr THEN 'en'
+             |       WHEN n_de >= n_es AND n_de >= n_fr THEN 'de'
+             |       WHEN n_es >= n_fr THEN 'es' ELSE 'fr' END AS predicted,
+             |  COUNT(*) AS n_docs
+             |FROM v GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin)
+    ),
+
+    // ----- document fingerprinting: md5 + rolling polynomial hash -----------
+    "txt_fingerprint" -> QuerySpec(
+      (s, d) => {
+        docs(s, d)
+          .withColumn("norm", expr(raw"regexp_replace(lower(trim(text)), '\\s+', ' ')"))
+          .select(
+            col("doc_id"),
+            md5(col("norm")).as("fp_md5"),
+            expr(strHashS("norm")).as("fp_poly"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+             |           FROM documents)
+             |SELECT doc_id, md5(norm) AS fp_md5, ${strHashD("norm")} AS fp_poly
+             |FROM n ORDER BY doc_id""".stripMargin)
+    ),
+
+    // ----- word-bigram frequency: global top-30 -----------------------------
+    "txt_ngram_top" -> QuerySpec(
+      (s, d) => {
+        docs(s, d)
+          .withColumn("t", expr(tokensS("text")))
+          .select(explode(expr(
+            "transform(sequence(1, greatest(size(t) - 1, 0)), " +
+              "j -> concat(element_at(t, j), ' ', element_at(t, j + 1)))")).as("bigram"))
+          .groupBy(col("bigram"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("bigram"))
+          .limit(30)
+      },
+      Some(s"""WITH toks AS (SELECT ${tokensD("text")} AS t FROM documents),
+             |b AS (SELECT unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+             |        j -> t[j] || ' ' || t[j + 1])) AS bigram FROM toks)
+             |SELECT bigram, COUNT(*) AS n FROM b
+             |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 30""".stripMargin)
+    ),
+
+    // ----- corpus rollup by (lang, source): chars/tokens written ------------
+    "txt_corpus_rollup" -> QuerySpec(
+      (s, d) => {
+        docs(s, d)
+          .withColumn("t", expr(tokensS("text")))
+          .rollup(col("lang"), col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(expr("length(trim(text))")).as("total_chars"),
+            sum(expr("size(t)")).as("total_tokens"))
+          .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
+      },
+      Some(s"""WITH toks AS (SELECT *, ${tokensD("text")} AS t FROM documents)
+             |SELECT lang, source, COUNT(*) AS n_docs,
+             |  SUM(length(trim(text))) AS total_chars,
+             |  SUM(len(t)) AS total_tokens
+             |FROM toks GROUP BY ROLLUP (lang, source)
+             |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin)
+    )
+  )
+}
