@@ -14,7 +14,8 @@ object SparkEntry {
   def registry: Map[String, QuerySpec] =
     analytics.RelationalQueries.all ++
       analytics.EventQueries.all ++
-      analytics.TextQueries.all
+      analytics.TextQueries.all ++
+      analytics.DedupQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,204 @@
+package graft.analytics
+
+import graft.{QuerySpec, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines over `documents` /
+  * `embeddings`: exact (hash groupBy), prefix-fingerprint blocking,
+  * MinHash+LSH (shingle -> minhash -> band -> bucket-join -> verify),
+  * SimHash (hamming-band join), exact n-gram Jaccard via sparse self-join,
+  * and embedding-cosine near-dup.
+  *
+  * Scale design (100 TB): every path avoids the O(n^2) all-pairs comparison
+  * except the small embedding baseline —
+  *   - MinHash/SimHash candidate generation is an equi-join on band keys, so
+  *     Spark shuffles on (band, key) and only near-identical docs collide;
+  *     verification touches candidate pairs only;
+  *   - n-gram Jaccard joins on shingle hash (sparse inverted-index join),
+  *     never materializing the dense pair matrix;
+  *   - all signatures are built per-row with codegen-friendly HOF
+  *     expressions — one narrow projection stage before the join.
+  */
+object DedupQueries {
+
+  private def docs(s: SparkSession, d: String) = Tables.t(s, d, "documents")
+  private def emb(s: SparkSession, d: String) = Tables.t(s, d, "embeddings")
+
+  /** doc_id + distinct 3-gram shingle hashes (the dedup unit). */
+  private def withShingles(df: DataFrame): DataFrame =
+    df.withColumn("t", expr(tokensS("text")))
+      .withColumn("th", expr(tokenHashesS("t")))
+      .withColumn("hs", expr(s"array_distinct(${shingleHashesS("th")})"))
+
+  /** Shared oracle CTE prefix: toks -> th -> sh(hs). */
+  private val OracleShingles =
+    s"""WITH toks AS (SELECT doc_id, ${tokensD("text")} AS t FROM documents),
+       |th AS (SELECT doc_id, ${tokenHashesD("t")} AS th FROM toks),
+       |sh AS (SELECT doc_id, list_distinct(${shingleHashesD("th")}) AS hs FROM th)""".stripMargin
+
+  val all: Map[String, QuerySpec] = Map(
+
+    // ----- exact dedup: full-text hash groupBy, corpus summary --------------
+    "dedup_exact" -> QuerySpec(
+      (s, d) => {
+        docs(s, d)
+          .agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct(md5(trim(col("text")))).as("n_unique"),
+            (count(lit(1)) - countDistinct(md5(trim(col("text"))))).as("n_dup_rows"))
+      },
+      Some("""SELECT COUNT(*) AS n_docs,
+             |  COUNT(DISTINCT md5(trim(text))) AS n_unique,
+             |  COUNT(*) - COUNT(DISTINCT md5(trim(text))) AS n_dup_rows
+             |FROM documents""".stripMargin)
+    ),
+
+    // ----- prefix-fingerprint blocking: dup groups by first-10-token hash ---
+    "dedup_prefix_groups" -> QuerySpec(
+      (s, d) => {
+        docs(s, d)
+          .withColumn("t", expr(tokensS("text")))
+          .withColumn("fp", md5(expr("array_join(slice(t, 1, 10), ' ')")))
+          .groupBy(col("fp"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("doc_id")).as("min_doc"),
+            max(col("doc_id")).as("max_doc"))
+          .filter(col("n_docs") > 1)
+          .orderBy(col("fp"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, ${tokensD("text")} AS t FROM documents),
+             |f AS (SELECT doc_id, md5(array_to_string(t[1:10], ' ')) AS fp FROM toks)
+             |SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+             |FROM f GROUP BY fp HAVING COUNT(*) > 1 ORDER BY fp""".stripMargin)
+    ),
+
+    // ----- MinHash + LSH near-dup: band bucket join + exact verify ----------
+    "dedup_minhash_lsh" -> QuerySpec(
+      (s, d) => {
+        val sh = withShingles(docs(s, d).select("doc_id", "text"))
+          .select("doc_id", "hs")
+        val sig = sh.withColumn("sig", expr(minhashSigS("hs")))
+        val bands = sig.selectExpr("doc_id",
+          s"explode(transform(sequence(0, ${Bands - 1}), b -> named_struct(" +
+            s"'b', b, 'k', array_join(slice(sig, b * $RowsPerBand + 1, $RowsPerBand), '_')))) AS bk")
+          .select(col("doc_id"), col("bk.b").as("b"), col("bk.k").as("k"))
+        val pairs = bands.as("x")
+          .join(bands.as("y"),
+            col("x.b") === col("y.b") && col("x.k") === col("y.k") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        pairs
+          .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
+          .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
+          .withColumn("j", expr("size(array_intersect(ha, hb)) / size(array_union(ha, hb))"))
+          .filter(col("j") >= 0.5)
+          .select(col("doc_a"), col("doc_b"), expr("round(j, 6)").as("jaccard"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""$OracleShingles,
+             |sig AS (SELECT doc_id, hs, ${minhashSigD("hs")} AS sig FROM sh),
+             |bands AS (SELECT doc_id,  b,
+             |    array_to_string(sig[$RowsPerBand * b + 1 : $RowsPerBand * b + $RowsPerBand], '_') AS k
+             |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, ${Bands - 1})) AS b) bb),
+             |pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+             |  FROM bands x JOIN bands y
+             |    ON x.b = y.b AND x.k = y.k AND x.doc_id < y.doc_id),
+             |v AS (SELECT p.doc_a, p.doc_b,
+             |    len(list_filter(a.hs, h -> list_contains(b.hs, h))) /
+             |    len(list_distinct(list_concat(a.hs, b.hs))) AS j
+             |  FROM pairs p JOIN sh a ON p.doc_a = a.doc_id JOIN sh b ON p.doc_b = b.doc_id)
+             |SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM v
+             |WHERE j >= 0.5 ORDER BY doc_a, doc_b""".stripMargin)
+    ),
+
+    // ----- SimHash near-dup: 32-bit signature, 8-bit band join, hamming -----
+    "dedup_simhash" -> QuerySpec(
+      (s, d) => {
+        val sig = docs(s, d)
+          .withColumn("t", expr(tokensS("text")))
+          .withColumn("th", expr(tokenHashesS("t")))
+          .select(col("doc_id"), expr(simhashS("th")).as("sh"))
+        val bands = sig.selectExpr("doc_id", "sh",
+          "explode(transform(sequence(0, 3), b -> named_struct(" +
+            "'b', b, 'k', shiftright(sh, 8 * b) & 255))) AS bk")
+          .select(col("doc_id"), col("sh"), col("bk.b").as("b"), col("bk.k").as("k"))
+        bands.as("x")
+          .join(bands.as("y"),
+            col("x.b") === col("y.b") && col("x.k") === col("y.k") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+            expr("cast(bit_count(x.sh ^ y.sh) as int)").as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 1)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, ${tokensD("text")} AS t FROM documents),
+             |th AS (SELECT doc_id, ${tokenHashesD("t")} AS th FROM toks),
+             |s AS (SELECT doc_id, ${simhashD("th")} AS sh FROM th),
+             |bands AS (SELECT doc_id, sh, b, (sh >> (8 * b)) & 255 AS k
+             |  FROM s CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bb),
+             |pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+             |    CAST(bit_count(xor(x.sh, y.sh)) AS INT) AS hamming
+             |  FROM bands x JOIN bands y
+             |    ON x.b = y.b AND x.k = y.k AND x.doc_id < y.doc_id)
+             |SELECT doc_a, doc_b, hamming FROM pairs
+             |WHERE hamming <= 1 ORDER BY doc_a, doc_b""".stripMargin)
+    ),
+
+    // ----- exact n-gram Jaccard via sparse inverted-index self-join ---------
+    "dedup_ngram_jaccard" -> QuerySpec(
+      (s, d) => {
+        val sh = withShingles(docs(s, d).select("doc_id", "text"))
+          .select("doc_id", "hs")
+        val e = sh.select(col("doc_id"), explode(col("hs")).as("h"))
+        val shared = e.as("x")
+          .join(e.as("y"), col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("shared"))
+        val n = sh.select(col("doc_id"), size(col("hs")).as("n"))
+        shared
+          .join(n.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+          .join(n.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+          .withColumn("j", expr("shared / (na + nb - shared)"))
+          .filter(col("j") >= 0.6)
+          .select(col("doc_a"), col("doc_b"), expr("round(j, 6)").as("jaccard"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""$OracleShingles,
+             |e AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+             |c AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS shared
+             |  FROM e x JOIN e y ON x.h = y.h AND x.doc_id < y.doc_id GROUP BY 1, 2),
+             |n AS (SELECT doc_id, len(hs) AS n FROM sh),
+             |v AS (SELECT c.doc_a, c.doc_b, shared / (na.n + nb.n - shared) AS j
+             |  FROM c JOIN n na ON c.doc_a = na.doc_id JOIN n nb ON c.doc_b = nb.doc_id)
+             |SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM v
+             |WHERE j >= 0.6 ORDER BY doc_a, doc_b""".stripMargin)
+    ),
+
+    // ----- embedding-cosine near-dup (exact all-pairs baseline) -------------
+    "dedup_embedding_cosine" -> QuerySpec(
+      (s, d) => {
+        val q = emb(s, d)
+          .select(col("vec_id"), expr(quantizeS("embedding")).as("qe"))
+          .withColumn("nrm", expr(dotS("qe", "qe")))
+        val a = q.select(col("vec_id").as("vec_a"), col("qe").as("qa"), col("nrm").as("na"))
+        val b = q.select(col("vec_id").as("vec_b"), col("qe").as("qb"), col("nrm").as("nb"))
+        a.join(b, col("vec_a") < col("vec_b"))
+          .withColumn("c", expr(s"${dotS("qa", "qb")} / (sqrt(na) * sqrt(nb))"))
+          .filter(col("c") >= 0.4)
+          .select(col("vec_a"), col("vec_b"), expr("round(c, 6)").as("cosine"))
+          .orderBy(col("vec_a"), col("vec_b"))
+      },
+      Some(s"""WITH q AS (SELECT vec_id, ${quantizeD("embedding")} AS qe FROM embeddings),
+             |n AS (SELECT vec_id, qe, ${dotD("qe", "qe")} AS nrm FROM q),
+             |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             |    ${dotD("a.qe", "b.qe")} / (sqrt(a.nrm) * sqrt(b.nrm)) AS c
+             |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+             |SELECT vec_a, vec_b, round(c, 6) AS cosine FROM p
+             |WHERE c >= 0.4 ORDER BY vec_a, vec_b""".stripMargin)
+    )
+  )
+}
