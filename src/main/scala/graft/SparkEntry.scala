@@ -15,7 +15,8 @@ object SparkEntry {
     analytics.RelationalQueries.all ++
       analytics.EventQueries.all ++
       analytics.TextQueries.all ++
-      analytics.DedupQueries.all
+      analytics.DedupQueries.all ++
+      analytics.SimilarityQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

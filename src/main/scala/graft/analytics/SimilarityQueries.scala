@@ -1,0 +1,185 @@
+package graft.analytics
+
+import graft.{QuerySpec, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (`embedding: Array[Float]`, 64-dim).
+  *
+  * Three tiers, mirroring how an ANN pipeline scales:
+  *   - `sim_cosine_topk`: brute-force exact top-k — the correctness
+  *     baseline. O(Q*N); fine when Q is small (the query side broadcasts).
+  *   - `sim_lsh_ann`: random-hyperplane LSH — vectors hash to one of 64
+  *     sign-pattern buckets; search is an equi-join on the bucket key, so at
+  *     100 TB Spark shuffles on the key and each task reranks one bucket.
+  *   - `sim_ivf_topk`: IVF — coarse centroids (per-label means), each vector
+  *     assigned to its nearest cell; queries probe the 2 nearest cells. The
+  *     centroid table is tiny (broadcast); the cell assignment is one narrow
+  *     pass over the vectors.
+  *
+  * Determinism: vectors are quantized to round(x*1e6) BIGINTs, so dot
+  * products / norms / L2 distances are exact integers; the single
+  * floating-point division per pair is identical IEEE in Spark and DuckDB;
+  * ranking orders by the unrounded double with vec_id tie-breaks.
+  */
+object SimilarityQueries {
+
+  private def emb(s: SparkSession, d: String) = Tables.t(s, d, "embeddings")
+
+  /** Number of hyperplanes (2^6 = 64 buckets). */
+  private val Planes = 6
+
+  /** Deterministic integer hyperplane weights: w(i,j) = ((i*37+j*101)%19)-9. */
+  private def lshKeyS(qe: String): String =
+    s"aggregate(sequence(0, ${Planes - 1}), cast(0 as bigint), (acc, i) -> acc + " +
+      s"if(aggregate(sequence(1, size($qe)), cast(0 as bigint), " +
+      s"(s2, j) -> s2 + (((i * 37 + j * 101) % 19) - 9) * element_at($qe, j)) > 0, " +
+      s"shiftleft(cast(1 as bigint), i), cast(0 as bigint)))"
+
+  private def lshKeyD(qe: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), generate_series(0, ${Planes - 1})), (acc, i) -> acc + " +
+      s"CASE WHEN CAST(list_sum(list_transform(generate_series(1, len($qe)), " +
+      s"j -> (((i * 37 + j * 101) % 19) - 9) * $qe[j])) AS BIGINT) > 0 " +
+      s"THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)"
+
+  /** Oracle CTE: quantized vectors with exact integer norms. */
+  private val OracleQ =
+    s"""WITH q AS (SELECT vec_id, label, ${quantizeD("embedding")} AS qe FROM embeddings),
+       |n AS (SELECT vec_id, label, qe, ${dotD("qe", "qe")} AS nrm FROM q)""".stripMargin
+
+  val all: Map[String, QuerySpec] = Map(
+
+    // ----- brute-force exact cosine top-k (baseline) ------------------------
+    "sim_cosine_topk" -> QuerySpec(
+      (s, d) => {
+        val n = emb(s, d)
+          .select(col("vec_id"), expr(quantizeS("embedding")).as("qe"))
+          .withColumn("nrm", expr(dotS("qe", "qe")))
+        val queries = n.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("qe").as("qa"), col("nrm").as("na"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("c").desc, col("vec_id"))
+        broadcast(queries)
+          .join(n, col("vec_id") =!= col("q_id"))
+          .withColumn("c", expr(s"${dotS("qa", "qe")} / (sqrt(na) * sqrt(nrm))"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10)
+          .select(col("q_id"), col("vec_id"), expr("round(c, 6)").as("cosine"), col("rn"))
+          .orderBy(col("q_id"), col("rn"))
+      },
+      Some(s"""$OracleQ,
+             |p AS (SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+             |    ${dotD("a.qe", "b.qe")} / (sqrt(a.nrm) * sqrt(b.nrm)) AS c
+             |  FROM n a JOIN n b ON a.vec_id < 5 AND b.vec_id <> a.vec_id),
+             |r AS (SELECT q_id, vec_id, c,
+             |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rn FROM p)
+             |SELECT q_id, vec_id, round(c, 6) AS cosine, rn FROM r
+             |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin)
+    ),
+
+    // ----- hyperplane-LSH bucketed ANN: bucket equi-join + exact rerank -----
+    "sim_lsh_ann" -> QuerySpec(
+      (s, d) => {
+        val n = emb(s, d)
+          .select(col("vec_id"), expr(quantizeS("embedding")).as("qe"))
+          .withColumn("nrm", expr(dotS("qe", "qe")))
+          .withColumn("bucket", expr(lshKeyS("qe")))
+        val queries = n.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("qe").as("qa"),
+            col("nrm").as("na"), col("bucket").as("qb"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("c").desc, col("vec_id"))
+        broadcast(queries)
+          .join(n, col("qb") === col("bucket") && col("vec_id") =!= col("q_id"))
+          .withColumn("c", expr(s"${dotS("qa", "qe")} / (sqrt(na) * sqrt(nrm))"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("q_id"), col("vec_id"), col("bucket"),
+            expr("round(c, 6)").as("cosine"), col("rn"))
+          .orderBy(col("q_id"), col("rn"))
+      },
+      Some(s"""$OracleQ,
+             |bk AS (SELECT vec_id, qe, nrm, ${lshKeyD("qe")} AS bucket FROM n),
+             |p AS (SELECT a.vec_id AS q_id, b.vec_id AS vec_id, b.bucket,
+             |    ${dotD("a.qe", "b.qe")} / (sqrt(a.nrm) * sqrt(b.nrm)) AS c
+             |  FROM bk a JOIN bk b
+             |    ON a.vec_id < 5 AND a.bucket = b.bucket AND b.vec_id <> a.vec_id),
+             |r AS (SELECT q_id, vec_id, bucket, c,
+             |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rn FROM p)
+             |SELECT q_id, vec_id, bucket, round(c, 6) AS cosine, rn FROM r
+             |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin)
+    ),
+
+    // ----- IVF: per-label centroids, nearest-cell assignment, 2-cell probe --
+    "sim_ivf_topk" -> QuerySpec(
+      (s, d) => {
+        val n = emb(s, d)
+          .select(col("vec_id"), col("label"), expr(quantizeS("embedding")).as("qe"))
+          .withColumn("nrm", expr(dotS("qe", "qe")))
+        // centroid per label: elementwise mean of quantized vectors, re-quantized
+        val cent = n.groupBy(col("label").as("c_id"))
+          .agg(collect_list(col("qe")).as("vs"), count(lit(1)).as("cnt"))
+          .select(col("c_id"), expr(
+            "transform(sequence(1, 64), j -> cast(round(" +
+              "aggregate(vs, cast(0 as bigint), (a, v) -> a + element_at(v, j)) / cnt) as bigint))")
+            .as("ce"))
+        // assign every vector to its nearest centroid (exact integer L2^2)
+        val l2 = "aggregate(zip_with(%s, %s, (x, y) -> (x - y) * (x - y)), cast(0 as bigint), (a, v) -> a + v)"
+        val wa = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("c_id"))
+        val assigned = n.crossJoin(broadcast(cent))
+          .withColumn("dist", expr(l2.format("qe", "ce")))
+          .withColumn("arn", row_number().over(wa))
+          .filter(col("arn") === 1)
+          .select(col("vec_id"), col("qe"), col("nrm"), col("c_id").as("cell"))
+        // queries probe their 2 nearest cells
+        val wp = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("c_id"))
+        val probes = n.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("qe").as("qa"), col("nrm").as("na"))
+          .crossJoin(broadcast(cent))
+          .withColumn("dist", expr(l2.format("qa", "ce")))
+          .withColumn("prn", row_number().over(wp))
+          .filter(col("prn") <= 2)
+          .select(col("q_id"), col("qa"), col("na"), col("c_id").as("cell"))
+        val wr = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("vec_id"))
+        broadcast(probes)
+          .join(assigned, Seq("cell"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("c", expr(s"${dotS("qa", "qe")} / (sqrt(na) * sqrt(nrm))"))
+          .withColumn("rn", row_number().over(wr))
+          .filter(col("rn") <= 5)
+          .select(col("q_id"), col("vec_id"), col("cell"),
+            expr("round(c, 6)").as("cosine"), col("rn"))
+          .orderBy(col("q_id"), col("rn"))
+      },
+      Some(s"""$OracleQ,
+             |cent AS (SELECT label AS c_id,
+             |    list_transform(generate_series(1, 64), j -> CAST(round(
+             |      CAST(list_sum(list_transform(list(qe), v -> v[j])) AS BIGINT) / COUNT(*)) AS BIGINT)) AS ce
+             |  FROM q GROUP BY label),
+             |ad AS (SELECT n.vec_id, n.qe, n.nrm, c.c_id,
+             |    CAST(list_sum(list_transform(generate_series(1, 64),
+             |      j -> (n.qe[j] - c.ce[j]) * (n.qe[j] - c.ce[j]))) AS BIGINT) AS dist
+             |  FROM n CROSS JOIN cent c),
+             |assigned AS (SELECT vec_id, qe, nrm, c_id AS cell FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c_id) AS arn FROM ad) z
+             |  WHERE arn = 1),
+             |pd AS (SELECT n.vec_id AS q_id, n.qe AS qa, n.nrm AS na, c.c_id,
+             |    CAST(list_sum(list_transform(generate_series(1, 64),
+             |      j -> (n.qe[j] - c.ce[j]) * (n.qe[j] - c.ce[j]))) AS BIGINT) AS dist
+             |  FROM n CROSS JOIN cent c WHERE n.vec_id < 5),
+             |probes AS (SELECT q_id, qa, na, c_id AS cell FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist, c_id) AS prn FROM pd) z
+             |  WHERE prn <= 2),
+             |res AS (SELECT p.q_id, a.vec_id, a.cell,
+             |    ${dotD("p.qa", "a.qe")} / (sqrt(p.na) * sqrt(a.nrm)) AS c
+             |  FROM probes p JOIN assigned a ON p.cell = a.cell AND a.vec_id <> p.q_id),
+             |r AS (SELECT q_id, vec_id, cell, c,
+             |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rn FROM res)
+             |SELECT q_id, vec_id, cell, round(c, 6) AS cosine, rn FROM r
+             |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin)
+    )
+  )
+}
