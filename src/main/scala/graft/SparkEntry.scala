@@ -16,7 +16,8 @@ object SparkEntry {
       analytics.EventQueries.all ++
       analytics.TextQueries.all ++
       analytics.DedupQueries.all ++
-      analytics.SimilarityQueries.all
+      analytics.SimilarityQueries.all ++
+      analytics.MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
