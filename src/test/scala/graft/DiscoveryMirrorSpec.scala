@@ -1,0 +1,176 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.model.{Checkpoint, TimelineType, UploadStrategy}
+import graft.operators.{CheckpointStore, TableDiscovery, TimelineMirror}
+import graft.sources.{FsListing, HoodiePropertiesReader, LsmManifestReader}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end over a synthesized lake on local FS: discovery (D1-D5) ->
+  * hoodie.properties (S5) -> mirror with commit-atomic batching + per-batch
+  * checkpoints (T2/T3) -> resume is a no-op. Shapes mirror the reference's
+  * TableDiscoveryServiceTest / TimelineCommitInstantsUploaderTest scenarios.
+  */
+class DiscoveryMirrorSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.spark
+  private val root = "target/tmp/lake-fixture"
+
+  private def write(path: String, content: String = ""): Unit = {
+    val p = Paths.get(path)
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, content)
+  }
+
+  private def rmTree(dir: String): Unit = {
+    val r = Paths.get(dir)
+    if (Files.exists(r)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(r).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+  }
+
+  private def mkLake(): Unit = {
+    rmTree(root)
+    Seq("-mirror", "-cp", "-mirror2", "-cp2").foreach(s => rmTree(root + s))
+    // table 1: V1 layout, complete + incomplete commits, archived files
+    write(s"$root/db1/trips/.hoodie/hoodie.properties",
+      "hoodie.table.name=trips\nhoodie.table.type=COPY_ON_WRITE\n")
+    Seq("100.commit.requested", "100.commit.inflight", "100.commit",
+      "200.deltacommit.requested", "200.deltacommit.inflight", "200.deltacommit",
+      "300.commit.requested", "300.commit.inflight" // incomplete tail
+    ).foreach(f => write(s"$root/db1/trips/.hoodie/$f"))
+    Seq(".commits_.archive.2_1-0-1", ".commits_.archive.10_1-0-1",
+      ".commits_.archive.9_1-0-1")
+      .foreach(f => write(s"$root/db1/trips/.hoodie/archived/$f"))
+    // table 2: nested two levels down
+    write(s"$root/db1/nested/deep/users/.hoodie/hoodie.properties",
+      "hoodie.table.name=users\nhoodie.table.type=MERGE_ON_READ\n" +
+        "hoodie.table.version=8\nhoodie.timeline.layout.version=2\n")
+    write(s"$root/db1/nested/deep/users/.hoodie/timeline/400.commit.requested")
+    write(s"$root/db1/nested/deep/users/.hoodie/timeline/400.commit.inflight")
+    write(s"$root/db1/nested/deep/users/.hoodie/timeline/400_401.commit")
+    write(s"$root/db1/nested/deep/users/.hoodie/timeline/history/_version_", "2")
+    write(s"$root/db1/nested/deep/users/.hoodie/timeline/history/manifest_2",
+      """{"files":[{"fileName":"1_2_3.parquet","fileLen":10},{"fileName":"4_5_6.parquet","fileLen":20}]}""")
+    write(s"$root/db1/nested/deep/users/.hoodie/timeline/history/1_2_3.parquet", "x")
+    write(s"$root/db1/nested/deep/users/.hoodie/timeline/history/4_5_6.parquet", "y")
+    // excluded subtree + non-table noise
+    write(s"$root/db1/scratch/.hoodie/hoodie.properties", "hoodie.table.name=no\n")
+    write(s"$root/db1/plain/readme.txt", "not a table")
+  }
+
+  private def base = TableDiscovery.BasePath("lake1", "db1", s"file:///${Paths.get(root).toAbsolutePath.toString.stripPrefix("/")}/db1")
+
+  test("discovery finds nested tables, prunes exclusions, derives UUIDv3 ids") {
+    mkLake()
+    val tables = TableDiscovery.discover(spark, Seq(base), Seq(".*/scratch")).collect()
+    val names = tables.map(_.absoluteTableUri.split("/").last).sorted.toSeq
+    assert(names == Seq("trips", "users"))
+    tables.foreach { t =>
+      assert(t.tableId ==
+        graft.functions.InstantFunctions.uuidV3(t.absoluteTableUri))
+      assert(t.lakeName == "lake1" && t.databaseName == "db1")
+    }
+  }
+
+  test("pinned tableId via path#id suffix") {
+    mkLake()
+    val pinned = base.copy(uri = base.uri + "/trips#my-fixed-id")
+    val tables = TableDiscovery.discover(spark, Seq(pinned)).collect()
+    assert(tables.length == 1 && tables.head.tableId == "my-fixed-id")
+  }
+
+  test("properties read with defaults and failure sentinel") {
+    mkLake()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val ok = HoodiePropertiesReader.read(conf,
+      s"${base.cleanUri}/trips/.hoodie/hoodie.properties")
+    assert(ok.tableName == "trips" && ok.tableType == "COPY_ON_WRITE")
+    assert(ok.tableVersion == 6 && ok.timelineLayoutVersion == 1) // defaults
+    val v8 = HoodiePropertiesReader.read(conf,
+      s"${base.cleanUri}/nested/deep/users/.hoodie/hoodie.properties")
+    assert(v8.tableVersion == 8 && v8.timelineLayoutVersion == 2)
+    val bad = HoodiePropertiesReader.read(conf, s"${base.cleanUri}/nope/hoodie.properties")
+    assert(bad.failureReason != null)
+  }
+
+  test("V1 mirror: archived numeric order, commit-atomic active batches, checkpoint, idempotent resume") {
+    mkLake()
+    val mirrorRoot = s"$root-mirror"
+    val cpDir = s"$root-cp"
+    val tables = TableDiscovery.discover(spark, Seq(base), Seq(".*/scratch")).collect()
+    val trips = tables.find(_.absoluteTableUri.endsWith("trips")).get
+    val props = HoodiePropertiesReader.read(spark.sparkContext.hadoopConfiguration,
+      s"${trips.absoluteTableUri}/.hoodie/hoodie.properties")
+
+    val r1 = TimelineMirror.mirrorTable(spark, trips, props, mirrorRoot, cpDir)
+    // archived: 3 files in 2 batches; active: properties + 2 complete groups
+    // (7 files), blocked at the incomplete 300.commit group
+    assert(r1.filesMirrored == 3 + 7)
+    val mirroredActive = FsListing.listDir(spark.sparkContext.hadoopConfiguration,
+      s"$mirrorRoot/${trips.tableId}/active").map(_.filename).sorted
+    assert(!mirroredActive.exists(_.startsWith("300.")))
+    assert(mirroredActive.contains("hoodie.properties"))
+    val cp = CheckpointStore.load(spark, cpDir)((trips.tableId, TimelineType.Active))
+    assert(cp.archivedCommitsProcessed && cp.lastUploadedFile == "200.deltacommit")
+
+    // resume: nothing new below the incomplete group => no new files
+    val r2 = TimelineMirror.mirrorTable(spark, trips, props, mirrorRoot, cpDir)
+    assert(r2.filesMirrored == 0)
+
+    // completing the commit unblocks exactly that group
+    write(s"$root/db1/trips/.hoodie/300.commit")
+    val r3 = TimelineMirror.mirrorTable(spark, trips, props, mirrorRoot, cpDir)
+    assert(r3.filesMirrored == 3)
+  }
+
+  test("V2/LSM mirror: manifest anti-join with ordered trailer") {
+    mkLake()
+    val mirrorRoot = s"$root-mirror2"
+    val cpDir = s"$root-cp2"
+    val tables = TableDiscovery.discover(spark, Seq(base), Seq(".*/scratch")).collect()
+    val users = tables.find(_.absoluteTableUri.endsWith("users")).get
+    val props = HoodiePropertiesReader.read(spark.sparkContext.hadoopConfiguration,
+      s"${users.absoluteTableUri}/.hoodie/hoodie.properties")
+    val r = TimelineMirror.mirrorTable(spark, users, props, mirrorRoot, cpDir)
+    val archived = FsListing.listDir(spark.sparkContext.hadoopConfiguration,
+      s"$mirrorRoot/${users.tableId}/archived").map(_.filename).sorted
+    assert(archived == Seq("1_2_3.parquet", "4_5_6.parquet", "_version_", "manifest_2").sorted)
+    // V9 completed instant (400_401.commit) mirrored in the active phase
+    val active = FsListing.listDir(spark.sparkContext.hadoopConfiguration,
+      s"$mirrorRoot/${users.tableId}/active").map(_.filename)
+    assert(active.contains("400_401.commit"))
+    assert(r.checkpoint.lastArchivedManifestVersion == 2)
+  }
+
+  test("manifest reader: missing _version_ means empty snapshot; anti-join diff") {
+    val snap = LsmManifestReader.latestSnapshot(spark, s"$root/nonexistent/history")
+    assert(snap.version == 0 && snap.parquetFileNames.isEmpty)
+    val diff = LsmManifestReader.newFiles(spark,
+      graft.model.ManifestSnapshot(3, Seq("a.parquet", "b.parquet", "c.parquet")),
+      graft.model.ManifestSnapshot(2, Seq("b.parquet")))
+    assert(diff == Seq("a.parquet", "c.parquet"))
+  }
+
+  test("checkpoint JSON round-trips the reference Jackson shape") {
+    val c = Checkpoint(7, java.sql.Timestamp.from(java.time.Instant.parse("2024-07-23T10:15:30Z")),
+      "200.deltacommit", null, archivedCommitsProcessed = true, 3)
+    val j = CheckpointStore.toJson(c)
+    assert(j.contains(""""checkpointTimestamp":"2024-07-23T10:15:30Z""""))
+    assert(CheckpointStore.fromJson(j) == c)
+  }
+
+  test("listing: prefix + startAfter seek semantics (Azure-normalized)") {
+    mkLake()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val all = FsListing.listDir(conf, s"${base.cleanUri}/trips/.hoodie")
+    assert(all.exists(_.filename == "archived") && all.exists(_.isDirectory))
+    val after = FsListing.listDir(conf, s"${base.cleanUri}/trips/.hoodie", startAfter = "100.commit.requested")
+    assert(!after.exists(_.filename == "100.commit.inflight"))
+    assert(after.exists(_.filename == "200.deltacommit"))
+    val pref = FsListing.listDir(conf, s"${base.cleanUri}/trips/.hoodie", prefix = "200")
+    assert(pref.map(_.filename).forall(_.startsWith("200")))
+  }
+}
