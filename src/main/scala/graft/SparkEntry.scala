@@ -17,7 +17,8 @@ object SparkEntry {
       analytics.TextQueries.all ++
       analytics.DedupQueries.all ++
       analytics.SimilarityQueries.all ++
-      analytics.MultimodalQueries.all
+      analytics.MultimodalQueries.all ++
+      analytics.TimelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,247 @@
+package graft.analytics
+
+import graft.{QuerySpec, Tables}
+import graft.fixtures.TimelineFixture
+import graft.functions.InstantFunctions._
+import graft.model.{Checkpoint, UploadStrategy}
+import graft.operators.ActiveTimelineBatcher
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The product's analytics surface (SURVEY §2.9) over the canonical timeline
+  * fixture: timeline history, instant parsing (P1/P2), commit-group
+  * classification (G1-G3), archived ordering (O1-O3), compaction backlog,
+  * and tableId derivation (D5). The DuckDB oracle runs over the *same rows*
+  * via a VALUES clause ([[TimelineFixture.valuesSql]]), so these are full
+  * hash-checked correctness gates, not rows-only checks.
+  *
+  * The `sfDir` argument is unused — the timeline fixture is the input table
+  * (instant metadata is KB-scale; the 100 TB path is the mirrored lake these
+  * same queries run on unchanged).
+  */
+object TimelineQueries {
+
+  private def fx(s: SparkSession): DataFrame =
+    TimelineFixture.dataset(s).toDF()
+      .withColumnRenamed("lastModifiedAt", "last_modified_at")
+      .withColumnRenamed("isDirectory", "is_directory")
+
+  private val From = TimelineFixture.valuesSql
+
+  /** DuckDB replica of the reference's split(filename, ".", 3) parse. */
+  private val OracleParse =
+    """p AS (SELECT filename, last_modified_at, is_directory,
+      |  string_split(filename, '.') AS parts FROM src),
+      |q AS (SELECT filename, last_modified_at, is_directory,
+      |  parts[1] AS lead,
+      |  parts[2] AS p1,
+      |  CASE WHEN len(parts) >= 3 THEN array_to_string(parts[3:], '.') END AS p2
+      |  FROM p),
+      |parsed AS (SELECT filename, last_modified_at, is_directory,
+      |  string_split(lead, '_')[1] AS ts,
+      |  CASE WHEN contains(lead, '_') THEN string_split(lead, '_')[2] END AS completion_ts,
+      |  CASE WHEN p2 IS NULL AND p1 = 'inflight' THEN 'commit' ELSE p1 END AS action,
+      |  CASE WHEN p2 IS NULL THEN (CASE WHEN p1 = 'inflight' THEN 'inflight' ELSE 'completed' END)
+      |       ELSE p2 END AS state
+      |  FROM q)""".stripMargin
+
+  val all: Map[String, QuerySpec] = Map(
+
+    // ----- P1/P2: instant parse + file-class predicates ---------------------
+    "tl_instant_parse" -> QuerySpec(
+      (s, _) => {
+        fx(s)
+          .withColumn("is_active", isActiveInstantFile(col("filename")))
+          .withColumn("is_archived_v1", isArchivedV1File(col("filename")))
+          .withColumn("is_archived_v2", isArchivedV2File(col("filename")))
+          .select(
+            col("filename"),
+            when(col("is_active"), instantTs(col("filename"))).as("ts"),
+            when(col("is_active"), instantCompletionTs(col("filename"))).as("completion_ts"),
+            when(col("is_active"), instantAction(col("filename"))).as("action"),
+            when(col("is_active"), instantState(col("filename"))).as("state"),
+            col("is_active"), col("is_archived_v1"), col("is_archived_v2"))
+          .orderBy(col("filename"))
+      },
+      Some(s"""WITH src AS (SELECT * FROM $From),
+             |$OracleParse,
+             |flags AS (SELECT filename,
+             |    regexp_full_match(filename, '\\d+(_\\d+)?(\\.[a-z]{1,20}){1,2}') AS is_active,
+             |    regexp_full_match(filename, '\\.commits_\\.archive\\.\\d+_\\d+-\\d+-\\d+') AS is_archived_v1,
+             |    regexp_full_match(filename, '\\d+_\\d+_\\d+\\.parquet|manifest_\\d+|_version_') AS is_archived_v2
+             |  FROM src)
+             |SELECT f.filename,
+             |  CASE WHEN f.is_active THEN d.ts END AS ts,
+             |  CASE WHEN f.is_active THEN d.completion_ts END AS completion_ts,
+             |  CASE WHEN f.is_active THEN d.action END AS action,
+             |  CASE WHEN f.is_active THEN d.state END AS state,
+             |  f.is_active, f.is_archived_v1, f.is_archived_v2
+             |FROM flags f JOIN parsed d ON f.filename = d.filename
+             |ORDER BY f.filename""".stripMargin)
+    ),
+
+    // ----- Timeline History: searchable, filtered, newest-first (§2.9) ------
+    "tl_history" -> QuerySpec(
+      (s, _) => {
+        fx(s)
+          .filter(!col("is_directory") && isActiveInstantFile(col("filename")))
+          .withColumn("action", instantAction(col("filename")))
+          .withColumn("state", instantState(col("filename")))
+          .filter(isWhitelisted(col("filename")))
+          .select(instantTs(col("filename")).as("ts"), col("action"), col("state"),
+            col("filename"), col("last_modified_at"))
+          .orderBy(col("ts").desc, col("filename"))
+      },
+      Some(s"""WITH src AS (SELECT * FROM $From),
+             |$OracleParse
+             |SELECT ts, action, state, filename, last_modified_at
+             |FROM parsed
+             |WHERE NOT is_directory
+             |  AND regexp_full_match(filename, '\\d+(_\\d+)?(\\.[a-z]{1,20}){1,2}')
+             |  AND action IN ('commit','deltacommit','rollback','savepoint','restore',
+             |    'clean','compaction','replacecommit','clustering','logcompaction')
+             |ORDER BY ts DESC, filename""".stripMargin)
+    ),
+
+    // ----- Table Stats shape: action/state counts ---------------------------
+    "tl_action_counts" -> QuerySpec(
+      (s, _) => {
+        fx(s)
+          .filter(!col("is_directory") && isActiveInstantFile(col("filename")) &&
+            isWhitelisted(col("filename")))
+          .groupBy(instantAction(col("filename")).as("action"),
+            instantState(col("filename")).as("state"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("action"), col("state"))
+      },
+      Some(s"""WITH src AS (SELECT * FROM $From),
+             |$OracleParse
+             |SELECT action, state, COUNT(*) AS n FROM parsed
+             |WHERE NOT is_directory
+             |  AND regexp_full_match(filename, '\\d+(_\\d+)?(\\.[a-z]{1,20}){1,2}')
+             |  AND action IN ('commit','deltacommit','rollback','savepoint','restore',
+             |    'clean','compaction','replacecommit','clustering','logcompaction')
+             |GROUP BY action, state ORDER BY action, state""".stripMargin)
+    ),
+
+    // ----- G1-G3: commit-group classification per request ts ----------------
+    "tl_commit_groups" -> QuerySpec(
+      (s, _) => {
+        fx(s)
+          .filter(!col("is_directory") && isActiveInstantFile(col("filename")) &&
+            isWhitelisted(col("filename")))
+          .groupBy(instantTs(col("filename")).as("ts"))
+          .agg(
+            count(lit(1)).cast("int").as("group_size"),
+            array_join(sort_array(collect_set(instantState(col("filename")))), ",").as("states"),
+            max(instantAction(col("filename")) === "rollback").as("is_rollback"),
+            max(instantState(col("filename")) === "completed").as("has_completed"))
+          .withColumn("is_complete",
+            (col("group_size") === 3 && col("has_completed")) ||
+              (col("group_size") === 2 && col("has_completed")) ||
+              (col("group_size") === 1 && col("is_rollback") && col("has_completed")))
+          .select(col("ts"), col("group_size"), col("states"), col("is_complete"))
+          .orderBy(col("ts"))
+      },
+      Some(s"""WITH src AS (SELECT * FROM $From),
+             |$OracleParse,
+             |g AS (SELECT ts, CAST(COUNT(*) AS INT) AS group_size,
+             |    array_to_string(list_sort(list_distinct(list(state))), ',') AS states,
+             |    max(action = 'rollback') AS is_rollback,
+             |    max(state = 'completed') AS has_completed
+             |  FROM parsed
+             |  WHERE NOT is_directory
+             |    AND regexp_full_match(filename, '\\d+(_\\d+)?(\\.[a-z]{1,20}){1,2}')
+             |    AND action IN ('commit','deltacommit','rollback','savepoint','restore',
+             |      'clean','compaction','replacecommit','clustering','logcompaction')
+             |  GROUP BY ts)
+             |SELECT ts, group_size, states,
+             |  (group_size = 3 AND has_completed) OR (group_size = 2 AND has_completed)
+             |    OR (group_size = 1 AND is_rollback AND has_completed) AS is_complete
+             |FROM g ORDER BY ts""".stripMargin)
+    ),
+
+    // ----- O3/P4: archived V1 numeric ordering ------------------------------
+    "tl_archive_order" -> QuerySpec(
+      (s, _) => {
+        fx(s)
+          .filter(isArchivedV1File(col("filename")))
+          .select(col("filename"), archiveIndex(col("filename")).as("archive_idx"))
+          .orderBy(col("archive_idx"))
+      },
+      Some(s"""WITH src AS (SELECT * FROM $From)
+             |SELECT filename,
+             |  CAST(regexp_extract(filename, '\\.archive\\.(\\d+)_', 1) AS BIGINT) AS archive_idx
+             |FROM src
+             |WHERE regexp_full_match(filename, '\\.commits_\\.archive\\.\\d+_\\d+-\\d+-\\d+')
+             |ORDER BY archive_idx""".stripMargin)
+    ),
+
+    // ----- Compaction Backlog (§2.9): deltacommits since last compaction ----
+    "tl_compaction_backlog" -> QuerySpec(
+      (s, _) => {
+        val parsed = fx(s)
+          .filter(!col("is_directory") && isActiveInstantFile(col("filename")))
+          .select(instantTs(col("filename")).as("ts"),
+            instantAction(col("filename")).as("action"),
+            instantState(col("filename")).as("state"))
+        val lastCompaction = parsed
+          .filter(col("action") === "compaction")
+          .agg(max(col("ts")).as("last_compaction_ts"))
+        parsed.crossJoin(lastCompaction)
+          .filter(col("action") === "deltacommit" && col("state") === "completed" &&
+            col("ts") > col("last_compaction_ts"))
+          .groupBy(col("last_compaction_ts"))
+          .agg(count(lit(1)).as("deltacommits_since_compaction"),
+            min(col("ts")).as("oldest_pending_ts"))
+      },
+      Some(s"""WITH src AS (SELECT * FROM $From),
+             |$OracleParse,
+             |lc AS (SELECT max(ts) AS last_compaction_ts FROM parsed WHERE action = 'compaction')
+             |SELECT lc.last_compaction_ts,
+             |  COUNT(*) AS deltacommits_since_compaction,
+             |  MIN(ts) AS oldest_pending_ts
+             |FROM parsed, lc
+             |WHERE action = 'deltacommit' AND state = 'completed' AND ts > lc.last_compaction_ts
+             |GROUP BY lc.last_compaction_ts""".stripMargin)
+    ),
+
+    // ----- D5: UUIDv3 tableId derivation ------------------------------------
+    "tl_table_ids" -> QuerySpec(
+      (s, _) => {
+        import s.implicits._
+        s.createDataset(TimelineFixture.tableUris).toDF("uri")
+          .select(col("uri"), uuidV3Udf(col("uri")).as("table_id"))
+          .orderBy(col("uri"))
+      },
+      Some(s"""WITH u AS (SELECT uri, md5(uri) AS h FROM ${TimelineFixture.urisValuesSql})
+             |SELECT uri,
+             |  substr(h,1,8) || '-' || substr(h,9,4) || '-3' || substr(h,14,3) || '-' ||
+             |  substr('89ab', (strpos('0123456789abcdef', substr(h,17,1)) - 1) % 4 + 1, 1) ||
+             |  substr(h,18,3) || '-' || substr(h,21,12) AS table_id
+             |FROM u ORDER BY uri""".stripMargin)
+    ),
+
+    // ----- G4: greedy commit-atomic batching (typed fold; rows-only check) --
+    "tl_batches" -> QuerySpec(
+      (s, _) => {
+        import s.implicits._
+        // the batcher receives F1-filtered listings (instants + properties
+        // only), as in the reference uploader
+        val files = TimelineFixture.dataset(s)
+          .filter(f => !f.isDirectory &&
+            (f.filename == "hoodie.properties" ||
+              f.filename.matches(ActiveInstantPattern)))
+          .map(f => ("fixture-table", f))
+        ActiveTimelineBatcher
+          .batchByTable(files, maxBatchSize = 6, Map.empty,
+            UploadStrategy.BlockOnIncompleteCommit)
+          .toDF()
+          .select(col("tableId").as("table_id"), col("batchId").as("batch_id"),
+            col("posInBatch").as("pos_in_batch"), col("filename"))
+          .orderBy(col("batch_id"), col("pos_in_batch"))
+      },
+      None // greedy fold is not ANSI-SQL expressible; driver rows-only check
+    )
+  )
+}
