@@ -13,6 +13,16 @@ final case class QuerySpec(
 )
 
 object Tables {
+  /** Spread a small input across the session's full parallelism with an
+    * EXPLICIT partition count: compute-heavy per-row projections (signature
+    * hashing, vector math) otherwise serialize, because a small file arrives
+    * as one split and AQE coalesces count-less `repartition(col)` exchanges
+    * right back to one partition. At 100 TB the source has natural splits
+    * and this exchange is a no-op cost-wise.
+    */
+  def spread(df: DataFrame, key: String): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism,
+      org.apache.spark.sql.functions.col(key))
   /** Load one of the driver-provided tables from a scale-factor dir.
     *
     * `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark's vectorized

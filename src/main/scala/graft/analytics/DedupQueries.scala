@@ -26,11 +26,18 @@ object DedupQueries {
   private def docs(s: SparkSession, d: String) = Tables.t(s, d, "documents")
   private def emb(s: SparkSession, d: String) = Tables.t(s, d, "embeddings")
 
-  /** doc_id + distinct 3-gram shingle hashes (the dedup unit). */
-  private def withShingles(df: DataFrame): DataFrame =
-    df.withColumn("t", expr(tokensS("text")))
+  /** doc_id + distinct 3-gram shingle hashes (the dedup unit). The explicit
+    * repartition spreads the per-doc signature computation: a small parquet
+    * file arrives as ONE split (a 100 TB corpus has thousands), and the HOF
+    * projections are the dominant cost at bench scale.
+    */
+  private def withShingles(df: DataFrame): DataFrame = {
+    graft.functions.VectorExpressions.register(df.sparkSession)
+    Tables.spread(df, "doc_id")
+      .withColumn("t", expr(tokensS("text")))
       .withColumn("th", expr(tokenHashesS("t")))
-      .withColumn("hs", expr(s"array_distinct(${shingleHashesS("th")})"))
+      .withColumn("hs", expr("array_distinct(shingle3_hash(th))"))
+  }
 
   /** Shared oracle CTE prefix: toks -> th -> sh(hs). */
   private val OracleShingles =
@@ -79,7 +86,7 @@ object DedupQueries {
       (s, d) => {
         val sh = withShingles(docs(s, d).select("doc_id", "text"))
           .select("doc_id", "hs")
-        val sig = sh.withColumn("sig", expr(minhashSigS("hs")))
+        val sig = sh.withColumn("sig", expr("minhash16(hs)"))
         val bands = sig.selectExpr("doc_id",
           s"explode(transform(sequence(0, ${Bands - 1}), b -> named_struct(" +
             s"'b', b, 'k', array_join(slice(sig, b * $RowsPerBand + 1, $RowsPerBand), '_')))) AS bk")
@@ -117,10 +124,11 @@ object DedupQueries {
     // ----- SimHash near-dup: 32-bit signature, 8-bit band join, hamming -----
     "dedup_simhash" -> QuerySpec(
       (s, d) => {
-        val sig = docs(s, d)
+        graft.functions.VectorExpressions.register(s)
+        val sig = Tables.spread(docs(s, d), "doc_id")
           .withColumn("t", expr(tokensS("text")))
           .withColumn("th", expr(tokenHashesS("t")))
-          .select(col("doc_id"), expr(simhashS("th")).as("sh"))
+          .select(col("doc_id"), expr("simhash32(th)").as("sh"))
         val bands = sig.selectExpr("doc_id", "sh",
           "explode(transform(sequence(0, 3), b -> named_struct(" +
             "'b', b, 'k', shiftright(sh, 8 * b) & 255))) AS bk")
@@ -181,13 +189,17 @@ object DedupQueries {
     // ----- embedding-cosine near-dup (exact all-pairs baseline) -------------
     "dedup_embedding_cosine" -> QuerySpec(
       (s, d) => {
-        val q = emb(s, d)
+        graft.functions.VectorExpressions.register(s)
+        // repartition: the streamed side of the pair join must be spread
+        // across tasks — one small parquet split would serialize the O(n^2)
+        // dot products onto a single core
+        val q = Tables.spread(emb(s, d), "vec_id")
           .select(col("vec_id"), expr(quantizeS("embedding")).as("qe"))
-          .withColumn("nrm", expr(dotS("qe", "qe")))
+          .withColumn("nrm", expr("long_dot(qe, qe)"))
         val a = q.select(col("vec_id").as("vec_a"), col("qe").as("qa"), col("nrm").as("na"))
         val b = q.select(col("vec_id").as("vec_b"), col("qe").as("qb"), col("nrm").as("nb"))
         a.join(b, col("vec_a") < col("vec_b"))
-          .withColumn("c", expr(s"${dotS("qa", "qb")} / (sqrt(na) * sqrt(nb))"))
+          .withColumn("c", expr("long_dot(qa, qb) / (sqrt(na) * sqrt(nb))"))
           .filter(col("c") >= 0.4)
           .select(col("vec_a"), col("vec_b"), expr("round(c, 6)").as("cosine"))
           .orderBy(col("vec_a"), col("vec_b"))

@@ -314,15 +314,16 @@ object RelationalQueries {
         li(s, d)
           .groupBy(col("l_returnflag"))
           .agg(
-            round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
-            round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90"),
+            // floor-truncation: see tl_partition_insights note on round ties
+            expr("floor(percentile(l_extendedprice, 0.5) * 100) / 100").as("p50"),
+            expr("floor(percentile(l_extendedprice, 0.9) * 100) / 100").as("p90"),
             min(col("l_extendedprice")).as("min_price"),
             max(col("l_extendedprice")).as("max_price"))
           .orderBy(col("l_returnflag"))
       },
       Some("""SELECT l_returnflag,
-             |  ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-             |  ROUND(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
+             |  floor(quantile_cont(l_extendedprice, 0.5) * 100) / 100 AS p50,
+             |  floor(quantile_cont(l_extendedprice, 0.9) * 100) / 100 AS p90,
              |  MIN(l_extendedprice) AS min_price,
              |  MAX(l_extendedprice) AS max_price
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)

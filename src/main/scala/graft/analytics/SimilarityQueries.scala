@@ -55,16 +55,17 @@ object SimilarityQueries {
     // ----- brute-force exact cosine top-k (baseline) ------------------------
     "sim_cosine_topk" -> QuerySpec(
       (s, d) => {
-        val n = emb(s, d)
+        graft.functions.VectorExpressions.register(s)
+        val n = Tables.spread(emb(s, d), "vec_id")
           .select(col("vec_id"), expr(quantizeS("embedding")).as("qe"))
-          .withColumn("nrm", expr(dotS("qe", "qe")))
+          .withColumn("nrm", expr("long_dot(qe, qe)"))
         val queries = n.filter(col("vec_id") < 5)
           .select(col("vec_id").as("q_id"), col("qe").as("qa"), col("nrm").as("na"))
         val w = Window.partitionBy(col("q_id"))
           .orderBy(col("c").desc, col("vec_id"))
         broadcast(queries)
           .join(n, col("vec_id") =!= col("q_id"))
-          .withColumn("c", expr(s"${dotS("qa", "qe")} / (sqrt(na) * sqrt(nrm))"))
+          .withColumn("c", expr("long_dot(qa, qe) / (sqrt(na) * sqrt(nrm))"))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 10)
           .select(col("q_id"), col("vec_id"), expr("round(c, 6)").as("cosine"), col("rn"))
@@ -83,10 +84,11 @@ object SimilarityQueries {
     // ----- hyperplane-LSH bucketed ANN: bucket equi-join + exact rerank -----
     "sim_lsh_ann" -> QuerySpec(
       (s, d) => {
-        val n = emb(s, d)
+        graft.functions.VectorExpressions.register(s)
+        val n = Tables.spread(emb(s, d), "vec_id")
           .select(col("vec_id"), expr(quantizeS("embedding")).as("qe"))
-          .withColumn("nrm", expr(dotS("qe", "qe")))
-          .withColumn("bucket", expr(lshKeyS("qe")))
+          .withColumn("nrm", expr("long_dot(qe, qe)"))
+          .withColumn("bucket", expr("hyperplane_key6(qe)"))
         val queries = n.filter(col("vec_id") < 5)
           .select(col("vec_id").as("q_id"), col("qe").as("qa"),
             col("nrm").as("na"), col("bucket").as("qb"))
@@ -94,7 +96,7 @@ object SimilarityQueries {
           .orderBy(col("c").desc, col("vec_id"))
         broadcast(queries)
           .join(n, col("qb") === col("bucket") && col("vec_id") =!= col("q_id"))
-          .withColumn("c", expr(s"${dotS("qa", "qe")} / (sqrt(na) * sqrt(nrm))"))
+          .withColumn("c", expr("long_dot(qa, qe) / (sqrt(na) * sqrt(nrm))"))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 5)
           .select(col("q_id"), col("vec_id"), col("bucket"),
@@ -116,9 +118,10 @@ object SimilarityQueries {
     // ----- IVF: per-label centroids, nearest-cell assignment, 2-cell probe --
     "sim_ivf_topk" -> QuerySpec(
       (s, d) => {
-        val n = emb(s, d)
+        graft.functions.VectorExpressions.register(s)
+        val n = Tables.spread(emb(s, d), "vec_id")
           .select(col("vec_id"), col("label"), expr(quantizeS("embedding")).as("qe"))
-          .withColumn("nrm", expr(dotS("qe", "qe")))
+          .withColumn("nrm", expr("long_dot(qe, qe)"))
         // centroid per label: elementwise mean of quantized vectors, re-quantized
         val cent = n.groupBy(col("label").as("c_id"))
           .agg(collect_list(col("qe")).as("vs"), count(lit(1)).as("cnt"))
@@ -127,7 +130,7 @@ object SimilarityQueries {
               "aggregate(vs, cast(0 as bigint), (a, v) -> a + element_at(v, j)) / cnt) as bigint))")
             .as("ce"))
         // assign every vector to its nearest centroid (exact integer L2^2)
-        val l2 = "aggregate(zip_with(%s, %s, (x, y) -> (x - y) * (x - y)), cast(0 as bigint), (a, v) -> a + v)"
+        val l2 = "long_l2(%s, %s)"
         val wa = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("c_id"))
         val assigned = n.crossJoin(broadcast(cent))
           .withColumn("dist", expr(l2.format("qe", "ce")))
@@ -147,7 +150,7 @@ object SimilarityQueries {
         broadcast(probes)
           .join(assigned, Seq("cell"))
           .filter(col("vec_id") =!= col("q_id"))
-          .withColumn("c", expr(s"${dotS("qa", "qe")} / (sqrt(na) * sqrt(nrm))"))
+          .withColumn("c", expr("long_dot(qa, qe) / (sqrt(na) * sqrt(nrm))"))
           .withColumn("rn", row_number().over(wr))
           .filter(col("rn") <= 5)
           .select(col("q_id"), col("vec_id"), col("cell"),

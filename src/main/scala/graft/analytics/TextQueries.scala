@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
 object TextQueries {
 
   private def docs(s: org.apache.spark.sql.SparkSession, d: String) =
-    Tables.t(s, d, "documents")
+    Tables.spread(Tables.t(s, d, "documents"), "doc_id")
 
   val all: Map[String, QuerySpec] = Map(
 

@@ -206,6 +206,46 @@ object TimelineQueries {
              |GROUP BY lc.last_compaction_ts""".stripMargin)
     ),
 
+    // ----- Partition Insights (§2.9): size distribution, percentiles, skew --
+    // orders-by-month stands in for per-partition file stats (o_totalprice =
+    // file size); same query shape the product computes from commit metadata.
+    "tl_partition_insights" -> QuerySpec(
+      (s, d) => {
+        val o = Tables.t(s, d, "orders")
+        val parts = o
+          .groupBy(date_trunc("month", col("o_orderdate")).as("part_month"))
+          .agg(
+            count(lit(1)).as("n_files"),
+            sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+              .cast("double").as("total_size"),
+            // floor-truncation, not round: round(double, n) ties resolve
+            // differently in Spark (decimal-string HALF_UP) vs DuckDB
+            // (binary half-away); floor of identical doubles always agrees
+            expr("floor(percentile(o_totalprice, 0.1) * 100) / 100").as("p10"),
+            expr("floor(percentile(o_totalprice, 0.5) * 100) / 100").as("p50"),
+            expr("floor(percentile(o_totalprice, 0.9) * 100) / 100").as("p90"))
+        parts
+          .withColumn("avg_size", expr(
+            "cast(sum(cast(total_size as decimal(18,2))) over () as double) / count(*) over ()"))
+          .withColumn("skew", expr("round(total_size / avg_size - 1, 6)"))
+          .select(col("part_month"), col("n_files"), col("total_size"),
+            col("p10"), col("p50"), col("p90"), col("skew"))
+          .orderBy(col("part_month"))
+      },
+      Some("""WITH parts AS (
+             |  SELECT date_trunc('month', o_orderdate) AS part_month,
+             |    COUNT(*) AS n_files,
+             |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_size,
+             |    floor(quantile_cont(o_totalprice, 0.1) * 100) / 100 AS p10,
+             |    floor(quantile_cont(o_totalprice, 0.5) * 100) / 100 AS p50,
+             |    floor(quantile_cont(o_totalprice, 0.9) * 100) / 100 AS p90
+             |  FROM orders GROUP BY 1)
+             |SELECT part_month, n_files, total_size, p10, p50, p90,
+             |  round(total_size / (CAST(SUM(CAST(total_size AS DECIMAL(18,2))) OVER () AS DOUBLE)
+             |    / COUNT(*) OVER ()) - 1, 6) AS skew
+             |FROM parts ORDER BY part_month""".stripMargin)
+    ),
+
     // ----- D5: UUIDv3 tableId derivation ------------------------------------
     "tl_table_ids" -> QuerySpec(
       (s, _) => {

@@ -69,13 +69,17 @@ object TextFunctions {
       s"x -> ((7919 * i + 1) * x + 104729 * i + 12345) % $MP)))"
 
   // ---- SimHash (32-bit) from a token-hash array (dup tokens = weight) ------
-  // bit-balance vector: for bit b, (#tokens with bit set)*2 - #tokens
-  def simhashS(th: String): String = {
-    val bs = s"transform(sequence(0, 31), b -> " +
+  // bit-balance vector: for bit b, (#tokens with bit set)*2 - #tokens.
+  // Spark side computes the balance vector ONCE in its own projection
+  // (simhashBitsS) and folds it in a second step (simhashFromBitsS) —
+  // inlining it into the fold would recompute the 32-element vector at every
+  // one of the 32 fold steps (32x the work, measured hot at bench scale).
+  def simhashBitsS(th: String): String =
+    s"transform(sequence(0, 31), b -> " +
       s"size(filter($th, h -> (shiftright(h, b) & 1) = 1)) * 2 - size($th))"
+  def simhashFromBitsS(bs: String): String =
     s"aggregate(sequence(0, 31), cast(0 as bigint), (acc, b) -> " +
       s"acc + if(element_at($bs, b + 1) > 0, shiftleft(cast(1 as bigint), b), cast(0 as bigint)))"
-  }
   def simhashD(th: String): String = {
     val bs = s"list_transform(generate_series(0, 31), b -> " +
       s"len(list_filter($th, h -> (h >> b) & 1 = 1)) * 2 - len($th))"
