@@ -262,6 +262,33 @@ object TimelineQueries {
              |FROM u ORDER BY uri""".stripMargin)
     ),
 
+    // ----- P6/P7/P10: URI parse, path concat, scheme rewrite ----------------
+    "tl_uri_functions" -> QuerySpec(
+      (s, _) => {
+        import s.implicits._
+        s.createDataset(TimelineFixture.tableUris ++ Seq(
+          "s3a://legacy-bucket/tables/db9/events/")).toDF("uri")
+          .select(
+            col("uri"),
+            uriScheme(col("uri")).as("scheme"),
+            uriBucket(col("uri")).as("bucket"),
+            uriPath(col("uri")).as("path"),
+            normalizeS3Scheme(col("uri")).as("normalized"),
+            pathConcat(col("uri"), lit("hoodie.properties")).as("props_uri"))
+          .orderBy(col("uri"))
+      },
+      Some(s"""WITH u AS (SELECT uri FROM (VALUES ${
+               (TimelineFixture.tableUris :+ "s3a://legacy-bucket/tables/db9/events/")
+                 .map(x => s"('$x')").mkString(", ")}) AS t(uri))
+             |SELECT uri,
+             |  regexp_extract(uri, '^(s3|s3a|gs|abfss|wasbs?|file|hdfs)://([^/]*)/?(.*)$$', 1) AS scheme,
+             |  regexp_extract(uri, '^(s3|s3a|gs|abfss|wasbs?|file|hdfs)://([^/]*)/?(.*)$$', 2) AS bucket,
+             |  regexp_extract(uri, '^(s3|s3a|gs|abfss|wasbs?|file|hdfs)://([^/]*)/?(.*)$$', 3) AS path,
+             |  regexp_replace(uri, '^s3a://', 's3://') AS normalized,
+             |  rtrim(uri, '/') || '/' || 'hoodie.properties' AS props_uri
+             |FROM u ORDER BY uri""".stripMargin)
+    ),
+
     // ----- G4: greedy commit-atomic batching (typed fold; rows-only check) --
     "tl_batches" -> QuerySpec(
       (s, _) => {
