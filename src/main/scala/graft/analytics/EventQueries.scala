@@ -134,6 +134,21 @@ object EventQueries {
              |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin)
     ),
 
+    // ----- approximate distinct (HLL sketch) — §2.9 approx_count_distinct --
+    // No oracle: HLL estimates are engine-specific; the driver records a
+    // rows-only check. The exact variant evt_daily_active_users is the
+    // hash-checked twin.
+    "evt_approx_users_by_type" -> QuerySpec(
+      (s, d) => {
+        ev(s, d)
+          .groupBy(col("event_type"))
+          .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+            count(lit(1)).as("n_events"))
+          .orderBy(col("event_type"))
+      },
+      None
+    ),
+
     // ----- event funnel: users who signed up then purchased -----
     "evt_funnel" -> QuerySpec(
       (s, d) => {
