@@ -36,10 +36,11 @@ object Tables {
     df.schema.fields.foldLeft(df) { (acc, f) =>
       if (f.dataType == org.apache.spark.sql.types.LongType &&
         (f.name == "ts" || f.name.endsWith("_ts_nanos")))
+        // integer DIV, not `/`: epoch nanos (~1.7e18) exceed double's 53-bit
+        // mantissa, so floating division is off by +/-1us on ~half the rows
         acc.withColumn(f.name,
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.floor(
-              org.apache.spark.sql.functions.col(f.name) / 1000L).cast("long")))
+          org.apache.spark.sql.functions.expr(
+            s"timestamp_micros(${f.name} DIV 1000)"))
       else acc
     }
   }

@@ -149,6 +149,49 @@ object EventQueries {
       None
     ),
 
+    // ----- as-of join: each purchase matched to the user's most recent -----
+    // prior click (the classic point-in-time lookup, done Spark-first as a
+    // running window max instead of a per-row subquery)
+    "evt_asof_last_click" -> QuerySpec(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev(s, d)
+          .withColumn("last_click_ts",
+            max(when(col("event_type") === "click", col("ts"))).over(w))
+          .filter(col("event_type") === "purchase" && col("user_id") < 50)
+          .select(col("user_id"), col("event_id"), col("ts"), col("last_click_ts"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id, ts,
+             |  MAX(CASE WHEN event_type = 'click' THEN ts END)
+             |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+             |FROM events QUALIFY event_type = 'purchase' AND user_id < 50
+             |ORDER BY user_id, event_id""".stripMargin)
+    ),
+
+    // ----- range join: lineitems shipped within 30 days of their order ------
+    "rel_range_join_ship_window" -> QuerySpec(
+      (s, d) => {
+        val li = Tables.t(s, d, "lineitem")
+        val ord = Tables.t(s, d, "orders")
+        li.join(ord, col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") >= col("o_orderdate") &&
+            col("l_shipdate").cast("date") <= date_add(col("o_orderdate").cast("date"), 30))
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg(count(lit(1)).as("n_fast_shipped"))
+          .orderBy(col("o_year"))
+      },
+      Some("""SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+             |  COUNT(*) AS n_fast_shipped
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  AND l_shipdate >= o_orderdate
+             |  AND CAST(l_shipdate AS DATE) <= CAST(o_orderdate AS DATE) + INTERVAL 30 DAY
+             |GROUP BY 1 ORDER BY o_year""".stripMargin)
+    ),
+
     // ----- event funnel: users who signed up then purchased -----
     "evt_funnel" -> QuerySpec(
       (s, d) => {
