@@ -63,8 +63,17 @@ object CheckpointStore {
     import spark.implicits._
     val merged = load(spark, storeDir) + ((tableId, timelineType) -> checkpoint)
     val rows = merged.toSeq.map { case ((tid, tt), c) => toKeyed(tid, tt, c) }
-    val staged = spark.createDataset(rows).coalesce(1)
-    staged.write.mode(SaveMode.Overwrite).parquet(storeDir)
+    // stage-then-swap: a crash mid-write must never leave a truncated store
+    // (a stale checkpoint only re-mirrors one batch, which is idempotent;
+    // a corrupt store would reset every table)
+    val hadoop = spark.sparkContext.hadoopConfiguration
+    val store = new org.apache.hadoop.fs.Path(storeDir)
+    val staging = new org.apache.hadoop.fs.Path(storeDir + ".staging")
+    val fs = store.getFileSystem(hadoop)
+    spark.createDataset(rows).coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    if (fs.exists(store)) fs.delete(store, true)
+    fs.rename(staging, store)
   }
 
   // ---- reference-compatible JSON codec ------------------------------------
