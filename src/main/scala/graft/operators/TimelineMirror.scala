@@ -148,7 +148,12 @@ object TimelineMirror {
         ((freshActive && f.filename == "hoodie.properties") ||
           (f.filename.matches(InstantFunctions.ActiveInstantPattern) &&
             lastId.forall(last => commitId(f.filename).forall(_ > last)))))
-    val result = ActiveTimelineBatcher.createBatches(listed, maxBatchSize, cp, strategy)
+    // reset firstIncompleteCommitFile after deriving startAfter from it —
+    // files after the watermark are re-listed, so a resolved gap clears and
+    // only a still-incomplete group re-establishes it (reference
+    // TimelineCommitInstantsUploader.java:165-174)
+    val result = ActiveTimelineBatcher.createBatches(listed, maxBatchSize,
+      cp.copy(firstIncompleteCommitFile = null), strategy)
     result.batches.foreach { batch =>
       batch.foreach { f => copyFile(conf, activeDir, f.filename, s"$tableDst/active"); nFiles += 1 }
       nBatches += 1

@@ -126,6 +126,54 @@ class DiscoveryMirrorSpec extends AnyFunSuite {
     assert(r3.filesMirrored == 3)
   }
 
+  test("non-blocking mirror: skips incomplete group, records watermark, re-includes on completion") {
+    mkLake()
+    val mirrorRoot = s"$root-mirror-nb"
+    val cpDir = s"$root-cp-nb"
+    rmTree(mirrorRoot); rmTree(cpDir)
+    // timeline: complete 100, INCOMPLETE 200 (missing completed), complete 300
+    val hoodie = s"$root/db1/trips/.hoodie"
+    rmTree(s"$root/db1/trips")
+    write(s"$hoodie/hoodie.properties",
+      "hoodie.table.name=trips\nhoodie.table.type=COPY_ON_WRITE\n")
+    Seq("100.commit.requested", "100.commit.inflight", "100.commit",
+      "200.deltacommit.requested", "200.deltacommit.inflight",
+      "300.commit.requested", "300.commit.inflight", "300.commit")
+      .foreach(f => write(s"$hoodie/$f"))
+
+    val tables = TableDiscovery.discover(spark, Seq(base), Seq(".*/scratch")).collect()
+    val trips = tables.find(_.absoluteTableUri.endsWith("trips")).get
+    val props = HoodiePropertiesReader.read(spark.sparkContext.hadoopConfiguration,
+      s"${trips.absoluteTableUri}/.hoodie/hoodie.properties")
+
+    val r1 = TimelineMirror.mirrorTable(spark, trips, props, mirrorRoot, cpDir,
+      strategy = UploadStrategy.ContinueOnIncompleteCommit)
+    val active = FsListing.listDir(spark.sparkContext.hadoopConfiguration,
+      s"$mirrorRoot/${trips.tableId}/active").map(_.filename)
+    // 100 and 300 groups mirrored; incomplete 200 skipped
+    assert(active.count(_.startsWith("100.")) == 3)
+    assert(active.count(_.startsWith("300.")) == 3)
+    assert(!active.exists(_.startsWith("200.")))
+    // watermark = min(incomplete ts) - 1 (G5/T4)
+    assert(r1.checkpoint.firstIncompleteCommitFile == "199")
+
+    // the 200 group completes later with a NEWER modified time; non-blocking
+    // resume re-lists from the watermark and re-includes the whole group
+    Thread.sleep(1100)
+    write(s"$hoodie/200.deltacommit")
+    Seq("200.deltacommit.requested", "200.deltacommit.inflight").foreach { f =>
+      Files.setLastModifiedTime(Paths.get(s"$hoodie/$f"),
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    }
+    val r2 = TimelineMirror.mirrorTable(spark, trips, props, mirrorRoot, cpDir,
+      strategy = UploadStrategy.ContinueOnIncompleteCommit)
+    val active2 = FsListing.listDir(spark.sparkContext.hadoopConfiguration,
+      s"$mirrorRoot/${trips.tableId}/active").map(_.filename)
+    assert(active2.count(_.startsWith("200.")) == 3, s"got: ${active2.sorted}")
+    assert(r2.checkpoint.firstIncompleteCommitFile == null ||
+      r2.checkpoint.firstIncompleteCommitFile.isEmpty)
+  }
+
   test("V2/LSM mirror: manifest anti-join with ordered trailer") {
     mkLake()
     val mirrorRoot = s"$root-mirror2"
