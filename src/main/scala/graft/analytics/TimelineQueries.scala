@@ -262,6 +262,76 @@ object TimelineQueries {
              |FROM u ORDER BY uri""".stripMargin)
     ),
 
+    // ----- Table Stats (§2.9): volume written from commit metadata ----------
+    // parses the instant files' commit JSON (partitionToWriteStats) exactly
+    // as the product does; nested map -> array explode, per-partition rollup
+    "tl_write_stats" -> QuerySpec(
+      (s, _) => {
+        import s.implicits._
+        val schema = "map<string, array<struct<numWrites: bigint, totalWriteBytes: bigint, numDeletes: bigint>>>"
+        s.createDataset(TimelineFixture.commitMetaRows).toDF("ts", "action", "meta")
+          .select(col("ts"), explode(from_json(
+            get_json_object(col("meta"), "$.partitionToWriteStats"),
+            org.apache.spark.sql.types.DataType.fromDDL(schema)))
+            .as(Seq("part", "stats")))
+          .select(col("ts"), col("part"), explode(col("stats")).as("st"))
+          .groupBy(col("part"))
+          .agg(
+            sum(col("st.totalWriteBytes")).as("total_bytes"),
+            sum(col("st.numWrites")).as("total_writes"),
+            sum(col("st.numDeletes")).as("total_deletes"),
+            countDistinct(col("ts")).as("n_commits"))
+          .orderBy(col("part"))
+      },
+      Some(s"""WITH src AS (SELECT * FROM ${TimelineFixture.commitMetaValuesSql}),
+             |kv AS (SELECT ts, meta, unnest(json_keys(meta, '$$.partitionToWriteStats')) AS part FROM src),
+             |arr AS (SELECT ts, part,
+             |    json_extract(meta, '$$.partitionToWriteStats."' || part || '"') AS stats FROM kv),
+             |el AS (SELECT ts, part, stats,
+             |    unnest(generate_series(0, CAST(json_array_length(stats) AS INT) - 1)) AS i FROM arr),
+             |vals AS (SELECT ts, part,
+             |    CAST(json_extract(stats, '$$[' || i || '].totalWriteBytes') AS BIGINT) AS bytes,
+             |    CAST(json_extract(stats, '$$[' || i || '].numWrites') AS BIGINT) AS writes,
+             |    CAST(json_extract(stats, '$$[' || i || '].numDeletes') AS BIGINT) AS deletes
+             |  FROM el)
+             |SELECT part, SUM(bytes) AS total_bytes, SUM(writes) AS total_writes,
+             |  SUM(deletes) AS total_deletes, COUNT(DISTINCT ts) AS n_commits
+             |FROM vals GROUP BY part ORDER BY part""".stripMargin)
+    ),
+
+    // ----- Table Stats trend: volume written per commit day -----------------
+    "tl_volume_trend" -> QuerySpec(
+      (s, _) => {
+        import s.implicits._
+        val schema = "map<string, array<struct<numWrites: bigint, totalWriteBytes: bigint, numDeletes: bigint>>>"
+        s.createDataset(TimelineFixture.commitMetaRows).toDF("ts", "action", "meta")
+          .select(substring(col("ts"), 1, 8).as("commit_day"), col("action"),
+            explode(from_json(
+              get_json_object(col("meta"), "$.partitionToWriteStats"),
+              org.apache.spark.sql.types.DataType.fromDDL(schema)))
+              .as(Seq("part", "stats")))
+          .select(col("commit_day"), col("action"), explode(col("stats")).as("st"))
+          .groupBy(col("commit_day"), col("action"))
+          .agg(sum(col("st.totalWriteBytes")).as("bytes_written"),
+            sum(col("st.numWrites")).as("rows_written"))
+          .orderBy(col("commit_day"), col("action"))
+      },
+      Some(s"""WITH src AS (SELECT * FROM ${TimelineFixture.commitMetaValuesSql}),
+             |kv AS (SELECT substr(ts, 1, 8) AS commit_day, action, meta,
+             |    unnest(json_keys(meta, '$$.partitionToWriteStats')) AS part FROM src),
+             |arr AS (SELECT commit_day, action,
+             |    json_extract(meta, '$$.partitionToWriteStats."' || part || '"') AS stats FROM kv),
+             |el AS (SELECT commit_day, action, stats,
+             |    unnest(generate_series(0, CAST(json_array_length(stats) AS INT) - 1)) AS i FROM arr),
+             |vals AS (SELECT commit_day, action,
+             |    CAST(json_extract(stats, '$$[' || i || '].totalWriteBytes') AS BIGINT) AS bytes,
+             |    CAST(json_extract(stats, '$$[' || i || '].numWrites') AS BIGINT) AS writes
+             |  FROM el)
+             |SELECT commit_day, action, SUM(bytes) AS bytes_written,
+             |  SUM(writes) AS rows_written
+             |FROM vals GROUP BY 1, 2 ORDER BY commit_day, action""".stripMargin)
+    ),
+
     // ----- P6/P7/P10: URI parse, path concat, scheme rewrite ----------------
     "tl_uri_functions" -> QuerySpec(
       (s, _) => {

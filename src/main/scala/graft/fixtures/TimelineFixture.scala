@@ -68,6 +68,26 @@ object TimelineFixture {
     ("part-00000-data.parquet", "2024-07-19 07:00:00", false)
   )
 
+  /** Commit-metadata bodies (what completed instant files contain): the
+    * Hudi commit JSON's partitionToWriteStats shape, per instant. Feeds the
+    * Table Stats / Partition Insights queries exactly as the product parses
+    * the mirrored instants (README.md §Table Stats).
+    */
+  val commitMetaRows: Seq[(String, String, String)] = Seq(
+    ("20240115103045123", "commit",
+      """{"partitionToWriteStats":{"dt=2024-01-01":[{"numWrites":120,"totalWriteBytes":48000,"numDeletes":0}],"dt=2024-01-02":[{"numWrites":80,"totalWriteBytes":32000,"numDeletes":2}]}}"""),
+    ("20240116010101001", "deltacommit",
+      """{"partitionToWriteStats":{"dt=2024-01-02":[{"numWrites":40,"totalWriteBytes":20000,"numDeletes":1},{"numWrites":10,"totalWriteBytes":4000,"numDeletes":0}]}}"""),
+    ("20240117020202002", "commit",
+      """{"partitionToWriteStats":{"dt=2024-01-01":[{"numWrites":200,"totalWriteBytes":90000,"numDeletes":5}],"dt=2024-01-03":[{"numWrites":60,"totalWriteBytes":25000,"numDeletes":0}]}}"""),
+    ("20260204053206256", "deltacommit",
+      """{"partitionToWriteStats":{"dt=2024-01-03":[{"numWrites":30,"totalWriteBytes":12000,"numDeletes":3}]}}""")
+  )
+
+  val commitMetaValuesSql: String = commitMetaRows
+    .map { case (ts, a, j) => s"('$ts', '$a', '$j')" }
+    .mkString("(VALUES\n  ", ",\n  ", ")\n  AS t(ts, action, meta)")
+
   /** Hudi table URIs for the tableId (UUIDv3) derivation fixture. */
   val tableUris: Seq[String] = Seq(
     "s3://lake-bucket/tables/db1/trips",
