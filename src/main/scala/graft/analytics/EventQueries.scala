@@ -130,7 +130,7 @@ object EventQueries {
              |      OVER (PARTITION BY user_id ORDER BY ts, event_id
              |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
              |  FROM g)
-             |SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events
+             |SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
              |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin)
     ),
 

@@ -161,8 +161,8 @@ object TextQueries {
       },
       Some(s"""WITH toks AS (SELECT *, ${tokensD("text")} AS t FROM documents)
              |SELECT lang, source, COUNT(*) AS n_docs,
-             |  SUM(length(trim(text))) AS total_chars,
-             |  SUM(len(t)) AS total_tokens
+             |  CAST(SUM(length(trim(text))) AS BIGINT) AS total_chars,
+             |  CAST(SUM(len(t)) AS BIGINT) AS total_tokens
              |FROM toks GROUP BY ROLLUP (lang, source)
              |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin)
     )

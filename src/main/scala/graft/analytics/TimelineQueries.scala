@@ -294,8 +294,9 @@ object TimelineQueries {
              |    CAST(json_extract(stats, '$$[' || i || '].numWrites') AS BIGINT) AS writes,
              |    CAST(json_extract(stats, '$$[' || i || '].numDeletes') AS BIGINT) AS deletes
              |  FROM el)
-             |SELECT part, SUM(bytes) AS total_bytes, SUM(writes) AS total_writes,
-             |  SUM(deletes) AS total_deletes, COUNT(DISTINCT ts) AS n_commits
+             |SELECT part, CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+             |  CAST(SUM(writes) AS BIGINT) AS total_writes,
+             |  CAST(SUM(deletes) AS BIGINT) AS total_deletes, COUNT(DISTINCT ts) AS n_commits
              |FROM vals GROUP BY part ORDER BY part""".stripMargin)
     ),
 
@@ -327,8 +328,8 @@ object TimelineQueries {
              |    CAST(json_extract(stats, '$$[' || i || '].totalWriteBytes') AS BIGINT) AS bytes,
              |    CAST(json_extract(stats, '$$[' || i || '].numWrites') AS BIGINT) AS writes
              |  FROM el)
-             |SELECT commit_day, action, SUM(bytes) AS bytes_written,
-             |  SUM(writes) AS rows_written
+             |SELECT commit_day, action, CAST(SUM(bytes) AS BIGINT) AS bytes_written,
+             |  CAST(SUM(writes) AS BIGINT) AS rows_written
              |FROM vals GROUP BY 1, 2 ORDER BY commit_day, action""".stripMargin)
     ),
 

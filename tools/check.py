@@ -31,13 +31,12 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
             except (TypeError, AttributeError):
                 pass
             df[c] = df[c].astype("datetime64[us]")
-        elif df[c].dtype == object:
-            pass
-        else:
-            try:
-                df[c] = df[c].astype("float64") if df[c].dtype.kind == "f" else df[c]
-            except Exception:
-                pass
+        elif pd.api.types.is_integer_dtype(df[c]):
+            # Integer WIDTH doesn't affect the driver hash (int32 vs int64
+            # render identically) — widen to int64. But int vs float DOES
+            # (DuckDB HUGEINT -> float64 renders "1.0" vs Spark "1"), so no
+            # float coercion: dtype kind is compared strictly below.
+            df[c] = df[c].astype("int64")
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
@@ -77,7 +76,7 @@ def main():
             n_fail += 1
             continue
         try:
-            pd.testing.assert_frame_equal(want, got, check_dtype=False, check_exact=True)
+            pd.testing.assert_frame_equal(want, got, check_dtype=True, check_exact=True)
             print(f"PASS {name} ({len(want)} rows)")
             n_pass += 1
         except AssertionError as e:
