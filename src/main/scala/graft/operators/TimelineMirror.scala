@@ -92,35 +92,50 @@ object TimelineMirror {
     var nBatches = 0
     var nFiles = 0
 
-    // ---- phase 1: archived timeline, once (T3) ----
-    if (!cp.archivedCommitsProcessed) {
+    // ---- phase 1: archived timeline (T3) ----
+    // V2/LSM re-checks the manifest EVERY sync: the snapshot version is the
+    // checkpoint, so an unchanged version is a no-op and an advanced one
+    // mirrors only the delta (J1; reference
+    // TimelineCommitInstantsUploader.java:268-327). V1 archives are
+    // append-only by index and processed once per checkpoint lifetime.
+    if (layout >= 2) {
       val archDir = HoodiePropertiesReader.timelineDir(table.absoluteTableUri, layout, archived = true)
-      if (layout >= 2) {
-        // V2/LSM: manifest anti-join + ordered trailer (J1/T5)
-        val current = LsmManifestReader.latestSnapshot(spark, archDir)
-        if (current.version > cp.lastArchivedManifestVersion) {
-          val prevNames = Nil // bootstrap: previous manifest unknown locally
-          val toCopy = LsmManifestReader.newFiles(spark,
-            current, ManifestSnapshot(cp.lastArchivedManifestVersion, prevNames))
-          val ordered = toCopy ++ Seq(s"manifest_${current.version}", "_version_")
-          ordered.foreach { f => copyFile(conf, archDir, f, s"$tableDst/archived"); nFiles += 1 }
-          nBatches += 1
-          cp = cp.copy(lastArchivedManifestVersion = current.version)
-        }
-      } else {
-        // V1: numeric archive-index order (O3), fixed-size batches (G7 size 2)
-        val files = FsListing.listDir(conf, archDir)
-          .filter(f => !f.isDirectory &&
-            f.filename.matches(InstantFunctions.ArchivedV1Pattern))
-          .sortBy(f => f.filename.replaceAll(""".*\.archive\.(\d+)_.*""", "$1").toLong)
-        files.grouped(2).foreach { batch =>
-          batch.foreach { f => copyFile(conf, archDir, f.filename, s"$tableDst/archived"); nFiles += 1 }
-          nBatches += 1
-          cp = cp.copy(batchId = cp.batchId + 1,
-            lastUploadedFile = batch.last.filename,
-            checkpointTimestamp = batch.map(_.lastModifiedAt).max(Ordering.by((t: Timestamp) => t.getTime)))
-          CheckpointStore.upsert(spark, checkpointDir, table.tableId, TimelineType.Archived, cp)
-        }
+      val current = LsmManifestReader.latestSnapshot(spark, archDir)
+      val advanced = current.version > cp.lastArchivedManifestVersion
+      if (advanced) {
+        // incremental: diff against the previously-mirrored manifest when we
+        // have one; bootstrap copies the full current manifest
+        val prevNames =
+          if (cp.lastArchivedManifestVersion > 0)
+            LsmManifestReader.readManifest(spark, archDir, cp.lastArchivedManifestVersion).parquetFileNames
+          else Nil
+        val toCopy = LsmManifestReader.newFiles(current,
+          ManifestSnapshot(cp.lastArchivedManifestVersion, prevNames))
+        // T5 publish order: parquets -> manifest_N -> _version_ last, so a
+        // mirror reader never sees a manifest referencing unmirrored files
+        val ordered = toCopy ++ Seq(s"manifest_${current.version}", "_version_")
+        ordered.foreach { f => copyFile(conf, archDir, f, s"$tableDst/archived"); nFiles += 1 }
+        nBatches += 1
+        cp = cp.copy(lastArchivedManifestVersion = current.version)
+      }
+      if (advanced || !cp.archivedCommitsProcessed) {
+        cp = cp.copy(archivedCommitsProcessed = true)
+        CheckpointStore.upsert(spark, checkpointDir, table.tableId, TimelineType.Active, cp)
+      }
+    } else if (!cp.archivedCommitsProcessed) {
+      val archDir = HoodiePropertiesReader.timelineDir(table.absoluteTableUri, layout, archived = true)
+      // V1: numeric archive-index order (O3), fixed-size batches (G7 size 2)
+      val files = FsListing.listDir(conf, archDir)
+        .filter(f => !f.isDirectory &&
+          f.filename.matches(InstantFunctions.ArchivedV1Pattern))
+        .sortBy(f => f.filename.replaceAll(""".*\.archive\.(\d+)_.*""", "$1").toLong)
+      files.grouped(2).foreach { batch =>
+        batch.foreach { f => copyFile(conf, archDir, f.filename, s"$tableDst/archived"); nFiles += 1 }
+        nBatches += 1
+        cp = cp.copy(batchId = cp.batchId + 1,
+          lastUploadedFile = batch.last.filename,
+          checkpointTimestamp = batch.map(_.lastModifiedAt).max(Ordering.by((t: Timestamp) => t.getTime)))
+        CheckpointStore.upsert(spark, checkpointDir, table.tableId, TimelineType.Archived, cp)
       }
       cp = cp.copy(archivedCommitsProcessed = true, lastUploadedFile = "",
         checkpointTimestamp = new Timestamp(0L))

@@ -4,7 +4,6 @@ import graft.model.ManifestSnapshot
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** LSM archived-timeline (V2) manifest reader (SURVEY §2.1 S6/S7).
   * Layout (reference `LSMTimelineManifestReader.java:23-38`):
@@ -32,15 +31,21 @@ object LsmManifestReader {
     }
   }
 
-  /** Read manifest_N's file-name list with spark.read.json + explode (S6). */
+  /** Read manifest_N's file-name list (S6). Manifests are a few KB of JSON in
+    * the per-table driver loop, so this is a direct Hadoop-FS read + Jackson
+    * parse — spinning a distributed job per table per sync would put 2×tables
+    * Spark jobs on the scheduler for kilobytes of metadata.
+    */
   def readManifest(spark: SparkSession, historyUri: String, version: Int): ManifestSnapshot = {
-    val uri = s"${historyUri.stripSuffix("/")}/manifest_$version"
-    val names = spark.read
-      .json(uri)
-      .select(explode(col("files.fileName")).as("fileName"))
-      .collect()
-      .map(_.getString(0))
-      .toSeq
+    val conf = spark.sparkContext.hadoopConfiguration
+    val path = new Path(s"${historyUri.stripSuffix("/")}/manifest_$version")
+    val fs = path.getFileSystem(conf)
+    val in = fs.open(path)
+    val bytes = try in.readAllBytes() finally in.close()
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+    import scala.jdk.CollectionConverters._
+    val names = root.path("files").elements().asScala
+      .map(_.path("fileName").asText()).toSeq
     ManifestSnapshot(version, names)
   }
 
@@ -52,18 +57,14 @@ object LsmManifestReader {
     }
 
   /** V2 incremental diff (SURVEY §2.7 J1): files in `current` but not in
-    * `previous` — the anti-join that drives the archived mirror — plus the
-    * ordered trailer (manifest_N then _version_) appended by the sink (T5).
+    * `previous`, in manifest order — the diff that drives the archived
+    * mirror — plus the ordered trailer (manifest_N then _version_) appended
+    * by the sink (T5). A plain Set diff: both sides are in-memory name lists
+    * already, so an anti-join would be a Spark job per table per sync for
+    * nothing (reference `TimelineCommitInstantsUploader.java:305-327`).
     */
-  def newFiles(spark: SparkSession, current: ManifestSnapshot,
-      previous: ManifestSnapshot): Seq[String] = {
-    import spark.implicits._
-    if (previous.parquetFileNames.isEmpty) current.parquetFileNames
-    else {
-      val cur = spark.createDataset(current.parquetFileNames).toDF("fileName")
-      val prev = spark.createDataset(previous.parquetFileNames).toDF("fileName")
-      cur.join(prev, Seq("fileName"), "left_anti")
-        .as[String].collect().toSeq.sorted
-    }
+  def newFiles(current: ManifestSnapshot, previous: ManifestSnapshot): Seq[String] = {
+    val prev = previous.parquetFileNames.toSet
+    current.parquetFileNames.filterNot(prev)
   }
 }

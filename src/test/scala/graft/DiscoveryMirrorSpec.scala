@@ -193,10 +193,47 @@ class DiscoveryMirrorSpec extends AnyFunSuite {
     assert(r.checkpoint.lastArchivedManifestVersion == 2)
   }
 
+  test("V2/LSM incremental mirror after compaction copies ONLY net-new files") {
+    mkLake()
+    val mirrorRoot = s"$root-mirror2i"
+    val cpDir = s"$root-cp2i"
+    rmTree(mirrorRoot); rmTree(cpDir)
+    val tables = TableDiscovery.discover(spark, Seq(base), Seq(".*/scratch")).collect()
+    val users = tables.find(_.absoluteTableUri.endsWith("users")).get
+    val props = HoodiePropertiesReader.read(spark.sparkContext.hadoopConfiguration,
+      s"${users.absoluteTableUri}/.hoodie/hoodie.properties")
+
+    val r1 = TimelineMirror.mirrorTable(spark, users, props, mirrorRoot, cpDir)
+    assert(r1.checkpoint.lastArchivedManifestVersion == 2)
+
+    // unchanged manifest => a sync is a complete no-op
+    val r2 = TimelineMirror.mirrorTable(spark, users, props, mirrorRoot, cpDir)
+    assert(r2.filesMirrored == 0)
+
+    // compaction merges the two L0 parquets into one L1 file and a new L0
+    // lands; manifest_3 references ONLY those two (reference
+    // TimelineCommitInstantsUploaderTest incremental-after-compaction case)
+    val hist = s"$root/db1/nested/deep/users/.hoodie/timeline/history"
+    write(s"$hist/compacted_1_6.parquet", "z")
+    write(s"$hist/7_8_9.parquet", "w")
+    write(s"$hist/manifest_3",
+      """{"files":[{"fileName":"compacted_1_6.parquet","fileLen":30},{"fileName":"7_8_9.parquet","fileLen":5}]}""")
+    write(s"$hist/_version_", "3")
+
+    val r3 = TimelineMirror.mirrorTable(spark, users, props, mirrorRoot, cpDir)
+    // ONLY the 2 net-new parquets + manifest_3 + _version_; the bootstrap
+    // parquets are NOT re-copied
+    assert(r3.filesMirrored == 4, s"expected 4 files, got ${r3.filesMirrored}")
+    assert(r3.checkpoint.lastArchivedManifestVersion == 3)
+    val archived = FsListing.listDir(spark.sparkContext.hadoopConfiguration,
+      s"$mirrorRoot/${users.tableId}/archived").map(_.filename)
+    assert(Seq("compacted_1_6.parquet", "7_8_9.parquet", "manifest_3").forall(archived.contains))
+  }
+
   test("manifest reader: missing _version_ means empty snapshot; anti-join diff") {
     val snap = LsmManifestReader.latestSnapshot(spark, s"$root/nonexistent/history")
     assert(snap.version == 0 && snap.parquetFileNames.isEmpty)
-    val diff = LsmManifestReader.newFiles(spark,
+    val diff = LsmManifestReader.newFiles(
       graft.model.ManifestSnapshot(3, Seq("a.parquet", "b.parquet", "c.parquet")),
       graft.model.ManifestSnapshot(2, Seq("b.parquet")))
     assert(diff == Seq("a.parquet", "c.parquet"))
