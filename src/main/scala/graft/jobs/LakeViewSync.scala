@@ -1,5 +1,10 @@
 package graft.jobs
 
+import java.time.{Clock, Duration, Instant}
+import java.util.concurrent.{Executors, ScheduledExecutorService, TimeUnit}
+
+import scala.util.control.NonFatal
+
 import graft.model.{HudiTable, UploadStrategy}
 import graft.operators.{TableDiscovery, TimelineMirror}
 import graft.sources.HoodiePropertiesReader
@@ -13,7 +18,10 @@ import org.apache.spark.sql.SparkSession
   *
   * Tables are processed in fixed-size batches (G7: 20 per batch, cap 50 —
   * `constants/MetadataExtractorConstants.java:42-46`), sequential across
-  * batches, parallel-safe within one (each table's mirror is independent).
+  * batches, PARALLEL within one (each table's mirror is independent;
+  * reference fans a batch out over its executor,
+  * `TableMetadataUploaderService.java:82-98`). One slow table no longer
+  * serializes its whole batch.
   */
 object LakeViewSync {
 
@@ -26,42 +34,154 @@ object LakeViewSync {
       tableBatchSize: Int = 20,
       strategy: UploadStrategy = UploadStrategy.BlockOnIncompleteCommit)
 
+  /** T7 failure taxonomy (reference `MetadataExtractorUtils.java:12-30` +
+    * `MetricsConstants.MetadataUploadFailureReasons`), mapped onto the
+    * Hadoop-FS exception surface instead of cloud-SDK exception classes.
+    */
+  object FailureReason {
+    val RateLimiting = "RATE_LIMITING"
+    val NoSuchKey = "NO_SUCH_KEY"
+    val AccessDenied = "ACCESS_DENIED"
+    val Unknown = "UNKNOWN"
+
+    def classify(ex: Throwable): String = {
+      // walk the cause chain like the reference's getCause checks
+      Iterator.iterate(ex)(_.getCause).takeWhile(_ != null).take(8).map {
+        case _: java.io.FileNotFoundException => NoSuchKey
+        case _: org.apache.hadoop.security.AccessControlException => AccessDenied
+        case e if e.getMessage != null &&
+          e.getMessage.toLowerCase.matches(".*(rate limit|slowdown|throttl|too many requests|429).*") =>
+          RateLimiting
+        case _ => Unknown
+      }.find(_ != Unknown).getOrElse(Unknown)
+    }
+  }
+
   final case class SyncReport(
       tablesDiscovered: Long,
       tablesSynced: Long,
       filesMirrored: Long,
-      allSucceeded: Boolean)
+      allSucceeded: Boolean,
+      failures: Map[String, String] = Map.empty) // tableUri -> FailureReason
 
   /** ONCE mode (reference JobRunMode.ONCE). */
   def runOnce(spark: SparkSession, config: SyncConfig): SyncReport = {
-    val conf = spark.sparkContext.hadoopConfiguration
     val tables: Seq[HudiTable] =
       TableDiscovery.discover(spark, config.basePaths, config.excludePatterns)
         .collect().toSeq.sortBy(_.absoluteTableUri)
+    syncTables(spark, config, tables)
+  }
 
-    val tableBatch = math.min(config.tableBatchSize, 50)
-    var files = 0L
-    var ok = 0L
-    tables.grouped(tableBatch).foreach { batch =>
-      batch.foreach { table =>
-        try {
-          val props = HoodiePropertiesReader.read(conf,
-            s"${table.absoluteTableUri}/.hoodie/hoodie.properties")
-          if (props.failureReason == null) {
-            val r = TimelineMirror.mirrorTable(spark, table, props,
-              config.mirrorRoot, config.checkpointDir,
-              config.maxBatchSize, config.strategy)
-            files += r.filesMirrored
-            ok += 1
+  /** Mirror a known table set: fixed-size batches, bounded parallelism
+    * within a batch (G7/G8). Used by both ONCE and CONTINUOUS modes.
+    */
+  def syncTables(spark: SparkSession, config: SyncConfig, tables: Seq[HudiTable]): SyncReport = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tableBatch = math.max(1, math.min(config.tableBatchSize, 50))
+    val pool = Executors.newFixedThreadPool(tableBatch)
+    try {
+      var files = 0L
+      var ok = 0L
+      var failures = Map.empty[String, String]
+      tables.grouped(tableBatch).foreach { batch =>
+        // parallel within the batch; the futures barrier keeps batches
+        // sequential so checkpoint pressure stays bounded (G7)
+        val futures = batch.map { table =>
+          pool.submit(new java.util.concurrent.Callable[Either[(String, String), Long]] {
+            def call(): Either[(String, String), Long] =
+              try {
+                val props = HoodiePropertiesReader.read(conf,
+                  s"${table.absoluteTableUri}/.hoodie/hoodie.properties")
+                if (props.failureReason == null) {
+                  val r = TimelineMirror.mirrorTable(spark, table, props,
+                    config.mirrorRoot, config.checkpointDir,
+                    config.maxBatchSize, config.strategy)
+                  Right(r.filesMirrored.toLong)
+                } else Left(table.absoluteTableUri -> FailureReason.NoSuchKey)
+              } catch {
+                // failure isolates the table, not the run (T7,
+                // MetadataExtractorUtils.java:12-30)
+                case NonFatal(e) =>
+                  System.err.println(s"[lakeview-sync] ${table.absoluteTableUri} failed: ${e.getMessage}")
+                  Left(table.absoluteTableUri -> FailureReason.classify(e))
+              }
+          })
+        }
+        futures.foreach { f =>
+          f.get() match {
+            case Right(n) => files += n; ok += 1
+            case Left(kv) => failures += kv
           }
-        } catch {
-          // failure isolates the table, not the run (T7,
-          // MetadataExtractorUtils.java:12-30)
-          case e: Throwable =>
-            System.err.println(s"[lakeview-sync] ${table.absoluteTableUri} failed: ${e.getMessage}")
+        }
+      }
+      SyncReport(tables.size, ok, files, allSucceeded = ok == tables.size, failures)
+    } finally pool.shutdown()
+  }
+
+  /** CONTINUOUS mode cadence (reference
+    * `TableDiscoveryAndUploadJob.java:63-139` with defaults from
+    * `MetadataExtractorConstants.java:37-48`): discovery re-runs every
+    * `discoveryIntervalMinutes`, the processing poll fires every
+    * `processPollSeconds` but actually uploads only when
+    * `uploadIntervalMinutes` have passed since the previous upload run
+    * started (the upload gate).
+    */
+  final case class ContinuousConfig(
+      discoveryIntervalMinutes: Int = 30,
+      processPollSeconds: Int = 30,
+      uploadIntervalMinutes: Int = 5)
+
+  /** Long-running scheduler state machine. The `discoverTick`/`processTick`
+    * steps are public and clock-injected so specs can drive the cadence
+    * deterministically; `start()` wires them onto a 2-thread scheduler
+    * exactly like the reference.
+    */
+  final class ContinuousSync(
+      spark: SparkSession,
+      config: SyncConfig,
+      cadence: ContinuousConfig = ContinuousConfig(),
+      clock: Clock = Clock.systemUTC()) {
+
+    private val lock = new Object
+    private var tablesToProcess: Seq[HudiTable] = Nil
+    private var previousUploadRunStart: Instant = Instant.EPOCH
+
+    /** Discovery tick: refresh the shared table set (runs on its own cadence
+      * so slow discovery never blocks upload polls).
+      */
+    def discoverTick(): Unit = {
+      val tables = TableDiscovery.discover(spark, config.basePaths, config.excludePatterns)
+        .collect().toSeq.sortBy(_.absoluteTableUri)
+      lock.synchronized { tablesToProcess = tables }
+    }
+
+    /** Processing tick: upload gate + sync. Returns None when the gate
+      * suppresses the run (reference `processTables`,
+      * `TableDiscoveryAndUploadJob.java:165-198`).
+      */
+    def processTick(): Option[SyncReport] = {
+      val runStart = clock.instant()
+      if (Duration.between(previousUploadRunStart, runStart).toMinutes <
+        cadence.uploadIntervalMinutes) None
+      else {
+        val tables = lock.synchronized(tablesToProcess)
+        if (tables.isEmpty) None
+        else {
+          val report = syncTables(spark, config, tables)
+          previousUploadRunStart = runStart
+          Some(report)
         }
       }
     }
-    SyncReport(tables.size, ok, files, allSucceeded = ok == tables.size)
+
+    /** Schedule both ticks at fixed rate; caller owns shutdown. */
+    def start(): ScheduledExecutorService = {
+      val scheduler = Executors.newScheduledThreadPool(2)
+      scheduler.scheduleAtFixedRate(() => discoverTick(), 0,
+        cadence.discoveryIntervalMinutes.toLong, TimeUnit.MINUTES)
+      scheduler.scheduleAtFixedRate(() => processTick(), 0,
+        cadence.processPollSeconds.toLong, TimeUnit.SECONDS)
+      scheduler
+    }
   }
 }

@@ -3,14 +3,21 @@ package graft.operators
 import java.sql.Timestamp
 
 import graft.model.Checkpoint
-import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
 
 /** Per-(tableId, timelineType) checkpoint store (SURVEY §2.8 T2/T3, §2.1
   * S10/S11) — the engine-local replacement for the reference's checkpoint
-  * API (`api/OnehouseApiClient.java:68-96`): an overwrite-by-key Parquet
-  * upsert. Writes are driver-coordinated and tiny (one row per table
-  * timeline), so a plain read-modify-write snapshot is the right tool — not
-  * a streaming state store.
+  * API (`api/OnehouseApiClient.java:68-96`). Layout is one JSON file per
+  * key: `storeDir/<tableId>/<timelineType>.json`, written stage-then-rename.
+  *
+  * The per-key layout is what makes the store scale- and concurrency-safe:
+  * an upsert touches exactly one file regardless of table count (the
+  * previous whole-store parquet rewrite was O(tables) per batch and a Spark
+  * job each), and parallel tables in a batch (G7/G8) write disjoint paths,
+  * matching the reference's per-table checkpoint POSTs
+  * (`TimelineCommitInstantsUploader.java:623-688`).
   *
   * JSON codec matches the reference's Jackson shape
   * (`TimelineCommitInstantsUploader.java:99-101`, JavaTimeModule ISO-8601
@@ -18,41 +25,53 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   */
 object CheckpointStore {
 
-  final case class Keyed(
-      tableId: String,
-      timelineType: String,
-      batchId: Int,
-      checkpointTimestamp: Timestamp,
-      lastUploadedFile: String,
-      firstIncompleteCommitFile: String,
-      archivedCommitsProcessed: Boolean,
-      lastArchivedManifestVersion: Int)
+  private val Utf8 = java.nio.charset.StandardCharsets.UTF_8
 
-  private def toKeyed(tableId: String, tt: String, c: Checkpoint): Keyed =
-    Keyed(tableId, tt, c.batchId, c.checkpointTimestamp, c.lastUploadedFile,
-      c.firstIncompleteCommitFile, c.archivedCommitsProcessed,
-      c.lastArchivedManifestVersion)
-
-  private def toCheckpoint(k: Keyed): Checkpoint =
-    Checkpoint(k.batchId, k.checkpointTimestamp, k.lastUploadedFile,
-      k.firstIncompleteCommitFile, k.archivedCommitsProcessed,
-      k.lastArchivedManifestVersion)
-
-  /** Load all checkpoints (empty map when the store doesn't exist yet). */
+  /** Load all checkpoints (empty map when the store doesn't exist yet).
+    * O(tables) — for inspection and specs; the mirror hot path uses
+    * [[loadTable]].
+    */
   def load(spark: SparkSession, storeDir: String): Map[(String, String), Checkpoint] = {
-    import spark.implicits._
-    try {
-      spark.read.parquet(storeDir).as[Keyed].collect()
-        .map(k => (k.tableId, k.timelineType) -> toCheckpoint(k)).toMap
-    } catch {
-      case _: Throwable => Map.empty
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(storeDir)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) Map.empty
+    else {
+      val out = Map.newBuilder[(String, String), Checkpoint]
+      val tables = fs.listStatus(root).filter(_.isDirectory)
+      tables.foreach { td =>
+        fs.listStatus(td.getPath)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".json"))
+          .foreach { f =>
+            val tt = f.getPath.getName.stripSuffix(".json")
+            out += (td.getPath.getName, tt) -> read(fs, f.getPath)
+          }
+      }
+      out.result()
     }
   }
 
-  /** Upsert one checkpoint row (atomic with respect to readers: parquet
-    * overwrite into a staging-then-commit directory swap is unnecessary at
-    * one-writer metadata scale; the reference likewise POSTs sequentially,
-    * `TimelineCommitInstantsUploader.java:623-688`).
+  /** Fetch one table's checkpoints — the S11 per-table lookup. */
+  def loadTable(conf: Configuration, storeDir: String,
+      tableId: String): Map[String, Checkpoint] = {
+    val dir = new Path(s"${storeDir.stripSuffix("/")}/$tableId")
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) Map.empty
+    else fs.listStatus(dir)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".json"))
+      .map(f => f.getPath.getName.stripSuffix(".json") -> read(fs, f.getPath))
+      .toMap
+  }
+
+  private def read(fs: org.apache.hadoop.fs.FileSystem, p: Path): Checkpoint = {
+    val in = fs.open(p)
+    val bytes = try in.readAllBytes() finally in.close()
+    fromJson(new String(bytes, Utf8))
+  }
+
+  /** Upsert one checkpoint: write to a staging file, then rename over the
+    * target — a crash mid-write never leaves a truncated checkpoint (a stale
+    * one only re-mirrors one batch, which is idempotent by filename).
     */
   def upsert(
       spark: SparkSession,
@@ -60,20 +79,16 @@ object CheckpointStore {
       tableId: String,
       timelineType: String,
       checkpoint: Checkpoint): Unit = {
-    import spark.implicits._
-    val merged = load(spark, storeDir) + ((tableId, timelineType) -> checkpoint)
-    val rows = merged.toSeq.map { case ((tid, tt), c) => toKeyed(tid, tt, c) }
-    // stage-then-swap: a crash mid-write must never leave a truncated store
-    // (a stale checkpoint only re-mirrors one batch, which is idempotent;
-    // a corrupt store would reset every table)
-    val hadoop = spark.sparkContext.hadoopConfiguration
-    val store = new org.apache.hadoop.fs.Path(storeDir)
-    val staging = new org.apache.hadoop.fs.Path(storeDir + ".staging")
-    val fs = store.getFileSystem(hadoop)
-    spark.createDataset(rows).coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    if (fs.exists(store)) fs.delete(store, true)
-    fs.rename(staging, store)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new Path(s"${storeDir.stripSuffix("/")}/$tableId")
+    val fs = dir.getFileSystem(conf)
+    fs.mkdirs(dir)
+    val target = new Path(dir, s"$timelineType.json")
+    val staging = new Path(dir, s".$timelineType.json.staging")
+    val out = fs.create(staging, true)
+    try out.write(toJson(checkpoint).getBytes(Utf8)) finally out.close()
+    if (fs.exists(target)) fs.delete(target, false)
+    fs.rename(staging, target)
   }
 
   // ---- reference-compatible JSON codec ------------------------------------

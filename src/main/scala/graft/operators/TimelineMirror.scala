@@ -62,7 +62,7 @@ object TimelineMirror {
   }
 
   private def copyFile(conf: Configuration, srcDir: String, name: String,
-      dstDir: String): Unit = {
+      dstDir: String): Unit = Retry.storageIO {
     val src = new Path(s"${srcDir.stripSuffix("/")}/$name")
     val dst = new Path(s"${dstDir.stripSuffix("/")}/$name")
     val sfs = src.getFileSystem(conf)
@@ -87,8 +87,8 @@ object TimelineMirror {
     val layout = props.timelineLayoutVersion
     val tableDst = s"${mirrorRoot.stripSuffix("/")}/${table.tableId}"
 
-    var cp = CheckpointStore.load(spark, checkpointDir)
-      .getOrElse((table.tableId, TimelineType.Active), Checkpoint.initial)
+    val cpMap = CheckpointStore.loadTable(conf, checkpointDir, table.tableId)
+    var cp = cpMap.getOrElse(TimelineType.Active, Checkpoint.initial)
     var nBatches = 0
     var nFiles = 0
 
@@ -124,11 +124,24 @@ object TimelineMirror {
       }
     } else if (!cp.archivedCommitsProcessed) {
       val archDir = HoodiePropertiesReader.timelineDir(table.absoluteTableUri, layout, archived = true)
+      // F3 resume: a crash mid-archived-phase left an Archived checkpoint
+      // row; skip files at-or-below its numeric index and continue its batch
+      // numbering instead of restarting the phase (reference
+      // TimelineCommitInstantsUploader.java:854-874).
+      val archCp = cpMap.get(TimelineType.Archived)
+      val lastIdx: Long = archCp.flatMap(c => Option(c.lastUploadedFile))
+        .filter(_.nonEmpty)
+        .map(_.replaceAll(""".*\.archive\.(\d+)_.*""", "$1").toLong)
+        .getOrElse(-1L)
+      archCp.foreach(c => cp = cp.copy(batchId = c.batchId))
       // V1: numeric archive-index order (O3), fixed-size batches (G7 size 2)
       val files = FsListing.listDir(conf, archDir)
         .filter(f => !f.isDirectory &&
           f.filename.matches(InstantFunctions.ArchivedV1Pattern))
-        .sortBy(f => f.filename.replaceAll(""".*\.archive\.(\d+)_.*""", "$1").toLong)
+        .map(f => f -> f.filename.replaceAll(""".*\.archive\.(\d+)_.*""", "$1").toLong)
+        .filter(_._2 > lastIdx)
+        .sortBy(_._2)
+        .map(_._1)
       files.grouped(2).foreach { batch =>
         batch.foreach { f => copyFile(conf, archDir, f.filename, s"$tableDst/archived"); nFiles += 1 }
         nBatches += 1

@@ -29,26 +29,32 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   */
 object FsListing {
 
-  /** List one directory on the driver. */
+  /** List one directory on the driver. Page drains ride the T6 retry policy
+    * so a one-off store fault re-lists the directory instead of failing the
+    * table (reference wraps every storage call,
+    * `AsyncHttpClientWithRetry.java:41-129`).
+    */
   def listDir(
       conf: Configuration,
       dirUri: String,
       prefix: String = "",
-      startAfter: String = ""): Seq[FileEntry] = {
+      startAfter: String = ""): Seq[FileEntry] = graft.operators.Retry.storageIO {
     val path = new Path(dirUri)
     val fs = path.getFileSystem(conf)
-    if (!fs.exists(path)) return Nil
-    val it = fs.listStatusIterator(path)
-    val out = Seq.newBuilder[FileEntry]
-    while (it.hasNext) {
-      val st = it.next()
-      val name = st.getPath.getName
-      if ((prefix.isEmpty || name.startsWith(prefix)) &&
-        (startAfter.isEmpty || name > startAfter)) {
-        out += FileEntry(name, new Timestamp(st.getModificationTime), st.isDirectory)
+    if (!fs.exists(path)) Nil
+    else {
+      val it = fs.listStatusIterator(path)
+      val out = Seq.newBuilder[FileEntry]
+      while (it.hasNext) {
+        val st = it.next()
+        val name = st.getPath.getName
+        if ((prefix.isEmpty || name.startsWith(prefix)) &&
+          (startAfter.isEmpty || name > startAfter)) {
+          out += FileEntry(name, new Timestamp(st.getModificationTime), st.isDirectory)
+        }
       }
+      out.result()
     }
-    out.result()
   }
 
   /** Distributed listing of many directories: one task per partition of the

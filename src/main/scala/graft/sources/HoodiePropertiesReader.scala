@@ -18,7 +18,7 @@ object HoodiePropertiesReader {
   val DefaultLayoutVersion = 1
 
   def read(conf: Configuration, propsUri: String): HudiProperties = {
-    try {
+    try graft.operators.Retry.storageIO {
       val path = new Path(propsUri)
       val fs = path.getFileSystem(conf)
       val in = fs.open(path)

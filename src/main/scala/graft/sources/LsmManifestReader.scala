@@ -19,17 +19,18 @@ import org.apache.spark.sql.SparkSession
 object LsmManifestReader {
 
   /** Read the `_version_` marker; None when absent. */
-  def latestVersion(conf: Configuration, historyUri: String): Option[Int] = {
-    val path = new Path(s"${historyUri.stripSuffix("/")}/_version_")
-    val fs = path.getFileSystem(conf)
-    if (!fs.exists(path)) None
-    else {
-      val in = fs.open(path)
-      try Some(new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toInt)
-      finally in.close()
+  def latestVersion(conf: Configuration, historyUri: String): Option[Int] =
+    graft.operators.Retry.storageIO {
+      val path = new Path(s"${historyUri.stripSuffix("/")}/_version_")
+      val fs = path.getFileSystem(conf)
+      if (!fs.exists(path)) None
+      else {
+        val in = fs.open(path)
+        try Some(new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toInt)
+        finally in.close()
+      }
     }
-  }
 
   /** Read manifest_N's file-name list (S6). Manifests are a few KB of JSON in
     * the per-table driver loop, so this is a direct Hadoop-FS read + Jackson
@@ -40,8 +41,10 @@ object LsmManifestReader {
     val conf = spark.sparkContext.hadoopConfiguration
     val path = new Path(s"${historyUri.stripSuffix("/")}/manifest_$version")
     val fs = path.getFileSystem(conf)
-    val in = fs.open(path)
-    val bytes = try in.readAllBytes() finally in.close()
+    val bytes = graft.operators.Retry.storageIO {
+      val in = fs.open(path)
+      try in.readAllBytes() finally in.close()
+    }
     val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
     import scala.jdk.CollectionConverters._
     val names = root.path("files").elements().asScala

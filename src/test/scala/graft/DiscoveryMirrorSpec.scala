@@ -193,6 +193,31 @@ class DiscoveryMirrorSpec extends AnyFunSuite {
     assert(r.checkpoint.lastArchivedManifestVersion == 2)
   }
 
+  test("crash mid-archived-phase resumes from the Archived checkpoint row (F3)") {
+    mkLake()
+    val mirrorRoot = s"$root-mirror-f3"
+    val cpDir = s"$root-cp-f3"
+    rmTree(mirrorRoot); rmTree(cpDir)
+    val tables = TableDiscovery.discover(spark, Seq(base), Seq(".*/scratch")).collect()
+    val trips = tables.find(_.absoluteTableUri.endsWith("trips")).get
+    val props = HoodiePropertiesReader.read(spark.sparkContext.hadoopConfiguration,
+      s"${trips.absoluteTableUri}/.hoodie/hoodie.properties")
+
+    // simulate a crash after archived batch 1 ([idx2, idx9] copied,
+    // checkpointed) and before batch 2: only the Archived row exists
+    CheckpointStore.upsert(spark, cpDir, trips.tableId, TimelineType.Archived,
+      Checkpoint(1, new java.sql.Timestamp(1000L), ".commits_.archive.9_1-0-1",
+        null, archivedCommitsProcessed = false))
+
+    val r = TimelineMirror.mirrorTable(spark, trips, props, mirrorRoot, cpDir)
+    // archived resume copies ONLY idx 10 (not 2 or 9); active copies
+    // properties + 2 complete groups = 7 files
+    assert(r.filesMirrored == 1 + 7, s"got ${r.filesMirrored}")
+    val archived = FsListing.listDir(spark.sparkContext.hadoopConfiguration,
+      s"$mirrorRoot/${trips.tableId}/archived").map(_.filename)
+    assert(archived == Seq(".commits_.archive.10_1-0-1"))
+  }
+
   test("V2/LSM incremental mirror after compaction copies ONLY net-new files") {
     mkLake()
     val mirrorRoot = s"$root-mirror2i"

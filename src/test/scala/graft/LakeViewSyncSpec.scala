@@ -6,6 +6,29 @@ import graft.jobs.LakeViewSync
 import graft.operators.TableDiscovery
 import org.scalatest.funsuite.AnyFunSuite
 
+/** Local FS that throws on the first N listStatus calls — fault injection
+  * for the T6 retry wiring. Registered under the `flaky://` scheme via
+  * `fs.flaky.impl`; Hadoop instantiates it reflectively.
+  */
+class FlakyFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "flaky"
+  override def getUri: java.net.URI = java.net.URI.create("flaky:///")
+  override def listStatus(f: org.apache.hadoop.fs.Path): Array[org.apache.hadoop.fs.FileStatus] = {
+    FlakyFileSystem.maybeFail()
+    super.listStatus(f)
+  }
+}
+
+object FlakyFileSystem {
+  val remainingFaults = new java.util.concurrent.atomic.AtomicInteger(0)
+  val faultsInjected = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[graft] def maybeFail(): Unit =
+    if (remainingFaults.getAndDecrement() > 0) {
+      faultsInjected.incrementAndGet()
+      throw new java.io.IOException("injected transient fault")
+    }
+}
+
 /** The library entry point end-to-end: discovery -> properties -> mirror for
   * a multi-table lake in one call, with per-table failure isolation.
   */
@@ -53,5 +76,113 @@ class LakeViewSyncSpec extends AnyFunSuite {
     // second run: incremental no-op
     val r2 = LakeViewSync.runOnce(spark, cfg)
     assert(r2.filesMirrored == 0 && r2.allSucceeded)
+  }
+
+  /** Deterministic clock for driving the continuous-mode cadence. */
+  private final class TestClock(start: java.time.Instant) extends java.time.Clock {
+    private var now = start
+    def advance(d: java.time.Duration): Unit = now = now.plus(d)
+    override def instant(): java.time.Instant = now
+    override def getZone: java.time.ZoneId = java.time.ZoneOffset.UTC
+    override def withZone(z: java.time.ZoneId): java.time.Clock = this
+  }
+
+  test("continuous mode: discovery picks up new tables, upload gate suppresses premature syncs") {
+    val croot = s"$root-cont"
+    Seq(croot, s"$croot-mirror", s"$croot-cp").foreach(rmTree)
+    write(s"$croot/db/alpha/.hoodie/hoodie.properties",
+      "hoodie.table.name=alpha\nhoodie.table.type=COPY_ON_WRITE\n")
+    Seq("500.commit.requested", "500.commit.inflight", "500.commit")
+      .foreach(f => write(s"$croot/db/alpha/.hoodie/$f"))
+    val base = TableDiscovery.BasePath("lake", "db",
+      s"file:///${Paths.get(croot).toAbsolutePath.toString.stripPrefix("/")}/db")
+    val cfg = LakeViewSync.SyncConfig(
+      basePaths = Seq(base),
+      mirrorRoot = s"$croot-mirror",
+      checkpointDir = s"$croot-cp")
+    val clock = new TestClock(java.time.Instant.parse("2026-01-01T00:00:00Z"))
+    val cs = new LakeViewSync.ContinuousSync(spark, cfg,
+      LakeViewSync.ContinuousConfig(uploadIntervalMinutes = 5), clock)
+
+    // cycle 1: discover + first upload (gate open: EPOCH baseline)
+    cs.discoverTick()
+    val r1 = cs.processTick()
+    assert(r1.exists(r => r.tablesDiscovered == 1 && r.tablesSynced == 1))
+
+    // a new table lands between cycles
+    write(s"$croot/db/beta/.hoodie/hoodie.properties",
+      "hoodie.table.name=beta\nhoodie.table.type=COPY_ON_WRITE\n")
+    Seq("600.commit.requested", "600.commit.inflight", "600.commit")
+      .foreach(f => write(s"$croot/db/beta/.hoodie/$f"))
+
+    // premature poll (1 min < 5 min): the upload gate suppresses the run
+    clock.advance(java.time.Duration.ofMinutes(1))
+    assert(cs.processTick().isEmpty)
+
+    // cycle 2: discovery sees beta; once the gate reopens the sync covers it
+    cs.discoverTick()
+    clock.advance(java.time.Duration.ofMinutes(5))
+    val r2 = cs.processTick()
+    assert(r2.exists(r => r.tablesDiscovered == 2 && r.tablesSynced == 2))
+    assert(r2.exists(_.filesMirrored == 4)) // only beta's props + 3-file group
+  }
+
+  test("sync survives one transient storage fault via the retry wiring (T6)") {
+    val troot = s"$root-flaky"
+    Seq(troot, s"$troot-mirror", s"$troot-cp").foreach(rmTree)
+    write(s"$troot/db/gamma/.hoodie/hoodie.properties",
+      "hoodie.table.name=gamma\nhoodie.table.type=COPY_ON_WRITE\n")
+    Seq("800.commit.requested", "800.commit.inflight", "800.commit")
+      .foreach(f => write(s"$troot/db/gamma/.hoodie/$f"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.setClass("fs.flaky.impl", classOf[FlakyFileSystem],
+      classOf[org.apache.hadoop.fs.FileSystem])
+    val base = TableDiscovery.BasePath("lake", "db",
+      s"flaky:///${Paths.get(troot).toAbsolutePath.toString.stripPrefix("/")}/db")
+    val cfg = LakeViewSync.SyncConfig(
+      basePaths = Seq(base),
+      mirrorRoot = s"$troot-mirror",
+      checkpointDir = s"$troot-cp")
+    FlakyFileSystem.faultsInjected.set(0)
+    FlakyFileSystem.remainingFaults.set(1)
+    val r = LakeViewSync.runOnce(spark, cfg)
+    assert(FlakyFileSystem.faultsInjected.get() == 1, "fault was not exercised")
+    assert(r.tablesDiscovered == 1 && r.allSucceeded && r.filesMirrored == 4)
+  }
+
+  test("failure taxonomy classifies the Hadoop-FS exception surface (T7)") {
+    import LakeViewSync.FailureReason
+    assert(FailureReason.classify(new java.io.FileNotFoundException("x")) == FailureReason.NoSuchKey)
+    assert(FailureReason.classify(
+      new RuntimeException(new org.apache.hadoop.security.AccessControlException("denied")))
+      == FailureReason.AccessDenied)
+    assert(FailureReason.classify(new java.io.IOException("503 SlowDown: throttled"))
+      == FailureReason.RateLimiting)
+    assert(FailureReason.classify(new IllegalStateException("boom")) == FailureReason.Unknown)
+  }
+
+  test("a failing table isolates and is reported with a reason; healthy tables still sync") {
+    val froot = s"$root-fail"
+    Seq(froot, s"$froot-mirror", s"$froot-cp").foreach(rmTree)
+    for (t <- Seq("good", "broken")) {
+      write(s"$froot/db/$t/.hoodie/hoodie.properties",
+        s"hoodie.table.name=$t\nhoodie.table.type=COPY_ON_WRITE\n")
+      write(s"$froot/db/$t/.hoodie/700.commit.requested")
+      write(s"$froot/db/$t/.hoodie/700.commit.inflight")
+      write(s"$froot/db/$t/.hoodie/700.commit")
+    }
+    val base = TableDiscovery.BasePath("lake", "db",
+      s"file:///${Paths.get(froot).toAbsolutePath.toString.stripPrefix("/")}/db")
+    val cfg = LakeViewSync.SyncConfig(
+      basePaths = Seq(base),
+      mirrorRoot = s"$froot-mirror",
+      checkpointDir = s"$froot-cp")
+    // discover first, then break `broken` before the sync reads properties
+    val tables = graft.operators.TableDiscovery.discover(spark, cfg.basePaths).collect().toSeq
+    rmTree(s"$froot/db/broken/.hoodie")
+    val r = LakeViewSync.syncTables(spark, cfg, tables)
+    assert(r.tablesSynced == 1 && !r.allSucceeded)
+    assert(r.failures.size == 1 &&
+      r.failures.values.head == LakeViewSync.FailureReason.NoSuchKey)
   }
 }
