@@ -26,6 +26,13 @@ object DedupQueries {
   private def docs(s: SparkSession, d: String) = Tables.t(s, d, "documents")
   private def emb(s: SparkSession, d: String) = Tables.t(s, d, "embeddings")
 
+  /** Skew guards (see the minhash/jaccard query docs): max docs per LSH band
+    * bucket, and max document frequency for a shingle to stay in the
+    * n-gram-Jaccard universe.
+    */
+  val BandBucketCap = 50
+  val ShingleDfCap = 100
+
   /** doc_id + distinct 3-gram shingle hashes (the dedup unit). The explicit
     * repartition spreads the per-doc signature computation: a small parquet
     * file arrives as ONE split (a 100 TB corpus has thousands), and the HOF
@@ -82,15 +89,27 @@ object DedupQueries {
     ),
 
     // ----- MinHash + LSH near-dup: band bucket join + exact verify ----------
+    // Skew guards for 100 TB: (1) the shingle projection is persisted — its
+    // lineage (tokenize -> hash -> shingle) is the dominant CPU cost and the
+    // plan references it three times (bands + both verify joins); (2) band
+    // buckets larger than BandBucketCap docs are dropped before the
+    // self-join — a degenerate bucket (boilerplate band key shared by k docs)
+    // would emit k^2 candidate pairs, and true near-dups still collide in
+    // one of the other 15 bands.
     "dedup_minhash_lsh" -> QuerySpec(
       (s, d) => {
         val sh = withShingles(docs(s, d).select("doc_id", "text"))
           .select("doc_id", "hs")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val sig = sh.withColumn("sig", expr("minhash16(hs)"))
         val bands = sig.selectExpr("doc_id",
           s"explode(transform(sequence(0, ${Bands - 1}), b -> named_struct(" +
             s"'b', b, 'k', array_join(slice(sig, b * $RowsPerBand + 1, $RowsPerBand), '_')))) AS bk")
           .select(col("doc_id"), col("bk.b").as("b"), col("bk.k").as("k"))
+          .withColumn("bs", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("b"), col("k"))))
+          .filter(col("bs") <= BandBucketCap)
+          .drop("bs")
         val pairs = bands.as("x")
           .join(bands.as("y"),
             col("x.b") === col("y.b") && col("x.k") === col("y.k") &&
@@ -107,9 +126,11 @@ object DedupQueries {
       },
       Some(s"""$OracleShingles,
              |sig AS (SELECT doc_id, hs, ${minhashSigD("hs")} AS sig FROM sh),
-             |bands AS (SELECT doc_id,  b,
-             |    array_to_string(sig[$RowsPerBand * b + 1 : $RowsPerBand * b + $RowsPerBand], '_') AS k
-             |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, ${Bands - 1})) AS b) bb),
+             |bands AS (SELECT doc_id, b, k FROM (
+             |    SELECT doc_id, b,
+             |      array_to_string(sig[$RowsPerBand * b + 1 : $RowsPerBand * b + $RowsPerBand], '_') AS k
+             |    FROM sig CROSS JOIN (SELECT unnest(generate_series(0, ${Bands - 1})) AS b) bb) z
+             |  QUALIFY COUNT(*) OVER (PARTITION BY b, k) <= $BandBucketCap),
              |pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
              |  FROM bands x JOIN bands y
              |    ON x.b = y.b AND x.k = y.k AND x.doc_id < y.doc_id),
@@ -157,16 +178,27 @@ object DedupQueries {
     ),
 
     // ----- exact n-gram Jaccard via sparse inverted-index self-join ---------
+    // Skew guard for 100 TB: shingles appearing in more than ShingleDfCap
+    // documents are boilerplate (headers, license text) and are excluded
+    // from the similarity universe BEFORE the self-join — a shingle in k
+    // docs emits k^2 join pairs, so one hot shingle is a quadratic bomb.
+    // Both the pair counts and the per-doc set sizes use the capped
+    // universe, so Jaccard stays internally consistent (and the oracle
+    // applies the identical cap).
     "dedup_ngram_jaccard" -> QuerySpec(
       (s, d) => {
         val sh = withShingles(docs(s, d).select("doc_id", "text"))
           .select("doc_id", "hs")
         val e = sh.select(col("doc_id"), explode(col("hs")).as("h"))
+          .withColumn("df", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+          .filter(col("df") <= ShingleDfCap)
+          .drop("df")
         val shared = e.as("x")
           .join(e.as("y"), col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
           .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
           .agg(count(lit(1)).as("shared"))
-        val n = sh.select(col("doc_id"), size(col("hs")).as("n"))
+        val n = e.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
         shared
           .join(n.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
           .join(n.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
@@ -176,10 +208,11 @@ object DedupQueries {
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some(s"""$OracleShingles,
-             |e AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+             |e AS (SELECT doc_id, h FROM (SELECT doc_id, unnest(hs) AS h FROM sh) z
+             |  QUALIFY COUNT(*) OVER (PARTITION BY h) <= $ShingleDfCap),
              |c AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS shared
              |  FROM e x JOIN e y ON x.h = y.h AND x.doc_id < y.doc_id GROUP BY 1, 2),
-             |n AS (SELECT doc_id, len(hs) AS n FROM sh),
+             |n AS (SELECT doc_id, COUNT(*) AS n FROM e GROUP BY doc_id),
              |v AS (SELECT c.doc_a, c.doc_b, shared / (na.n + nb.n - shared) AS j
              |  FROM c JOIN n na ON c.doc_a = na.doc_id JOIN n nb ON c.doc_b = nb.doc_id)
              |SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM v

@@ -122,13 +122,18 @@ object SimilarityQueries {
         val n = Tables.spread(emb(s, d), "vec_id")
           .select(col("vec_id"), col("label"), expr(quantizeS("embedding")).as("qe"))
           .withColumn("nrm", expr("long_dot(qe, qe)"))
-        // centroid per label: elementwise mean of quantized vectors, re-quantized
-        val cent = n.groupBy(col("label").as("c_id"))
-          .agg(collect_list(col("qe")).as("vs"), count(lit(1)).as("cnt"))
-          .select(col("c_id"), expr(
-            "transform(sequence(1, 64), j -> cast(round(" +
-              "aggregate(vs, cast(0 as bigint), (a, v) -> a + element_at(v, j)) / cnt) as bigint))")
-            .as("ce"))
+        // centroid per label: per-dimension mean via posexplode + groupBy —
+        // partial aggregation does the heavy lifting map-side and no row ever
+        // holds more than one (label, dim) sum, so a hot label can't OOM an
+        // executor the way a collect_list of every vector would. Same
+        // round(sum/cnt) arithmetic as the oracle, so hashes are unchanged.
+        val cent = n
+          .select(col("label"), posexplode(col("qe")).as(Seq("j", "v")))
+          .groupBy(col("label").as("c_id"), col("j"))
+          .agg(expr("cast(round(sum(v) / count(1)) as bigint)").as("cj"))
+          .groupBy(col("c_id"))
+          .agg(transform(array_sort(collect_list(struct(col("j"), col("cj")))),
+            x => x.getField("cj")).as("ce"))
         // assign every vector to its nearest centroid (exact integer L2^2)
         val l2 = "long_l2(%s, %s)"
         val wa = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("c_id"))
