@@ -20,6 +20,16 @@ object Bench {
     val selected = SparkEntry.queries.filter { case (n, _) =>
       only.forall(_.findFirstIn(n).isDefined)
     }
+    // Warm-up pass (untimed): JIT + codegen + parquet-footer caches make the
+    // first execution of JSON-parse/join-heavy queries swing up to 12x vs
+    // warm runs on identical code; timings below are from the warm pass.
+    val warmups = sys.env.get("SPARK_GRAFT_WARMUP").map(_.toInt).getOrElse(1)
+    for (_ <- 1 to warmups) selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    }
+    // drop caches persisted inside query builders (e.g. LSH signatures) so
+    // the timed pass re-executes the full lineage, not a warm cache
+    spark.catalog.clearCache()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>

@@ -34,7 +34,13 @@ object ConfigLoader {
 
   def loadString(yaml: String): Loaded = {
     val mapper = new ObjectMapper(new YAMLFactory())
-    val root = mapper.readTree(yaml)
+    loadNode(mapper.readTree(yaml), mapper)
+  }
+
+  /** Parse an already-materialized config tree (used by [[ConfigRefresher]]
+    * after merging base + override documents).
+    */
+  private[jobs] def loadNode(root: JsonNode, mapper: ObjectMapper): Loaded = {
     val version = text(root, "version")
     if (version != "V1")
       throw new UnsupportedOperationException(s"Unsupported config version: $version")

@@ -74,24 +74,40 @@ object LakeViewSync {
 
   /** Mirror a known table set: fixed-size batches, bounded parallelism
     * within a batch (G7/G8). Used by both ONCE and CONTINUOUS modes.
+    *
+    * Duplicate tableIds (e.g. the same path reached via two base paths)
+    * dedup last-wins with a warning (J3, reference
+    * `TableMetadataUploaderService.java:334-386`). `propsCache` memoizes
+    * successful `hoodie.properties` reads across runs (J5) — CONTINUOUS
+    * clears it on each discovery tick, bounding staleness to the discovery
+    * cadence.
     */
-  def syncTables(spark: SparkSession, config: SyncConfig, tables: Seq[HudiTable]): SyncReport = {
+  def syncTables(spark: SparkSession, config: SyncConfig, tables: Seq[HudiTable],
+      propsCache: Option[scala.collection.concurrent.Map[String, graft.model.HudiProperties]] = None): SyncReport = {
     val conf = spark.sparkContext.hadoopConfiguration
+    val byId = tables.map(t => t.tableId -> t).toMap // last-wins on duplicates
+    if (byId.size < tables.size)
+      System.err.println(s"[lakeview-sync] ${tables.size - byId.size} duplicate tableId(s) dropped (last wins)")
+    val deduped = byId.values.toSeq.sortBy(_.absoluteTableUri)
     val tableBatch = math.max(1, math.min(config.tableBatchSize, 50))
     val pool = Executors.newFixedThreadPool(tableBatch)
     try {
       var files = 0L
       var ok = 0L
       var failures = Map.empty[String, String]
-      tables.grouped(tableBatch).foreach { batch =>
+      deduped.grouped(tableBatch).foreach { batch =>
         // parallel within the batch; the futures barrier keeps batches
         // sequential so checkpoint pressure stays bounded (G7)
         val futures = batch.map { table =>
           pool.submit(new java.util.concurrent.Callable[Either[(String, String), Long]] {
             def call(): Either[(String, String), Long] =
               try {
-                val props = HoodiePropertiesReader.read(conf,
-                  s"${table.absoluteTableUri}/.hoodie/hoodie.properties")
+                val props = propsCache.flatMap(_.get(table.tableId)).getOrElse {
+                  val p = HoodiePropertiesReader.read(conf,
+                    s"${table.absoluteTableUri}/.hoodie/hoodie.properties")
+                  if (p.failureReason == null) propsCache.foreach(_.put(table.tableId, p))
+                  p
+                }
                 if (props.failureReason == null) {
                   val r = TimelineMirror.mirrorTable(spark, table, props,
                     config.mirrorRoot, config.checkpointDir,
@@ -114,7 +130,7 @@ object LakeViewSync {
           }
         }
       }
-      SyncReport(tables.size, ok, files, allSucceeded = ok == tables.size, failures)
+      SyncReport(deduped.size, ok, files, allSucceeded = ok == deduped.size, failures)
     } finally pool.shutdown()
   }
 
@@ -145,6 +161,9 @@ object LakeViewSync {
     private val lock = new Object
     private var tablesToProcess: Seq[HudiTable] = Nil
     private var previousUploadRunStart: Instant = Instant.EPOCH
+    // J5: memoized hoodie.properties reads, invalidated each discovery tick
+    private val propsCache =
+      scala.collection.concurrent.TrieMap.empty[String, graft.model.HudiProperties]
 
     /** Discovery tick: refresh the shared table set (runs on its own cadence
       * so slow discovery never blocks upload polls).
@@ -152,6 +171,7 @@ object LakeViewSync {
     def discoverTick(): Unit = {
       val tables = TableDiscovery.discover(spark, config.basePaths, config.excludePatterns)
         .collect().toSeq.sortBy(_.absoluteTableUri)
+      propsCache.clear()
       lock.synchronized { tablesToProcess = tables }
     }
 
@@ -167,7 +187,7 @@ object LakeViewSync {
         val tables = lock.synchronized(tablesToProcess)
         if (tables.isEmpty) None
         else {
-          val report = syncTables(spark, config, tables)
+          val report = syncTables(spark, config, tables, Some(propsCache))
           previousUploadRunStart = runStart
           Some(report)
         }

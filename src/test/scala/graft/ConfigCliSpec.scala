@@ -110,6 +110,96 @@ class ConfigCliSpec extends AnyFunSuite {
     }
   }
 
+  test("hot-reload: override document deep-merges over base, bad fetch keeps previous") {
+    rmTree(s"$root-hotreload")
+    val base = fixtureYaml("/m", "/c", "file:///tmp/x")
+    val overridePath = s"$root-hotreload/override.yaml"
+    write(overridePath,
+      """metadataExtractorConfig:
+        |  tableMetadataUploadIntervalMinutes: 9
+        |""".stripMargin)
+    val refresher = new graft.jobs.ConfigRefresher(base, overridePath,
+      spark.sparkContext.hadoopConfiguration)
+    assert(refresher.current.cadence.uploadIntervalMinutes == 5) // base until refresh
+    refresher.refresh()
+    assert(refresher.current.cadence.uploadIntervalMinutes == 9) // override wins
+    assert(refresher.current.cadence.discoveryIntervalMinutes == 30) // base preserved
+    assert(refresher.current.sync.mirrorRoot == "/m")
+    // the override changes on disk; next refresh picks it up
+    write(overridePath,
+      """metadataExtractorConfig:
+        |  tableMetadataUploadIntervalMinutes: 7
+        |""".stripMargin)
+    refresher.refresh()
+    assert(refresher.current.cadence.uploadIntervalMinutes == 7)
+    // a broken override fetch propagates; callers (start loop) keep previous
+    Files.delete(Paths.get(overridePath))
+    intercept[Exception](refresher.refresh())
+    assert(refresher.current.cadence.uploadIntervalMinutes == 7)
+  }
+
+  test("sync-tool hoodie.* properties build a working SyncConfig (§3.2)") {
+    val p = new java.util.Properties()
+    p.setProperty("hoodie.meta.sync.lakeview.mirror_root", "/mr")
+    p.setProperty("hoodie.meta.sync.lakeview.checkpoint_dir", "/cd")
+    p.setProperty(
+      "hoodie.meta.sync.lakeview.metadata_extractor.lakes.lake1.databases.db1.base_paths",
+      "s3://b/t1,s3://b/t2")
+    p.setProperty(
+      "hoodie.meta.sync.lakeview.metadata_extractor.lakes.lake2.databases.db2.base_paths",
+      "gs://c/t3")
+    p.setProperty("hoodie.meta.sync.lakeview.metadata_extractor.path_exclusion_patterns",
+      ".*/tmp,.*/scratch")
+    p.setProperty("hoodie.meta.sync.lakeview.upload_strategy", "CONTINUE_ON_INCOMPLETE_COMMIT")
+    val cfg = graft.jobs.SyncToolConfig.fromProperties(p)
+    assert(cfg.basePaths.toSet == Set(
+      graft.operators.TableDiscovery.BasePath("lake1", "db1", "s3://b/t1"),
+      graft.operators.TableDiscovery.BasePath("lake1", "db1", "s3://b/t2"),
+      graft.operators.TableDiscovery.BasePath("lake2", "db2", "gs://c/t3")))
+    assert(cfg.excludePatterns == Seq(".*/tmp", ".*/scratch"))
+    assert(cfg.strategy == UploadStrategy.ContinueOnIncompleteCommit)
+
+    // single-table fallback: the table the sync tool was invoked on
+    val single = new java.util.Properties()
+    single.setProperty("hoodie.meta.sync.lakeview.mirror_root", "/mr")
+    single.setProperty("hoodie.meta.sync.lakeview.checkpoint_dir", "/cd")
+    single.setProperty("hoodie.base.path", "s3://b/solo")
+    single.setProperty("hoodie.database.name", "analytics")
+    assert(graft.jobs.SyncToolConfig.fromProperties(single).basePaths ==
+      Seq(graft.operators.TableDiscovery.BasePath("default", "analytics", "s3://b/solo")))
+
+    intercept[IllegalArgumentException] {
+      graft.jobs.SyncToolConfig.fromProperties(new java.util.Properties())
+    }
+  }
+
+  test("duplicate tableIds dedup last-wins (J3); properties cache is honored (J5)") {
+    val jroot = s"$root-j35"
+    Seq(jroot, s"$jroot-mirror", s"$jroot-cp").foreach(rmTree)
+    write(s"$jroot/db/tbl/.hoodie/hoodie.properties",
+      "hoodie.table.name=tbl\nhoodie.table.type=COPY_ON_WRITE\n")
+    Seq("100.commit.requested", "100.commit.inflight", "100.commit")
+      .foreach(f => write(s"$jroot/db/tbl/.hoodie/$f"))
+    val uri = s"file:///${Paths.get(jroot).toAbsolutePath.toString.stripPrefix("/")}/db/tbl"
+    val t = graft.operators.TableDiscovery
+      .discover(spark, Seq(graft.operators.TableDiscovery.BasePath("l", "d", uri)))
+      .collect().head
+    val cfg = LakeViewSync.SyncConfig(basePaths = Nil,
+      mirrorRoot = s"$jroot-mirror", checkpointDir = s"$jroot-cp")
+
+    // same tableId twice -> mirrored once, counted once
+    val r = LakeViewSync.syncTables(spark, cfg, Seq(t, t.copy(lakeName = "other")))
+    assert(r.tablesDiscovered == 1 && r.tablesSynced == 1 && r.filesMirrored == 4)
+
+    // J5: a populated cache short-circuits the properties read — the table
+    // syncs even after hoodie.properties is deleted from storage
+    val cache = scala.collection.concurrent.TrieMap(
+      t.tableId -> graft.model.HudiProperties("tbl", "COPY_ON_WRITE", 6, 1))
+    Files.delete(Paths.get(s"$jroot/db/tbl/.hoodie/hoodie.properties"))
+    val r2 = LakeViewSync.syncTables(spark, cfg, Seq(t), Some(cache))
+    assert(r2.allSucceeded, s"cache not honored: ${r2.failures}")
+  }
+
   test("CLI: -p/-c exclusive, -h, unknown options (CliParser contract)") {
     assert(SyncCli.parseArgs(Array("-p", "/x.yaml")) ==
       Right(SyncCli.CliArgs(configFilePath = Some("/x.yaml"))))
