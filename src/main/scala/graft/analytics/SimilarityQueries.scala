@@ -127,6 +127,9 @@ object SimilarityQueries {
         // holds more than one (label, dim) sum, so a hot label can't OOM an
         // executor the way a collect_list of every vector would. Same
         // round(sum/cnt) arithmetic as the oracle, so hashes are unchanged.
+        // persist: the plan references cent twice (probe + assignment
+        // cross-joins) and its lineage is a full pass over the vectors —
+        // the cached table itself is only #labels rows
         val cent = n
           .select(col("label"), posexplode(col("qe")).as(Seq("j", "v")))
           .groupBy(col("label").as("c_id"), col("j"))
@@ -134,6 +137,7 @@ object SimilarityQueries {
           .groupBy(col("c_id"))
           .agg(transform(array_sort(collect_list(struct(col("j"), col("cj")))),
             x => x.getField("cj")).as("ce"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // assign every vector to its nearest centroid (exact integer L2^2)
         val l2 = "long_l2(%s, %s)"
         val wa = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("c_id"))

@@ -134,6 +134,34 @@ object LakeViewSync {
     } finally pool.shutdown()
   }
 
+  /** ONCE_WITH_RETRY (reference JobRunMode.ONCE_WITH_RETRY +
+    * `TableDiscoveryAndUploadJob.java:94-139`): re-run a failed sync up to
+    * `maxRuns` attempts, but stop early when the pull model's next scheduled
+    * cron execution is less than `minIntervalMinutes` away — the next
+    * scheduled run will cover it.
+    */
+  def runOnceWithRetry(
+      spark: SparkSession,
+      config: SyncConfig,
+      maxRuns: Int = 5,
+      cronSchedule: String = "0 */1 * * *",
+      minIntervalMinutes: Int = 10,
+      clock: Clock = Clock.systemUTC(),
+      runner: (SparkSession, SyncConfig) => SyncReport = runOnce): SyncReport = {
+    val firstRunStart = clock.instant()
+    def shouldRunAgain: Boolean = {
+      val next = CronSchedule.nextExecution(CronSchedule.parse(cronSchedule), firstRunStart)
+      Duration.between(firstRunStart, next).toMinutes >= minIntervalMinutes
+    }
+    var attempt = 1
+    var report = runner(spark, config)
+    while (!report.allSucceeded && attempt < maxRuns && shouldRunAgain) {
+      attempt += 1
+      report = runner(spark, config)
+    }
+    report
+  }
+
   /** CONTINUOUS mode cadence (reference
     * `TableDiscoveryAndUploadJob.java:63-139` with defaults from
     * `MetadataExtractorConstants.java:37-48`): discovery re-runs every

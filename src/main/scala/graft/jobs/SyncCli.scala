@@ -66,8 +66,10 @@ object SyncCli {
             val cs = new LakeViewSync.ContinuousSync(spark, loaded.sync, loaded.cadence)
             val scheduler = cs.start()
             scheduler.awaitTermination(Long.MaxValue, java.util.concurrent.TimeUnit.DAYS)
-          case _ => // ONCE / ONCE_WITH_RETRY
-            val report = LakeViewSync.runOnce(spark, loaded.sync)
+          case mode => // ONCE / ONCE_WITH_RETRY
+            val report =
+              if (mode == "ONCE_WITH_RETRY") LakeViewSync.runOnceWithRetry(spark, loaded.sync)
+              else LakeViewSync.runOnce(spark, loaded.sync)
             println(s"tablesDiscovered=${report.tablesDiscovered} " +
               s"tablesSynced=${report.tablesSynced} filesMirrored=${report.filesMirrored} " +
               s"allSucceeded=${report.allSucceeded}")

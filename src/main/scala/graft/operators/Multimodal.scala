@@ -58,8 +58,29 @@ object Multimodal {
       .as[MediaRecord]
   }
 
-  /** STUB decoder — deterministic pseudo-features from payload bytes. A real
-    * implementation would decode the codec indicated by `mediaType` here.
+  /** Pluggable decode stage. Implementations get a per-partition lifecycle:
+    * `open()` once per task (codec init, model load), `decode` per batch,
+    * `close()` when the partition drains — the contract a real
+    * image/audio/video codec binding would implement. Must be Serializable:
+    * the instance ships to executors inside the task closure.
+    */
+  trait MediaDecoder extends Serializable {
+    def open(): Unit = ()
+    def decode(batch: Seq[MediaRecord]): Iterator[MediaFeatures]
+    def close(): Unit = ()
+  }
+
+  /** Default decoder: deterministic pseudo-features from payload bytes (real
+    * codecs are not available in this environment). Everything around it —
+    * schema, batch shape, lifecycle — is the production surface.
+    */
+  object DeterministicFakeDecoder extends MediaDecoder {
+    override def decode(batch: Seq[MediaRecord]): Iterator[MediaFeatures] =
+      batch.iterator.map(fakeDecode)
+  }
+
+  /** STUB decode fn — deterministic pseudo-features from payload bytes. A
+    * real implementation would decode the codec indicated by `mediaType`.
     */
   def fakeDecode(r: MediaRecord): MediaFeatures = {
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -82,17 +103,28 @@ object Multimodal {
       byteHisto = histo)
   }
 
-  /** Batched feature extraction: chunk each partition's iterator so a real
-    * decoder amortizes setup per batch (mapInPandas-style batch shape).
+  /** Batched feature extraction: chunk each partition's iterator so the
+    * decoder amortizes setup per batch (mapInPandas-style batch shape), with
+    * open-once / close-on-drain lifecycle per task.
     */
-  def decodeBatch(ds: Dataset[MediaRecord], batchSize: Int = 64): Dataset[MediaFeatures] = {
+  def decodeBatch(
+      ds: Dataset[MediaRecord],
+      batchSize: Int = 64,
+      decoder: MediaDecoder = DeterministicFakeDecoder): Dataset[MediaFeatures] = {
     val spark = ds.sparkSession
     import spark.implicits._
     require(batchSize > 0, "batchSize must be positive")
     ds.mapPartitions { it =>
-      it.grouped(batchSize).flatMap { batch =>
-        // per-batch setup would go here (codec init, model load, ...)
-        batch.iterator.map(fakeDecode)
+      decoder.open()
+      val base = it.grouped(batchSize).flatMap(decoder.decode)
+      new Iterator[MediaFeatures] {
+        private var closed = false
+        def hasNext: Boolean = {
+          val h = base.hasNext
+          if (!h && !closed) { decoder.close(); closed = true }
+          h
+        }
+        def next(): MediaFeatures = base.next()
       }
     }
   }

@@ -200,6 +200,50 @@ class ConfigCliSpec extends AnyFunSuite {
     assert(r2.allSucceeded, s"cache not honored: ${r2.failures}")
   }
 
+  test("cron next-execution and ONCE_WITH_RETRY stop rule") {
+    import graft.jobs.CronSchedule
+    val hourly = CronSchedule.parse("0 */1 * * *")
+    assert(CronSchedule.nextExecution(hourly,
+      java.time.Instant.parse("2026-03-01T10:30:00Z")) ==
+      java.time.Instant.parse("2026-03-01T11:00:00Z"))
+    assert(CronSchedule.nextExecution(CronSchedule.parse("15 2 * * *"),
+      java.time.Instant.parse("2026-03-01T03:00:00Z")) ==
+      java.time.Instant.parse("2026-03-02T02:15:00Z"))
+    // exactly on a boundary: next execution is strictly after
+    assert(CronSchedule.nextExecution(hourly,
+      java.time.Instant.parse("2026-03-01T11:00:00Z")) ==
+      java.time.Instant.parse("2026-03-01T12:00:00Z"))
+
+    val cfg = LakeViewSync.SyncConfig(basePaths = Nil, mirrorRoot = "/m", checkpointDir = "/c")
+    var calls = 0
+    def failingRunner(s: org.apache.spark.sql.SparkSession, c: LakeViewSync.SyncConfig) = {
+      calls += 1
+      LakeViewSync.SyncReport(1, 0, 0, allSucceeded = false)
+    }
+    // next hourly run is 55 min away (>= 10): retries up to maxRuns
+    val farClock = java.time.Clock.fixed(
+      java.time.Instant.parse("2026-03-01T10:05:00Z"), java.time.ZoneOffset.UTC)
+    LakeViewSync.runOnceWithRetry(spark, cfg, maxRuns = 3, clock = farClock,
+      runner = failingRunner)
+    assert(calls == 3)
+    // next hourly run is 5 min away (< 10): no retry, the scheduled run covers it
+    calls = 0
+    val nearClock = java.time.Clock.fixed(
+      java.time.Instant.parse("2026-03-01T10:55:00Z"), java.time.ZoneOffset.UTC)
+    LakeViewSync.runOnceWithRetry(spark, cfg, maxRuns = 3, clock = nearClock,
+      runner = failingRunner)
+    assert(calls == 1)
+    // success on the second attempt stops the loop
+    calls = 0
+    def flakyRunner(s: org.apache.spark.sql.SparkSession, c: LakeViewSync.SyncConfig) = {
+      calls += 1
+      LakeViewSync.SyncReport(1, if (calls >= 2) 1 else 0, 0, allSucceeded = calls >= 2)
+    }
+    val r = LakeViewSync.runOnceWithRetry(spark, cfg, maxRuns = 5, clock = farClock,
+      runner = flakyRunner)
+    assert(calls == 2 && r.allSucceeded)
+  }
+
   test("CLI: -p/-c exclusive, -h, unknown options (CliParser contract)") {
     assert(SyncCli.parseArgs(Array("-p", "/x.yaml")) ==
       Right(SyncCli.CliArgs(configFilePath = Some("/x.yaml"))))

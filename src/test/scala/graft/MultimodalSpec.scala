@@ -43,4 +43,33 @@ class MultimodalSpec extends AnyFunSuite {
       assert(f.byteHisto.sum == f.nBytes)
     }
   }
+
+  test("custom decoder gets open-once/close-on-drain per task and bounded batches") {
+    MultimodalSpec.opens.set(0)
+    MultimodalSpec.closes.set(0)
+    MultimodalSpec.maxBatch.set(0)
+    val spread = media.repartition(4)
+    val n = Multimodal.decodeBatch(spread, batchSize = 16,
+      decoder = new MultimodalSpec.CountingDecoder).count()
+    assert(n == media.count())
+    assert(MultimodalSpec.opens.get() == 4, s"opens=${MultimodalSpec.opens.get()}")
+    assert(MultimodalSpec.closes.get() == 4, s"closes=${MultimodalSpec.closes.get()}")
+    assert(MultimodalSpec.maxBatch.get() <= 16)
+  }
+}
+
+object MultimodalSpec {
+  val opens = new java.util.concurrent.atomic.AtomicInteger(0)
+  val closes = new java.util.concurrent.atomic.AtomicInteger(0)
+  val maxBatch = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Instruments the per-task lifecycle (local mode: one shared JVM). */
+  final class CountingDecoder extends Multimodal.MediaDecoder {
+    override def open(): Unit = opens.incrementAndGet()
+    override def decode(batch: Seq[Multimodal.MediaRecord]): Iterator[Multimodal.MediaFeatures] = {
+      maxBatch.getAndUpdate(m => math.max(m, batch.size))
+      batch.iterator.map(Multimodal.fakeDecode)
+    }
+    override def close(): Unit = closes.incrementAndGet()
+  }
 }
