@@ -53,6 +53,7 @@ final class ConfigRefresher(
       catch {
         case e: Exception =>
           System.err.println(s"[config-refresher] failed to fetch override config: ${e.getMessage}")
+          SyncMetrics.global.inc(SyncMetrics.FailedOverrideConfig)
       }
     }, pollMinutes.toLong, pollMinutes.toLong, TimeUnit.MINUTES)
     scheduler

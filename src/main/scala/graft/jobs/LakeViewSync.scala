@@ -83,7 +83,8 @@ object LakeViewSync {
     * cadence.
     */
   def syncTables(spark: SparkSession, config: SyncConfig, tables: Seq[HudiTable],
-      propsCache: Option[scala.collection.concurrent.Map[String, graft.model.HudiProperties]] = None): SyncReport = {
+      propsCache: Option[scala.collection.concurrent.Map[String, graft.model.HudiProperties]] = None,
+      metrics: SyncMetrics = SyncMetrics.global): SyncReport = {
     val conf = spark.sparkContext.hadoopConfiguration
     val byId = tables.map(t => t.tableId -> t).toMap // last-wins on duplicates
     if (byId.size < tables.size)
@@ -125,11 +126,16 @@ object LakeViewSync {
         }
         futures.foreach { f =>
           f.get() match {
-            case Right(n) => files += n; ok += 1
-            case Left(kv) => failures += kv
+            case Right(n) =>
+              files += n; ok += 1
+              metrics.inc(SyncMetrics.MetadataUploadSuccess)
+            case Left(kv) =>
+              failures += kv
+              metrics.inc(SyncMetrics.TableMetadataProcessingFailure, kv._2)
           }
         }
       }
+      metrics.tablesProcessedGauge.set(ok)
       SyncReport(deduped.size, ok, files, allSucceeded = ok == deduped.size, failures)
     } finally pool.shutdown()
   }
@@ -184,7 +190,8 @@ object LakeViewSync {
       spark: SparkSession,
       config: SyncConfig,
       cadence: ContinuousConfig = ContinuousConfig(),
-      clock: Clock = Clock.systemUTC()) {
+      clock: Clock = Clock.systemUTC(),
+      metrics: SyncMetrics = SyncMetrics.global) {
 
     private val lock = new Object
     private var tablesToProcess: Seq[HudiTable] = Nil
@@ -196,12 +203,21 @@ object LakeViewSync {
     /** Discovery tick: refresh the shared table set (runs on its own cadence
       * so slow discovery never blocks upload polls).
       */
-    def discoverTick(): Unit = {
-      val tables = TableDiscovery.discover(spark, config.basePaths, config.excludePatterns)
-        .collect().toSeq.sortBy(_.absoluteTableUri)
-      propsCache.clear()
-      lock.synchronized { tablesToProcess = tables }
-    }
+    def discoverTick(): Unit =
+      try {
+        val tables = TableDiscovery.discover(spark, config.basePaths, config.excludePatterns)
+          .collect().toSeq.sortBy(_.absoluteTableUri)
+        propsCache.clear()
+        lock.synchronized { tablesToProcess = tables }
+        metrics.tablesDiscoveredGauge.set(tables.size)
+        metrics.inc(SyncMetrics.TableDiscoverySuccess)
+      } catch {
+        // a failed discovery keeps the previous table set (reference
+        // TableDiscoveryAndUploadJob.discoverTables exceptionally-branch)
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[lakeview-sync] discovery failed: ${e.getMessage}")
+          metrics.inc(SyncMetrics.TableDiscoveryFailure, FailureReason.classify(e))
+      }
 
     /** Processing tick: upload gate + sync. Returns None when the gate
       * suppresses the run (reference `processTables`,
@@ -215,7 +231,10 @@ object LakeViewSync {
         val tables = lock.synchronized(tablesToProcess)
         if (tables.isEmpty) None
         else {
-          val report = syncTables(spark, config, tables, Some(propsCache))
+          val report = syncTables(spark, config, tables, Some(propsCache), metrics)
+          metrics.inc(
+            if (report.allSucceeded) SyncMetrics.TableSyncSuccess
+            else SyncMetrics.TableSyncFailure)
           previousUploadRunStart = runStart
           Some(report)
         }

@@ -161,6 +161,38 @@ class LakeViewSyncSpec extends AnyFunSuite {
     assert(FailureReason.classify(new IllegalStateException("boom")) == FailureReason.Unknown)
   }
 
+  test("metrics registry records gauges, successes, and tagged failures (G11)") {
+    import graft.jobs.SyncMetrics
+    val mroot = s"$root-metrics"
+    Seq(mroot, s"$mroot-mirror", s"$mroot-cp").foreach(rmTree)
+    for (t <- Seq("ok1", "gone")) {
+      write(s"$mroot/db/$t/.hoodie/hoodie.properties",
+        s"hoodie.table.name=$t\nhoodie.table.type=COPY_ON_WRITE\n")
+      write(s"$mroot/db/$t/.hoodie/100.commit.requested")
+      write(s"$mroot/db/$t/.hoodie/100.commit.inflight")
+      write(s"$mroot/db/$t/.hoodie/100.commit")
+    }
+    val base = TableDiscovery.BasePath("lake", "db",
+      s"file:///${Paths.get(mroot).toAbsolutePath.toString.stripPrefix("/")}/db")
+    val cfg = LakeViewSync.SyncConfig(basePaths = Seq(base),
+      mirrorRoot = s"$mroot-mirror", checkpointDir = s"$mroot-cp")
+    val m = new SyncMetrics
+    val cs = new LakeViewSync.ContinuousSync(spark, cfg, clock = java.time.Clock.systemUTC(),
+      metrics = m)
+    cs.discoverTick()
+    assert(m.tablesDiscoveredGauge.get() == 2)
+    assert(m.count(SyncMetrics.TableDiscoverySuccess) == 1)
+    rmTree(s"$mroot/db/gone/.hoodie") // break one table before upload
+    val r = cs.processTick()
+    assert(r.exists(!_.allSucceeded))
+    assert(m.count(SyncMetrics.MetadataUploadSuccess) == 1)
+    assert(m.count(SyncMetrics.TableMetadataProcessingFailure,
+      LakeViewSync.FailureReason.NoSuchKey) == 1)
+    assert(m.count(SyncMetrics.TableSyncFailure) == 1)
+    assert(m.tablesProcessedGauge.get() == 1)
+    assert(m.snapshot.contains("lakeView_table_metadata_processing_failure{reason=NO_SUCH_KEY}"))
+  }
+
   test("a failing table isolates and is reported with a reason; healthy tables still sync") {
     val froot = s"$root-fail"
     Seq(froot, s"$froot-mirror", s"$froot-cp").foreach(rmTree)
