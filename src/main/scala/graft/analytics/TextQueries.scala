@@ -147,6 +147,68 @@ object TextQueries {
              |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 30""".stripMargin)
     ),
 
+    // ----- context-window packing (LLM pretraining layout) ------------------
+    // Concatenate each source stream's tokens in doc_id order and cut into
+    // fixed windows of 512: every doc maps to the [start_window, end_window]
+    // span it lands in. Packing is PER SOURCE (partitioned window) — the
+    // global-concatenation variant would order the whole corpus through one
+    // task; per-shard packing is what a 100 TB pipeline does anyway, and
+    // each shard's running sum parallelizes.
+    "txt_context_packing" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        docs(s, d)
+          .withColumn("n_tokens", expr(s"cast(size(${tokensS("text")}) as bigint)"))
+          .filter(col("n_tokens") > 0)
+          .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+          .select(
+            col("doc_id"), col("source"), col("n_tokens"), col("cum_before"),
+            expr("cum_before div 512").as("start_window"),
+            expr("(cum_before + n_tokens - 1) div 512").as("end_window"))
+          .withColumn("n_windows", col("end_window") - col("start_window") + 1)
+          .orderBy(col("source"), col("doc_id"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, source,
+             |    CAST(len(${tokensD("text")}) AS BIGINT) AS n_tokens FROM documents),
+             |c AS (SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+             |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |    AS BIGINT) AS cum_before
+             |  FROM toks WHERE n_tokens > 0)
+             |SELECT doc_id, source, n_tokens, cum_before,
+             |  cum_before // 512 AS start_window,
+             |  (cum_before + n_tokens - 1) // 512 AS end_window,
+             |  (cum_before + n_tokens - 1) // 512 - cum_before // 512 + 1 AS n_windows
+             |FROM c ORDER BY source, doc_id""".stripMargin)
+    ),
+
+    // ----- deterministic stratified sampling --------------------------------
+    // Hash-based bernoulli per language stratum: a doc is kept when its
+    // portable content hash lands under the rate cutoff — reproducible
+    // across engines and runs, no RNG state, and embarrassingly parallel
+    // (one narrow projection + one aggregation at any scale).
+    "txt_stratified_sample" -> QuerySpec(
+      (s, d) => {
+        docs(s, d)
+          .withColumn("norm", expr(raw"regexp_replace(lower(trim(text)), '\\s+', ' ')"))
+          .withColumn("keep", expr(s"pmod(${strHashS("norm")}, 100) < 10"))
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_total"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"))
+          .withColumn("rate", expr("round(n_sampled / n_total, 6)"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH n AS (SELECT lang,
+             |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm FROM documents),
+             |f AS (SELECT lang, ((${strHashD("norm")} % 100) + 100) % 100 < 10 AS keep FROM n)
+             |SELECT lang, COUNT(*) AS n_total,
+             |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+             |  round(SUM(CASE WHEN keep THEN 1 ELSE 0 END) / COUNT(*), 6) AS rate
+             |FROM f GROUP BY lang ORDER BY lang""".stripMargin)
+    ),
+
     // ----- corpus rollup by (lang, source): chars/tokens written ------------
     "txt_corpus_rollup" -> QuerySpec(
       (s, d) => {
