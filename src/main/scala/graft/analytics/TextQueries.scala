@@ -57,24 +57,28 @@ object TextQueries {
           .withColumn("t", expr(tokensS("text")))
           .withColumn("n_stop", expr(
             "size(filter(t, w -> array_contains(array('the','a','of','and','is','to'), w)))"))
-          .withColumn("stop_ratio", expr("round(n_stop / size(t), 6)"))
-          .withColumn("distinct_ratio", expr("round(size(array_distinct(t)) / size(t), 6)"))
+          // floor(x*1e6 + 0.5)/1e6 instead of round(x, 6): Spark rounds the
+          // DECIMAL string, DuckDB the binary double, so 5-at-the-7th-digit
+          // ties diverge by 1e-6; the floor form is identical IEEE in both
+          .withColumn("stop_ratio", expr("floor(n_stop / size(t) * 1e6 + 0.5) / 1e6"))
+          .withColumn("distinct_ratio", expr(
+            "floor(size(array_distinct(t)) / size(t) * 1e6 + 0.5) / 1e6"))
           .withColumn("len_score", expr(
-            "round(least(length(trim(text)), 400) / 400, 6)"))
+            "floor(least(length(trim(text)), 400) / 400 * 1e6 + 0.5) / 1e6"))
           .withColumn("quality", expr(
-            "round(0.3 * stop_ratio + 0.4 * distinct_ratio + 0.3 * len_score, 6)"))
+            "floor((0.3 * stop_ratio + 0.4 * distinct_ratio + 0.3 * len_score) * 1e6 + 0.5) / 1e6"))
           .select(col("doc_id"), col("stop_ratio"), col("distinct_ratio"),
             col("len_score"), col("quality"))
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH toks AS (SELECT *, ${tokensD("text")} AS t FROM documents),
              |q AS (SELECT doc_id,
-             |  round(len(list_filter(t, w -> list_contains(['the','a','of','and','is','to'], w))) / len(t), 6) AS stop_ratio,
-             |  round(len(list_distinct(t)) / len(t), 6) AS distinct_ratio,
-             |  round(least(length(trim(text)), 400) / 400, 6) AS len_score
+             |  floor(len(list_filter(t, w -> list_contains(['the','a','of','and','is','to'], w))) / len(t) * 1e6 + 0.5) / 1e6 AS stop_ratio,
+             |  floor(len(list_distinct(t)) / len(t) * 1e6 + 0.5) / 1e6 AS distinct_ratio,
+             |  floor(least(length(trim(text)), 400) / 400 * 1e6 + 0.5) / 1e6 AS len_score
              |  FROM toks)
              |SELECT doc_id, stop_ratio, distinct_ratio, len_score,
-             |  round(0.3 * stop_ratio + 0.4 * distinct_ratio + 0.3 * len_score, 6) AS quality
+             |  floor((0.3 * stop_ratio + 0.4 * distinct_ratio + 0.3 * len_score) * 1e6 + 0.5) / 1e6 AS quality
              |FROM q ORDER BY doc_id""".stripMargin)
     ),
 
