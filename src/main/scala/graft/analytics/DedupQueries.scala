@@ -121,7 +121,7 @@ object DedupQueries {
           .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
           .withColumn("j", expr("size(array_intersect(ha, hb)) / size(array_union(ha, hb))"))
           .filter(col("j") >= 0.5)
-          .select(col("doc_a"), col("doc_b"), expr("round(j, 6)").as("jaccard"))
+          .select(col("doc_a"), col("doc_b"), expr("floor(j * 1e6 + 0.5) / 1e6").as("jaccard"))
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some(s"""$OracleShingles,
@@ -138,7 +138,7 @@ object DedupQueries {
              |    len(list_filter(a.hs, h -> list_contains(b.hs, h))) /
              |    len(list_distinct(list_concat(a.hs, b.hs))) AS j
              |  FROM pairs p JOIN sh a ON p.doc_a = a.doc_id JOIN sh b ON p.doc_b = b.doc_id)
-             |SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM v
+             |SELECT doc_a, doc_b, floor(j * 1e6 + 0.5) / 1e6 AS jaccard FROM v
              |WHERE j >= 0.5 ORDER BY doc_a, doc_b""".stripMargin)
     ),
 
@@ -204,7 +204,7 @@ object DedupQueries {
           .join(n.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
           .withColumn("j", expr("shared / (na + nb - shared)"))
           .filter(col("j") >= 0.6)
-          .select(col("doc_a"), col("doc_b"), expr("round(j, 6)").as("jaccard"))
+          .select(col("doc_a"), col("doc_b"), expr("floor(j * 1e6 + 0.5) / 1e6").as("jaccard"))
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some(s"""$OracleShingles,
@@ -215,7 +215,7 @@ object DedupQueries {
              |n AS (SELECT doc_id, COUNT(*) AS n FROM e GROUP BY doc_id),
              |v AS (SELECT c.doc_a, c.doc_b, shared / (na.n + nb.n - shared) AS j
              |  FROM c JOIN n na ON c.doc_a = na.doc_id JOIN n nb ON c.doc_b = nb.doc_id)
-             |SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM v
+             |SELECT doc_a, doc_b, floor(j * 1e6 + 0.5) / 1e6 AS jaccard FROM v
              |WHERE j >= 0.6 ORDER BY doc_a, doc_b""".stripMargin)
     ),
 

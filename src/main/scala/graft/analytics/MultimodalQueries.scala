@@ -30,9 +30,9 @@ object MultimodalQueries {
             md5(col("payload")).as("payload_md5"),
             expr("cast(32 + pmod(n_chars, 97) as int)").as("width"),
             expr("cast(32 + pmod(n_chars * 31, 71) as int)").as("height"),
-            expr("round(aggregate(transform(sequence(1, length(trim(text))), " +
+            expr("floor(aggregate(transform(sequence(1, length(trim(text))), " +
               "i -> ascii(substring(trim(text), i, 1))), cast(0 as bigint), " +
-              "(a, x) -> a + x) / octet_length(payload), 6)").as("mean_byte"))
+              "(a, x) -> a + x) / octet_length(payload) * 1e6 + 0.5) / 1e6").as("mean_byte"))
           .orderBy(col("doc_id"))
       },
       Some("""SELECT doc_id,
@@ -42,9 +42,9 @@ object MultimodalQueries {
              |  md5(trim(text)) AS payload_md5,
              |  CAST(32 + n_chars % 97 AS INT) AS width,
              |  CAST(32 + (n_chars * 31) % 71 AS INT) AS height,
-             |  round(CAST(list_sum(list_transform(generate_series(1, length(trim(text))),
+             |  floor(CAST(list_sum(list_transform(generate_series(1, length(trim(text))),
              |    i -> ascii(substr(trim(text), i, 1)))) AS BIGINT)
-             |    / octet_length(encode(trim(text))), 6) AS mean_byte
+             |    / octet_length(encode(trim(text))) * 1e6 + 0.5) / 1e6 AS mean_byte
              |FROM documents ORDER BY doc_id""".stripMargin)
     ),
 

@@ -35,7 +35,7 @@ object TextQueries {
             expr("size(t)").as("n_tokens"),
             expr("length(trim(text))").as("n_chars"),
             expr("size(array_distinct(t))").as("n_distinct"),
-            expr("round(aggregate(t, cast(0 as bigint), (a, w) -> a + length(w)) / size(t), 4)")
+            expr("floor(aggregate(t, cast(0 as bigint), (a, w) -> a + length(w)) / size(t) * 1e4 + 0.5) / 1e4")
               .as("avg_token_len"),
             expr("size(regexp_extract_all(text, '[a-z]+', 0))").as("n_alpha_tokens"))
           .orderBy(col("doc_id"))
@@ -45,7 +45,7 @@ object TextQueries {
              |  len(t) AS n_tokens,
              |  length(trim(text)) AS n_chars,
              |  len(list_distinct(t)) AS n_distinct,
-             |  round(CAST(list_sum(list_transform(t, w -> length(w))) AS BIGINT) / len(t), 4) AS avg_token_len,
+             |  floor(CAST(list_sum(list_transform(t, w -> length(w))) AS BIGINT) / len(t) * 1e4 + 0.5) / 1e4 AS avg_token_len,
              |  len(regexp_extract_all(text, '[a-z]+')) AS n_alpha_tokens
              |FROM toks ORDER BY doc_id""".stripMargin)
     ),
@@ -201,7 +201,7 @@ object TextQueries {
           .agg(
             count(lit(1)).as("n_total"),
             sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"))
-          .withColumn("rate", expr("round(n_sampled / n_total, 6)"))
+          .withColumn("rate", expr("floor(n_sampled / n_total * 1e6 + 0.5) / 1e6"))
           .orderBy(col("lang"))
       },
       Some(s"""WITH n AS (SELECT lang,
@@ -209,7 +209,7 @@ object TextQueries {
              |f AS (SELECT lang, ((${strHashD("norm")} % 100) + 100) % 100 < 10 AS keep FROM n)
              |SELECT lang, COUNT(*) AS n_total,
              |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
-             |  round(SUM(CASE WHEN keep THEN 1 ELSE 0 END) / COUNT(*), 6) AS rate
+             |  floor(SUM(CASE WHEN keep THEN 1 ELSE 0 END) / COUNT(*) * 1e6 + 0.5) / 1e6 AS rate
              |FROM f GROUP BY lang ORDER BY lang""".stripMargin)
     ),
 
