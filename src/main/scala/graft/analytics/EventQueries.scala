@@ -55,6 +55,33 @@ object EventQueries {
              |FROM events GROUP BY 1 ORDER BY week""".stripMargin)
     ),
 
+    // ----- retention cohort: first-seen week x weeks-since-cohort -----------
+    // Classic product-analytics triangle: users bucketed by first-activity
+    // week, counted in each later week they return. Two aggregations and one
+    // equi-join on user_id — cohort assignment broadcasts nothing and
+    // shuffles once on the high-cardinality key.
+    "evt_retention_cohort" -> QuerySpec(
+      (s, d) => {
+        val e = ev(s, d)
+        val first = e.groupBy(col("user_id"))
+          .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+        val act = e.select(col("user_id"), date_trunc("week", col("ts")).as("act_week"))
+          .distinct()
+        first.join(act, "user_id")
+          .withColumn("week_n", expr("datediff(act_week, cohort_week) div 7"))
+          .groupBy(col("cohort_week"), col("week_n"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(col("cohort_week"), col("week_n"))
+      },
+      Some("""WITH f AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+             |           FROM events GROUP BY user_id),
+             |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events)
+             |SELECT cohort_week, datediff('day', cohort_week, act_week) // 7 AS week_n,
+             |  COUNT(*) AS n_users
+             |FROM f JOIN a USING (user_id)
+             |GROUP BY 1, 2 ORDER BY cohort_week, week_n""".stripMargin)
+    ),
+
     // ----- daily distinct users -----
     "evt_daily_active_users" -> QuerySpec(
       (s, d) => {

@@ -14,8 +14,9 @@ import org.apache.spark.sql.functions._
   * the aggregates are partial (map-side combined).
   *
   * Oracle parity: integer-exact arithmetic per [[graft.functions.TextFunctions]];
-  * ratios are int/int double divisions (identical IEEE in DuckDB) rounded to
-  * >= 4 dp, away from tie boundaries for this data.
+  * ratios are int/int double divisions (identical IEEE in DuckDB) rounded via
+  * floor(x*K + 0.5)/K, which is tie-safe across engines (round(x, n) is not:
+  * Spark rounds the decimal string, DuckDB the binary value).
   */
 object TextQueries {
 
