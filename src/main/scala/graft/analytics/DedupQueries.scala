@@ -46,11 +46,61 @@ object DedupQueries {
       .withColumn("hs", expr("array_distinct(shingle3_hash(th))"))
   }
 
-  /** Shared oracle CTE prefix: toks -> th -> sh(hs). */
-  private val OracleShingles =
-    s"""WITH toks AS (SELECT doc_id, ${tokensD("text")} AS t FROM documents),
+  /** Shared oracle CTE body: toks -> th -> sh(hs). */
+  private val ShinglesCte =
+    s"""toks AS (SELECT doc_id, ${tokensD("text")} AS t FROM documents),
        |th AS (SELECT doc_id, ${tokenHashesD("t")} AS th FROM toks),
        |sh AS (SELECT doc_id, list_distinct(${shingleHashesD("th")}) AS hs FROM th)""".stripMargin
+
+  private val OracleShingles = s"WITH $ShinglesCte"
+
+  /** Oracle CTE body through the verified MinHash+LSH pairs `v(doc_a,
+    * doc_b, j)` — shared by dedup_minhash_lsh and dedup_clusters.
+    */
+  private val MinhashPairsCte =
+    s"""$ShinglesCte,
+       |sig AS (SELECT doc_id, hs, ${minhashSigD("hs")} AS sig FROM sh),
+       |bands AS (SELECT doc_id, b, k FROM (
+       |    SELECT doc_id, b,
+       |      array_to_string(sig[$RowsPerBand * b + 1 : $RowsPerBand * b + $RowsPerBand], '_') AS k
+       |    FROM sig CROSS JOIN (SELECT unnest(generate_series(0, ${Bands - 1})) AS b) bb) z
+       |  QUALIFY COUNT(*) OVER (PARTITION BY b, k) <= $BandBucketCap),
+       |pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.b = y.b AND x.k = y.k AND x.doc_id < y.doc_id),
+       |v AS (SELECT p.doc_a, p.doc_b,
+       |    len(list_filter(a.hs, h -> list_contains(b.hs, h))) /
+       |    len(list_distinct(list_concat(a.hs, b.hs))) AS j
+       |  FROM pairs p JOIN sh a ON p.doc_a = a.doc_id JOIN sh b ON p.doc_b = b.doc_id)""".stripMargin
+
+  /** Verified near-dup pairs (doc_a < doc_b, j >= 0.5) from the MinHash+LSH
+    * pipeline — see the dedup_minhash_lsh docs for the skew guards.
+    */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = withShingles(docs(s, d).select("doc_id", "text"))
+      .select("doc_id", "hs")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = sh.withColumn("sig", expr("minhash16(hs)"))
+    val bands = sig.selectExpr("doc_id",
+      s"explode(transform(sequence(0, ${Bands - 1}), b -> named_struct(" +
+        s"'b', b, 'k', array_join(slice(sig, b * $RowsPerBand + 1, $RowsPerBand), '_')))) AS bk")
+      .select(col("doc_id"), col("bk.b").as("b"), col("bk.k").as("k"))
+      .withColumn("bs", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("b"), col("k"))))
+      .filter(col("bs") <= BandBucketCap)
+      .drop("bs")
+    val pairs = bands.as("x")
+      .join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.k") === col("y.k") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
+      .withColumn("j", expr("size(array_intersect(ha, hb)) / size(array_union(ha, hb))"))
+      .filter(col("j") >= 0.5)
+  }
 
   val all: Map[String, QuerySpec] = Map(
 
@@ -98,48 +148,44 @@ object DedupQueries {
     // one of the other 15 bands.
     "dedup_minhash_lsh" -> QuerySpec(
       (s, d) => {
-        val sh = withShingles(docs(s, d).select("doc_id", "text"))
-          .select("doc_id", "hs")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val sig = sh.withColumn("sig", expr("minhash16(hs)"))
-        val bands = sig.selectExpr("doc_id",
-          s"explode(transform(sequence(0, ${Bands - 1}), b -> named_struct(" +
-            s"'b', b, 'k', array_join(slice(sig, b * $RowsPerBand + 1, $RowsPerBand), '_')))) AS bk")
-          .select(col("doc_id"), col("bk.b").as("b"), col("bk.k").as("k"))
-          .withColumn("bs", count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy(col("b"), col("k"))))
-          .filter(col("bs") <= BandBucketCap)
-          .drop("bs")
-        val pairs = bands.as("x")
-          .join(bands.as("y"),
-            col("x.b") === col("y.b") && col("x.k") === col("y.k") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-          .distinct()
-        pairs
-          .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
-          .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
-          .withColumn("j", expr("size(array_intersect(ha, hb)) / size(array_union(ha, hb))"))
-          .filter(col("j") >= 0.5)
+        minhashPairs(s, d)
           .select(col("doc_a"), col("doc_b"), expr("floor(j * 1e6 + 0.5) / 1e6").as("jaccard"))
           .orderBy(col("doc_a"), col("doc_b"))
       },
-      Some(s"""$OracleShingles,
-             |sig AS (SELECT doc_id, hs, ${minhashSigD("hs")} AS sig FROM sh),
-             |bands AS (SELECT doc_id, b, k FROM (
-             |    SELECT doc_id, b,
-             |      array_to_string(sig[$RowsPerBand * b + 1 : $RowsPerBand * b + $RowsPerBand], '_') AS k
-             |    FROM sig CROSS JOIN (SELECT unnest(generate_series(0, ${Bands - 1})) AS b) bb) z
-             |  QUALIFY COUNT(*) OVER (PARTITION BY b, k) <= $BandBucketCap),
-             |pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-             |  FROM bands x JOIN bands y
-             |    ON x.b = y.b AND x.k = y.k AND x.doc_id < y.doc_id),
-             |v AS (SELECT p.doc_a, p.doc_b,
-             |    len(list_filter(a.hs, h -> list_contains(b.hs, h))) /
-             |    len(list_distinct(list_concat(a.hs, b.hs))) AS j
-             |  FROM pairs p JOIN sh a ON p.doc_a = a.doc_id JOIN sh b ON p.doc_b = b.doc_id)
+      Some(s"""WITH $MinhashPairsCte
              |SELECT doc_a, doc_b, floor(j * 1e6 + 0.5) / 1e6 AS jaccard FROM v
              |WHERE j >= 0.5 ORDER BY doc_a, doc_b""".stripMargin)
+    ),
+
+    // ----- duplicate clusters: connected components of the near-dup graph ---
+    // Pairs say "A duplicates B"; a pipeline needs CLUSTERS (keep one
+    // representative, drop the rest). Min-label propagation to fixpoint over
+    // the verified LSH pairs ([[graft.operators.ConnectedComponents]]);
+    // the oracle computes exact components with a recursive CTE, so the
+    // iterative Spark loop is checked against ground-truth transitive
+    // closure, not another iteration.
+    "dedup_clusters" -> QuerySpec(
+      (s, d) => {
+        val pairs = minhashPairs(s, d).select(col("doc_a"), col("doc_b"))
+        graft.operators.ConnectedComponents.components(pairs, "doc_a", "doc_b")
+          .groupBy(col("lbl").as("cluster_rep"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            expr("array_join(transform(array_sort(collect_list(id)), x -> cast(x as string)), ',')")
+              .as("members"))
+          .orderBy(col("cluster_rep"))
+      },
+      Some(s"""WITH RECURSIVE $MinhashPairsCte,
+             |e AS (SELECT doc_a AS a, doc_b AS b FROM v WHERE j >= 0.5),
+             |und AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+             |verts AS (SELECT DISTINCT a AS id FROM und),
+             |reach AS (SELECT id, id AS r FROM verts
+             |  UNION
+             |  SELECT u.a AS id, reach.r FROM und u JOIN reach ON u.b = reach.id),
+             |lbl AS (SELECT id, MIN(r) AS lbl FROM reach GROUP BY id)
+             |SELECT lbl AS cluster_rep, COUNT(*) AS n_docs,
+             |  string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
+             |FROM lbl GROUP BY lbl ORDER BY cluster_rep""".stripMargin)
     ),
 
     // ----- SimHash near-dup: 32-bit signature, 8-bit band join, hamming -----
