@@ -235,11 +235,15 @@ object DedupQueries {
       (s, d) => {
         val sh = withShingles(docs(s, d).select("doc_id", "text"))
           .select("doc_id", "hs")
+        // The capped posting list feeds three consumers (both self-join sides
+        // and the per-doc counts); persist it so the tokenize->shingle->window
+        // lineage — the dominant CPU cost — runs once, not three times.
         val e = sh.select(col("doc_id"), explode(col("hs")).as("h"))
           .withColumn("df", count(lit(1)).over(
             org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
           .filter(col("df") <= ShingleDfCap)
           .drop("df")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val shared = e.as("x")
           .join(e.as("y"), col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
           .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
