@@ -1,0 +1,81 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.DocumentStream
+import graft.streaming.DocumentStream.DocEvent
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming document pipeline: exact dedup drops re-crawls across
+  * micro-batches while distinct content passes; scoring matches the batch
+  * quality constants; windowed stats aggregate by event time.
+  */
+class DocumentStreamSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.spark
+
+  private def doc(id: Long, text: String, t: String) =
+    DocEvent(id, text, Timestamp.valueOf(t))
+
+  test("exact dedup drops same-content docs across micro-batches, keeps distinct") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[DocEvent]
+    val q = DocumentStream.dedupExact(ms.toDS())
+      .writeStream.format("memory").queryName("dd").outputMode("append").start()
+    try {
+      ms.addData(doc(1, "alpha beta gamma", "2024-07-23 10:00:00"))
+      q.processAllAvailable()
+      // same content (modulo trim), later micro-batch, inside the horizon
+      ms.addData(
+        doc(2, "  alpha beta gamma ", "2024-07-23 10:01:00"),
+        doc(3, "delta epsilon", "2024-07-23 10:02:00"))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT docId FROM dd ORDER BY docId")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids == Seq(1L, 3L))
+    } finally q.stop()
+  }
+
+  test("streaming quality scores equal the batch txt_quality_score form") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[DocEvent]
+    val q = DocumentStream.scored(ms.toDS())
+      .writeStream.format("memory").queryName("sc").outputMode("append").start()
+    try {
+      // 4 tokens, one stopword, all distinct, 20 chars
+      ms.addData(doc(7, "the quick brown fox!", "2024-07-23 10:00:00"))
+      q.processAllAvailable()
+      val r = spark.sql(
+        "SELECT n_tokens, stop_ratio, distinct_ratio, len_score, quality FROM sc").head
+      assert(r.getInt(0) == 4)
+      assert(r.getDouble(1) == 0.25)
+      assert(r.getDouble(2) == 1.0)
+      assert(r.getDouble(3) == 0.05)
+      // 0.3*0.25 + 0.4*1.0 + 0.3*0.05 = 0.49
+      assert(r.getDouble(4) == 0.49)
+    } finally q.stop()
+  }
+
+  test("windowed corpus stats aggregate by event time") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[DocEvent]
+    val q = DocumentStream.windowedCorpusStats(ms.toDS())
+      .writeStream.format("memory").queryName("ws").outputMode("complete").start()
+    try {
+      ms.addData(
+        doc(1, "one two three", "2024-07-23 10:05:00"),
+        doc(2, "four five", "2024-07-23 10:40:00"),
+        doc(3, "six", "2024-07-23 11:10:00"))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT window.start, n_docs, total_tokens FROM ws ORDER BY 1").collect()
+      assert(rows.map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2))).toSeq == Seq(
+        ("2024-07-23 10:00:00.0", 2L, 5L),
+        ("2024-07-23 11:00:00.0", 1L, 1L)))
+    } finally q.stop()
+  }
+}
