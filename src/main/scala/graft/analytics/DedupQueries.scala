@@ -188,6 +188,45 @@ object DedupQueries {
              |FROM lbl GROUP BY lbl ORDER BY cluster_rep""".stripMargin)
     ),
 
+    // ----- benchmark decontamination: n-gram overlap vs a held-out set -----
+    // The standard eval-set contamination check: a training document is
+    // flagged when it shares any token n-gram with the benchmark corpus.
+    // Scale design: the benchmark n-gram set is tiny next to the corpus, so
+    // it is BROADCAST and the 100 TB side is a map-side hash join on the
+    // shingle hash — the corpus is never shuffled. Here the "benchmark" is
+    // the deterministic doc_id % 20 == 0 slice of `documents`.
+    "dedup_contamination" -> QuerySpec(
+      (s, d) => {
+        val sh = withShingles(docs(s, d).select("doc_id", "text"))
+          .select("doc_id", "hs")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val bench = sh.filter(col("doc_id") % 20 === 0)
+          .select(explode(col("hs")).as("h")).distinct()
+        val train = sh.filter(col("doc_id") % 20 =!= 0)
+        // hs is distinct per doc and bench is distinct, so each (doc, h)
+        // joins at most once: plain count == distinct overlap count
+        val hits = train.select(col("doc_id"), explode(col("hs")).as("h"))
+          .join(broadcast(bench), "h")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+        train.select(col("doc_id"), expr("cast(size(hs) as bigint)").as("n_shingles"))
+          .join(hits, Seq("doc_id"))
+          .withColumn("contamination", expr("floor(n_hits / n_shingles * 1e6 + 0.5) / 1e6"))
+          .select(col("doc_id"), col("n_hits"), col("n_shingles"), col("contamination"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""$OracleShingles,
+             |bench AS (SELECT DISTINCT unnest(hs) AS h FROM sh WHERE doc_id % 20 = 0),
+             |tr AS (SELECT doc_id, unnest(hs) AS h FROM sh WHERE doc_id % 20 <> 0),
+             |hits AS (SELECT t.doc_id, COUNT(*) AS n_hits
+             |  FROM tr t JOIN bench b ON t.h = b.h GROUP BY t.doc_id),
+             |tot AS (SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_shingles
+             |  FROM sh WHERE doc_id % 20 <> 0)
+             |SELECT tot.doc_id, n_hits, n_shingles,
+             |  floor(n_hits / n_shingles * 1e6 + 0.5) / 1e6 AS contamination
+             |FROM tot JOIN hits ON tot.doc_id = hits.doc_id
+             |ORDER BY tot.doc_id""".stripMargin)
+    ),
+
     // ----- SimHash near-dup: 32-bit signature, 8-bit band join, hamming -----
     "dedup_simhash" -> QuerySpec(
       (s, d) => {
