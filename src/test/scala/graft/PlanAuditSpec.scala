@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audit of headline registry queries: the properties that
+  * decide 100 TB behavior must hold in the executed plan, not just in
+  * intent — filters reach the parquet scan, scans read only referenced
+  * columns, small sides broadcast, and the hot path stays inside
+  * whole-stage codegen. A regression in any of these passes every
+  * value-correctness check while multiplying cluster cost.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("pricing summary: shipdate filter is pushed to the lineitem scan") {
+    val p = plan("rel_agg_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"expected shipdate pushdown in:\n$p")
+  }
+
+  test("pricing summary: scan reads only referenced lineitem columns") {
+    val p = plan("rel_agg_pricing_summary")
+    // 16-column table, 6 referenced; the widest columns must not be read
+    assert(!p.contains("l_comment") && !p.contains("l_partkey"),
+      s"scan reads unreferenced columns in:\n$p")
+  }
+
+  test("revenue by segment: customer dimension join broadcasts") {
+    val p = plan("rel_join_revenue_by_segment")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast dim join in:\n$p")
+  }
+
+  test("benchmark decontamination: n-gram set is broadcast, corpus not shuffled to it") {
+    val p = plan("dedup_contamination")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast bench join in:\n$p")
+  }
+
+  test("aggregation pipeline runs inside whole-stage codegen") {
+    // AQE annotates codegen spans only in the finalized plan: execute first
+    val df = SparkEntry.queries("rel_agg_pricing_summary")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // codegen spans print as "*(n)" stage prefixes in the simple format
+    assert(p.contains("*(1)"), s"expected codegen spans in:\n$p")
+    assert(p.contains("HashAggregate"), s"expected hash aggregation in:\n$p")
+  }
+}
