@@ -83,6 +83,51 @@ object TextQueries {
              |FROM q ORDER BY doc_id""".stripMargin)
     ),
 
+    // ----- repetition filter: Gopher-style within-document signals ----------
+    // Boilerplate/looping documents are flagged by (a) the most frequent
+    // token's share of the document and (b) the fraction of trigram
+    // instances that are repeats. (b) is a pure per-row HOF (zero shuffle);
+    // (a) is one explode + two-level partial aggregate on (doc, token-hash),
+    // so at 100 TB the cost is one map-side-combined shuffle of hashes.
+    "txt_repetition" -> QuerySpec(
+      (s, d) => {
+        val base = docs(s, d)
+          .withColumn("t", expr(tokensS("text")))
+          .withColumn("th", expr(tokenHashesS("t")))
+          .select(col("doc_id"), col("th"))
+        val perDoc = base.select(col("doc_id"),
+          expr("cast(size(th) as bigint)").as("n_tokens"),
+          expr(s"floor((1 - size(array_distinct(${shingleHashesS("th")})) / " +
+            s"greatest(size(${shingleHashesS("th")}), 1)) * 1e6 + 0.5) / 1e6")
+            .as("dup_trigram_frac"))
+        val top = base.select(col("doc_id"), explode(col("th")).as("h"))
+          .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("n"))
+          .groupBy(col("doc_id")).agg(max(col("n")).as("top_n"))
+        perDoc.join(top, "doc_id")
+          .withColumn("top_token_frac", expr("floor(top_n / n_tokens * 1e6 + 0.5) / 1e6"))
+          .withColumn("repetitive", expr("top_token_frac > 0.2 OR dup_trigram_frac > 0.2"))
+          .select(col("doc_id"), col("n_tokens"), col("top_token_frac"),
+            col("dup_trigram_frac"), col("repetitive"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, ${tokensD("text")} AS t FROM documents),
+             |th AS (SELECT doc_id, ${tokenHashesD("t")} AS th FROM toks),
+             |tr AS (SELECT doc_id, ${shingleHashesD("th")} AS tri FROM th),
+             |pd AS (SELECT th.doc_id, CAST(len(th) AS BIGINT) AS n_tokens,
+             |  floor((1 - len(list_distinct(tri)) / greatest(len(tri), 1)) * 1e6 + 0.5) / 1e6 AS dup_trigram_frac
+             |  FROM th JOIN tr ON th.doc_id = tr.doc_id),
+             |u AS (SELECT doc_id, unnest(th) AS h FROM th),
+             |c AS (SELECT doc_id, h, COUNT(*) AS n FROM u GROUP BY 1, 2),
+             |m AS (SELECT doc_id, MAX(n) AS top_n FROM c GROUP BY doc_id)
+             |SELECT pd.doc_id, n_tokens,
+             |  floor(top_n / n_tokens * 1e6 + 0.5) / 1e6 AS top_token_frac,
+             |  dup_trigram_frac,
+             |  (floor(top_n / n_tokens * 1e6 + 0.5) / 1e6 > 0.2
+             |    OR dup_trigram_frac > 0.2) AS repetitive
+             |FROM pd JOIN m ON pd.doc_id = m.doc_id
+             |ORDER BY pd.doc_id""".stripMargin)
+    ),
+
     // ----- language ID: stopword-voting heuristic, confusion matrix ---------
     "txt_langid" -> QuerySpec(
       (s, d) => {
