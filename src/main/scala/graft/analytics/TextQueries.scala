@@ -277,6 +277,36 @@ object TextQueries {
              |  CAST(SUM(len(t)) AS BIGINT) AS total_tokens
              |FROM toks GROUP BY ROLLUP (lang, source)
              |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin)
+    ),
+
+    // ----- domain-mixture reweighting: per-language sampling weights --------
+    // Training mixtures are rebalanced by sampling weight = target share /
+    // actual share. Target here is the uniform mixture over observed
+    // languages; the computation is one aggregate over the corpus plus
+    // window totals over the tiny per-language result — at 100 TB the corpus
+    // is touched once (map-side-combined token sums), everything after runs
+    // on a handful of rows.
+    "txt_mixture_weights" -> QuerySpec(
+      (s, d) => {
+        docs(s, d)
+          .withColumn("t", expr(tokensS("text")))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(expr("size(t)")).as("lang_tokens"))
+          .withColumn("actual_share", expr(
+            "floor(lang_tokens / sum(lang_tokens) over () * 1e6 + 0.5) / 1e6"))
+          .withColumn("weight", expr(
+            "floor((1.0 / count(1) over ()) / (lang_tokens / sum(lang_tokens) over ()) * 1e6 + 0.5) / 1e6"))
+          .select(col("lang"), col("n_docs"), col("lang_tokens"),
+            col("actual_share"), col("weight"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH toks AS (SELECT lang, ${tokensD("text")} AS t FROM documents),
+             |g AS (SELECT lang, COUNT(*) AS n_docs,
+             |  CAST(SUM(len(t)) AS BIGINT) AS lang_tokens FROM toks GROUP BY lang)
+             |SELECT lang, n_docs, lang_tokens,
+             |  floor(lang_tokens / CAST(SUM(lang_tokens) OVER () AS BIGINT) * 1e6 + 0.5) / 1e6 AS actual_share,
+             |  floor((1.0 / COUNT(*) OVER ()) / (lang_tokens / CAST(SUM(lang_tokens) OVER () AS BIGINT)) * 1e6 + 0.5) / 1e6 AS weight
+             |FROM g ORDER BY lang""".stripMargin)
     )
   )
 }
