@@ -188,6 +188,42 @@ object DedupQueries {
              |FROM lbl GROUP BY lbl ORDER BY cluster_rep""".stripMargin)
     ),
 
+    // ----- end-to-end dedup materialization: the corpus that survives ------
+    // The full pipeline a training run consumes: near-dup pairs -> duplicate
+    // clusters -> drop every non-representative member -> corpus stats of
+    // the survivors. The drop list is tiny next to the corpus, so the final
+    // filter is a broadcast anti-join — the 100 TB side streams through one
+    // stage untouched by shuffle.
+    "dedup_filtered_corpus" -> QuerySpec(
+      (s, d) => {
+        val pairs = minhashPairs(s, d).select(col("doc_a"), col("doc_b"))
+        val comp = graft.operators.ConnectedComponents.components(pairs, "doc_a", "doc_b")
+        val drop = comp.filter(col("id") =!= col("lbl")).select(col("id").as("doc_id"))
+        docs(s, d)
+          .withColumn("n_tok", expr(s"size(${tokensS("text")})"))
+          .join(broadcast(drop.withColumn("dropped", lit(1))), Seq("doc_id"), "left")
+          .agg(
+            count(when(col("dropped").isNull, 1)).as("n_docs_kept"),
+            count(when(col("dropped") === 1, 1)).as("n_docs_dropped"),
+            sum(when(col("dropped").isNull, col("n_tok"))).cast("bigint").as("tokens_kept"))
+      },
+      Some(s"""WITH RECURSIVE $MinhashPairsCte,
+             |e AS (SELECT doc_a AS a, doc_b AS b FROM v WHERE j >= 0.5),
+             |und AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+             |verts AS (SELECT DISTINCT a AS id FROM und),
+             |reach AS (SELECT id, id AS r FROM verts
+             |  UNION
+             |  SELECT u.a AS id, reach.r FROM und u JOIN reach ON u.b = reach.id),
+             |lbl AS (SELECT id, MIN(r) AS lbl FROM reach GROUP BY id),
+             |drop_ids AS (SELECT id AS doc_id FROM lbl WHERE id <> lbl),
+             |base AS (SELECT doc_id, len(${tokensD("text")}) AS n_tok FROM documents)
+             |SELECT
+             |  COUNT(*) FILTER (dr.doc_id IS NULL) AS n_docs_kept,
+             |  COUNT(*) FILTER (dr.doc_id IS NOT NULL) AS n_docs_dropped,
+             |  CAST(SUM(n_tok) FILTER (dr.doc_id IS NULL) AS BIGINT) AS tokens_kept
+             |FROM base LEFT JOIN drop_ids dr ON base.doc_id = dr.doc_id""".stripMargin)
+    ),
+
     // ----- benchmark decontamination: n-gram overlap vs a held-out set -----
     // The standard eval-set contamination check: a training document is
     // flagged when it shares any token n-gram with the benchmark corpus.
