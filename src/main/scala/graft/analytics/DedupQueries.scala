@@ -76,7 +76,7 @@ object DedupQueries {
   /** Verified near-dup pairs (doc_a < doc_b, j >= 0.5) from the MinHash+LSH
     * pipeline — see the dedup_minhash_lsh docs for the skew guards.
     */
-  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val sh = withShingles(docs(s, d).select("doc_id", "text"))
       .select("doc_id", "hs")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

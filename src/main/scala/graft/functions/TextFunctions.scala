@@ -104,4 +104,16 @@ object TextFunctions {
     s"round($dot / (sqrt($na) * sqrt($nb)), 6)"
   def cosineD(dot: String, na: String, nb: String): String =
     s"round($dot / (sqrt($na) * sqrt($nb)), 6)"
+
+  // ---- PII scrubbing -------------------------------------------------------
+  // Standard pre-training redaction: URLs first (they can embed emails),
+  // then emails, IPv4s, and phone-shaped digit runs, each to a typed
+  // placeholder. Pure nested regexp_replace — codegen'd, no UDF, so the
+  // scrub pipelines inside the same stage as the rest of the projection.
+  def scrubS(text: String): String = {
+    val url = raw"regexp_replace($text, 'https?://\\S+', '[URL]')"
+    val email = raw"regexp_replace($url, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]')"
+    val ip = raw"regexp_replace($email, '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '[IP]')"
+    raw"regexp_replace($ip, '(\\+?\\d[\\d().-]{7,}\\d)', '[PHONE]')"
+  }
 }

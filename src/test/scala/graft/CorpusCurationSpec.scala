@@ -1,0 +1,64 @@
+package graft
+
+import graft.jobs.CorpusCuration
+import graft.jobs.CorpusCuration.CurationConfig
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Composed curation pipeline: each synthetic document is dropped by exactly
+  * the stage built to catch it (first-reason attribution), survivors get
+  * scrubbed text, and the report's counts sum to the input.
+  */
+class CorpusCurationSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.spark
+
+  test("each stage drops its target doc; survivors are scrubbed; report sums") {
+    import spark.implicits._
+    val docs = Seq(
+      // benchmark holdout slice (doc_id % 20 == 0)
+      (20L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+      // low quality: one repeated token, no stopwords, short
+      (1L, "x x x x x x x x"),
+      // repetitive but quality-passing: top token 5/12 > 0.2
+      (2L, "the the the quick brown fox jumps over lazy dog the the"),
+      // contaminated: shares the (charlie, delta, echo) trigram with doc 20
+      (21L, "the quick charlie delta echo of river stone and mountain is vast to see"),
+      // near-dup pair: 30 is the representative, 31 the dropped duplicate
+      (30L, "the winter summer autumn spring ocean forest desert tundra and valley is wide"),
+      (31L, "the copper silver golden bronze iron marble granite quartz and slate is dense"),
+      // kept, with PII to scrub
+      (7L, "the contact is john@example.com or https://example.com/page and call 555-123-4567 now")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((30L, 31L)).toDF("doc_a", "doc_b")
+
+    val (curated, report) = CorpusCuration.curate(docs, pairs)
+
+    assert(report.input == 7)
+    assert(report.benchmark == 1)
+    assert(report.droppedQuality == 1)
+    assert(report.droppedRepetition == 1)
+    assert(report.droppedContamination == 1)
+    assert(report.droppedDuplicate == 1)
+    assert(report.kept == 2)
+    assert(report.kept + report.benchmark + report.droppedQuality +
+      report.droppedRepetition + report.droppedContamination +
+      report.droppedDuplicate == report.input)
+
+    val out = curated.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(out.keySet == Set(7L, 30L))
+    val scrubbed = out(7L)
+    assert(scrubbed.contains("[EMAIL]") && scrubbed.contains("[URL]") &&
+      scrubbed.contains("[PHONE]"))
+    assert(!scrubbed.contains("@") && !scrubbed.contains("example.com"))
+  }
+
+  test("integrates with the MinHash+LSH pair pipeline on real data") {
+    val d = "/root/testdata/sf0.001"
+    val docs = Tables.t(spark, d, "documents")
+    val pairs = graft.analytics.DedupQueries.minhashPairs(spark, d)
+      .select("doc_a", "doc_b")
+    val (curated, report) = CorpusCuration.curate(docs, pairs)
+    assert(report.input == docs.count())
+    assert(report.kept > 0 && curated.count() == report.kept)
+  }
+}
