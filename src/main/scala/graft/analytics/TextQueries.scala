@@ -56,18 +56,13 @@ object TextQueries {
       (s, d) => {
         docs(s, d)
           .withColumn("t", expr(tokensS("text")))
-          .withColumn("n_stop", expr(
-            "size(filter(t, w -> array_contains(array('the','a','of','and','is','to'), w)))"))
           // floor(x*1e6 + 0.5)/1e6 instead of round(x, 6): Spark rounds the
           // DECIMAL string, DuckDB the binary double, so 5-at-the-7th-digit
           // ties diverge by 1e-6; the floor form is identical IEEE in both
-          .withColumn("stop_ratio", expr("floor(n_stop / size(t) * 1e6 + 0.5) / 1e6"))
-          .withColumn("distinct_ratio", expr(
-            "floor(size(array_distinct(t)) / size(t) * 1e6 + 0.5) / 1e6"))
-          .withColumn("len_score", expr(
-            "floor(least(length(trim(text)), 400) / 400 * 1e6 + 0.5) / 1e6"))
-          .withColumn("quality", expr(
-            "floor((0.3 * stop_ratio + 0.4 * distinct_ratio + 0.3 * len_score) * 1e6 + 0.5) / 1e6"))
+          .withColumn("stop_ratio", expr(stopRatioS("t")))
+          .withColumn("distinct_ratio", expr(distinctRatioS("t")))
+          .withColumn("len_score", expr(lenScoreS("text")))
+          .withColumn("quality", expr(QualityS))
           .select(col("doc_id"), col("stop_ratio"), col("distinct_ratio"),
             col("len_score"), col("quality"))
           .orderBy(col("doc_id"))
@@ -97,8 +92,10 @@ object TextQueries {
           .select(col("doc_id"), col("th"))
         val perDoc = base.select(col("doc_id"),
           expr("cast(size(th) as bigint)").as("n_tokens"),
-          expr(s"floor((1 - size(array_distinct(${shingleHashesS("th")})) / " +
-            s"greatest(size(${shingleHashesS("th")}), 1)) * 1e6 + 0.5) / 1e6")
+          // docs too short to have trigrams are not "repetitive" (frac 0)
+          expr(s"if(size(th) < 3, cast(0.0 as double), " +
+            s"floor((1 - size(array_distinct(${shingleHashesS("th")})) / " +
+            s"size(${shingleHashesS("th")})) * 1e6 + 0.5) / 1e6)")
             .as("dup_trigram_frac"))
         val top = base.select(col("doc_id"), explode(col("th")).as("h"))
           .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("n"))
@@ -114,7 +111,9 @@ object TextQueries {
              |th AS (SELECT doc_id, ${tokenHashesD("t")} AS th FROM toks),
              |tr AS (SELECT doc_id, ${shingleHashesD("th")} AS tri FROM th),
              |pd AS (SELECT th.doc_id, CAST(len(th) AS BIGINT) AS n_tokens,
-             |  floor((1 - len(list_distinct(tri)) / greatest(len(tri), 1)) * 1e6 + 0.5) / 1e6 AS dup_trigram_frac
+             |  CASE WHEN len(th) < 3 THEN 0.0
+             |    ELSE floor((1 - len(list_distinct(tri)) / len(tri)) * 1e6 + 0.5) / 1e6
+             |  END AS dup_trigram_frac
              |  FROM th JOIN tr ON th.doc_id = tr.doc_id),
              |u AS (SELECT doc_id, unnest(th) AS h FROM th),
              |c AS (SELECT doc_id, h, COUNT(*) AS n FROM u GROUP BY 1, 2),
@@ -182,9 +181,11 @@ object TextQueries {
       (s, d) => {
         docs(s, d)
           .withColumn("t", expr(tokensS("text")))
+          // sequence(1, 0) is [1, 0] in Spark (not empty): guard 1-token docs
           .select(explode(expr(
-            "transform(sequence(1, greatest(size(t) - 1, 0)), " +
-              "j -> concat(element_at(t, j), ' ', element_at(t, j + 1)))")).as("bigram"))
+            "if(size(t) < 2, cast(array() as array<string>), " +
+              "transform(sequence(1, size(t) - 1), " +
+              "j -> concat(element_at(t, j), ' ', element_at(t, j + 1))))")).as("bigram"))
           .groupBy(col("bigram"))
           .agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("bigram"))

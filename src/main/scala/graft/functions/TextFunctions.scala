@@ -52,10 +52,14 @@ object TextFunctions {
 
   // ---- 3-gram shingle hashes from a token-hash array -----------------------
   // sh_j = ((th[j]*1000003 + th[j+1]) % P * 1000003 + th[j+2]) % P, 1-based j.
+  // Spark's sequence(1, 0) is the DESCENDING [1, 0], not empty (DuckDB's
+  // generate_series(1, 0) IS empty), so short inputs need an explicit empty
+  // branch or the lambda indexes out of bounds under ANSI mode.
   def shingleHashesS(th: String): String =
-    s"transform(sequence(1, greatest(size($th) - 2, 0)), j -> " +
+    s"if(size($th) < 3, cast(array() as array<bigint>), " +
+      s"transform(sequence(1, size($th) - 2), j -> " +
       s"((((element_at($th, j) * 1000003 + element_at($th, j + 1)) % $P) * 1000003) " +
-      s"+ element_at($th, j + 2)) % $P)"
+      s"+ element_at($th, j + 2)) % $P))"
   def shingleHashesD(th: String): String =
     s"list_transform(generate_series(1, greatest(len($th) - 2, 0)), j -> " +
       s"(((($th[j] * 1000003 + $th[j + 1]) % $P) * 1000003) + $th[j + 2]) % $P)"
@@ -105,6 +109,21 @@ object TextFunctions {
   def cosineD(dot: String, na: String, nb: String): String =
     s"round($dot / (sqrt($na) * sqrt($nb)), 6)"
 
+  // ---- quality scoring -----------------------------------------------------
+  // One definition for the batch query, the curation job, and the streaming
+  // scorer: same stopword list, weights, length cap, and floor-form
+  // rounding, so a document scores identically on every path.
+  val StopwordsSql = "array('the','a','of','and','is','to')"
+  def stopRatioS(t: String): String =
+    s"floor(size(filter($t, w -> array_contains($StopwordsSql, w))) / size($t) * 1e6 + 0.5) / 1e6"
+  def distinctRatioS(t: String): String =
+    s"floor(size(array_distinct($t)) / size($t) * 1e6 + 0.5) / 1e6"
+  def lenScoreS(text: String): String =
+    s"floor(least(length(trim($text)), 400) / 400 * 1e6 + 0.5) / 1e6"
+  /** Combines the three already-rounded component columns. */
+  val QualityS: String =
+    "floor((0.3 * stop_ratio + 0.4 * distinct_ratio + 0.3 * len_score) * 1e6 + 0.5) / 1e6"
+
   // ---- PII scrubbing -------------------------------------------------------
   // Standard pre-training redaction: URLs first (they can embed emails),
   // then emails, IPv4s, and phone-shaped digit runs, each to a typed
@@ -114,6 +133,9 @@ object TextFunctions {
     val url = raw"regexp_replace($text, 'https?://\\S+', '[URL]')"
     val email = raw"regexp_replace($url, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]')"
     val ip = raw"regexp_replace($email, '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '[IP]')"
-    raw"regexp_replace($ip, '(\\+?\\d[\\d().-]{7,}\\d)', '[PHONE]')"
+    // phone-SHAPED only (optional country code, 3-3-4 with separators):
+    // a loose "9+ digits-and-punctuation" run also rewrites ISO dates and
+    // long decimals, corrupting ordinary text
+    raw"regexp_replace($ip, '(?<!\\d)(\\+\\d{1,2}[-. ]?)?\\(?\\d{3}\\)?[-. ]\\d{3}[-. ]\\d{4}(?!\\d)', '[PHONE]')"
   }
 }

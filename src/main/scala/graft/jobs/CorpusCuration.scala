@@ -17,7 +17,10 @@ import org.apache.spark.sql.functions._
   * smaller than the corpus and join back as broadcasts; the scrub is a
   * codegen'd regexp chain in the final projection stage. Each document
   * is attributed to the FIRST stage that drops it, so the report's
-  * per-reason counts sum exactly to the input count.
+  * per-reason counts sum exactly to the input count — and each duplicate
+  * cluster's representative is chosen among members that SURVIVE the
+  * earlier stages, so content is never lost just because its min-id copy
+  * failed an upstream filter.
   */
 object CorpusCuration {
 
@@ -50,16 +53,13 @@ object CorpusCuration {
       .withColumn("th", expr(tokenHashesS("t")))
       .withColumn("tri", expr(s"array_distinct(${shingleHashesS("th")})"))
       .withColumn("n_tokens", expr("cast(size(t) as bigint)"))
-      .withColumn("stop_ratio", expr(
-        "floor(size(filter(t, w -> array_contains(array('the','a','of','and','is','to'), w))) / size(t) * 1e6 + 0.5) / 1e6"))
-      .withColumn("distinct_ratio", expr(
-        "floor(size(array_distinct(t)) / size(t) * 1e6 + 0.5) / 1e6"))
-      .withColumn("len_score", expr(
-        "floor(least(length(trim(text)), 400) / 400 * 1e6 + 0.5) / 1e6"))
-      .withColumn("quality", expr(
-        "floor((0.3 * stop_ratio + 0.4 * distinct_ratio + 0.3 * len_score) * 1e6 + 0.5) / 1e6"))
+      .withColumn("stop_ratio", expr(stopRatioS("t")))
+      .withColumn("distinct_ratio", expr(distinctRatioS("t")))
+      .withColumn("len_score", expr(lenScoreS("text")))
+      .withColumn("quality", expr(QualityS))
       .withColumn("dup_trigram_frac", expr(
-        s"floor((1 - size(tri) / greatest(size(${shingleHashesS("th")}), 1)) * 1e6 + 0.5) / 1e6"))
+        s"if(size(th) < 3, cast(0.0 as double), " +
+          s"floor((1 - size(tri) / size(${shingleHashesS("th")})) * 1e6 + 0.5) / 1e6)"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // top-token share: the one corpus-sized aggregate
@@ -75,22 +75,35 @@ object CorpusCuration {
       .join(broadcast(bench), "h")
       .select(col("doc_id")).distinct()
 
-    // duplicate-cluster non-representatives
-    val dupDrop = ConnectedComponents.components(nearDupPairs, "doc_a", "doc_b")
-      .filter(col("id") =!= col("lbl")).select(col("id").as("doc_id"))
-
-    val flagged = base
+    // every pre-dedup verdict first: the duplicate stage must pick each
+    // cluster's representative among docs that SURVIVE the earlier stages,
+    // or a cluster whose min-id member fails (say) quality loses every copy
+    // of its content
+    val pre = base
       .join(top, Seq("doc_id"), "left")
       .join(broadcast(contaminated.withColumn("contam", lit(true))), Seq("doc_id"), "left")
-      .join(broadcast(dupDrop.withColumn("dupe", lit(true))), Seq("doc_id"), "left")
       .withColumn("top_token_frac", col("top_n") / col("n_tokens"))
-      .withColumn("reason",
+      .withColumn("pre_reason",
         when(col("doc_id") % cfg.benchMod === 0, "benchmark")
           .when(col("quality") < cfg.minQuality, "quality")
           .when(col("top_token_frac") > cfg.maxTopTokenFrac ||
             col("dup_trigram_frac") > cfg.maxDupTrigramFrac, "repetition")
-          .when(col("contam"), "contamination")
-          .when(col("dupe"), "duplicate"))
+          .when(col("contam"), "contamination"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // duplicate clusters: among surviving members keep the min doc_id
+    val comp = ConnectedComponents.components(nearDupPairs, "doc_a", "doc_b")
+    val survivingMembers = pre.filter(col("pre_reason").isNull)
+      .select(col("doc_id"))
+      .join(broadcast(comp), col("doc_id") === col("id"))
+      .select(col("doc_id"), col("lbl"))
+    val reps = survivingMembers.groupBy(col("lbl")).agg(min(col("doc_id")).as("rep"))
+    val dupDrop = survivingMembers.join(reps, "lbl")
+      .filter(col("doc_id") =!= col("rep")).select(col("doc_id"))
+
+    val flagged = pre
+      .join(broadcast(dupDrop.withColumn("dupe", lit(true))), Seq("doc_id"), "left")
+      .withColumn("reason", coalesce(col("pre_reason"), when(col("dupe"), "duplicate")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val counts = flagged.groupBy(col("reason")).count().collect()
@@ -110,7 +123,10 @@ object CorpusCuration {
       .select(keptCols ++ Seq(
         expr(scrubS("text")).as("text"),
         col("n_tokens"), col("quality")): _*)
+    // `flagged` stays cached — it backs the returned `curated`; write the
+    // output, then release session caches (bench/verify already clearCache)
     base.unpersist(blocking = false)
+    pre.unpersist(blocking = false)
     (curated, report)
   }
 }

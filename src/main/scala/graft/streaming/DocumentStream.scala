@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import graft.functions.TextFunctions.tokensS
+import graft.functions.TextFunctions._
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
@@ -33,14 +33,10 @@ object DocumentStream {
     docs.toDF()
       .withColumn("t", expr(tokensS("text")))
       .withColumn("n_tokens", expr("size(t)"))
-      .withColumn("stop_ratio", expr(
-        "floor(size(filter(t, w -> array_contains(array('the','a','of','and','is','to'), w))) / size(t) * 1e6 + 0.5) / 1e6"))
-      .withColumn("distinct_ratio", expr(
-        "floor(size(array_distinct(t)) / size(t) * 1e6 + 0.5) / 1e6"))
-      .withColumn("len_score", expr(
-        "floor(least(length(trim(text)), 400) / 400 * 1e6 + 0.5) / 1e6"))
-      .withColumn("quality", expr(
-        "floor((0.3 * stop_ratio + 0.4 * distinct_ratio + 0.3 * len_score) * 1e6 + 0.5) / 1e6"))
+      .withColumn("stop_ratio", expr(stopRatioS("t")))
+      .withColumn("distinct_ratio", expr(distinctRatioS("t")))
+      .withColumn("len_score", expr(lenScoreS("text")))
+      .withColumn("quality", expr(QualityS))
       .drop("t")
 
   /** Cross-micro-batch exact dedup on the content hash. State is one entry

@@ -26,26 +26,29 @@ class CorpusCurationSpec extends AnyFunSuite {
       // near-dup pair: 30 is the representative, 31 the dropped duplicate
       (30L, "the winter summer autumn spring ocean forest desert tundra and valley is wide"),
       (31L, "the copper silver golden bronze iron marble granite quartz and slate is dense"),
+      // near-dup of low-quality doc 1: the cluster's min-id member fails
+      // quality, so 33 must become the representative and be KEPT
+      (33L, "the ember glacier canyon prairie lagoon mesa is deep and wide of late"),
       // kept, with PII to scrub
       (7L, "the contact is john@example.com or https://example.com/page and call 555-123-4567 now")
     ).toDF("doc_id", "text")
-    val pairs = Seq((30L, 31L)).toDF("doc_a", "doc_b")
+    val pairs = Seq((30L, 31L), (1L, 33L)).toDF("doc_a", "doc_b")
 
     val (curated, report) = CorpusCuration.curate(docs, pairs)
 
-    assert(report.input == 7)
+    assert(report.input == 8)
     assert(report.benchmark == 1)
     assert(report.droppedQuality == 1)
     assert(report.droppedRepetition == 1)
     assert(report.droppedContamination == 1)
     assert(report.droppedDuplicate == 1)
-    assert(report.kept == 2)
+    assert(report.kept == 3)
     assert(report.kept + report.benchmark + report.droppedQuality +
       report.droppedRepetition + report.droppedContamination +
       report.droppedDuplicate == report.input)
 
     val out = curated.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
-    assert(out.keySet == Set(7L, 30L))
+    assert(out.keySet == Set(7L, 30L, 33L))
     val scrubbed = out(7L)
     assert(scrubbed.contains("[EMAIL]") && scrubbed.contains("[URL]") &&
       scrubbed.contains("[PHONE]"))
