@@ -43,7 +43,7 @@ object TableDiscovery {
     }
   }
 
-  private final case class Dir(lake: String, db: String, uri: String)
+  private final case class Dir(lake: String, db: String, uri: String, origin: String)
 
   /** Full-match exclusion (reference uses String.matches — anchor). */
   private def excluded(uri: String, patterns: Seq[String]): Boolean =
@@ -58,16 +58,15 @@ object TableDiscovery {
     val conf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
     val excludes = excludePatterns
 
-    val found = Seq.newBuilder[HudiTable]
-    // pinned base paths are tables by fiat (TableDiscoveryService.java:96-108)
-    val (pinned, toScan) = basePaths.partition(_.pinnedId.isDefined)
-    pinned.foreach { bp =>
-      found += HudiTable(bp.cleanUri, bp.databaseName, bp.lakeName, bp.pinnedId.get)
-    }
+    // tables are tagged with the base-path config they were discovered from:
+    // a `path#tableId` pin applies AFTER discovery and only when the path
+    // yielded exactly one table (TableDiscoveryService.java:96-117 — a
+    // pinned path with zero or several tables contributes nothing)
+    val found = Seq.newBuilder[(String, HudiTable)]
 
-    var frontier: Seq[Dir] = toScan
+    var frontier: Seq[Dir] = basePaths
       .filterNot(bp => excluded(bp.cleanUri, excludes))
-      .map(bp => Dir(bp.lakeName, bp.databaseName, bp.cleanUri))
+      .map(bp => Dir(bp.lakeName, bp.databaseName, bp.cleanUri, bp.uri))
 
     while (frontier.nonEmpty) {
       val byUri = frontier.map(d => d.uri -> d).toMap
@@ -92,15 +91,25 @@ object TableDiscovery {
       listed.foreach { case (uri, isTable, subdirs) =>
         val d = byUri(uri)
         if (isTable) {
-          found += HudiTable(uri, d.db, d.lake, InstantFunctions.uuidV3(uri))
+          found += d.origin -> HudiTable(uri, d.db, d.lake, InstantFunctions.uuidV3(uri))
         } else {
           subdirs.filterNot(s => excluded(s, excludes))
-            .foreach(s => next += Dir(d.lake, d.db, s))
+            .foreach(s => next += Dir(d.lake, d.db, s, d.origin))
         }
       }
       frontier = next.result()
     }
 
-    spark.createDataset(found.result()).distinct()
+    val pinnedIdByOrigin = basePaths
+      .flatMap(bp => bp.pinnedId.map(bp.uri -> _)).toMap
+    val tables = found.result().groupBy(_._1).toSeq.flatMap { case (origin, ts) =>
+      pinnedIdByOrigin.get(origin) match {
+        case Some(id) =>
+          if (ts.size == 1) ts.map(_._2.copy(tableId = id))
+          else Nil // ambiguous or empty pin: exactly-one rule
+        case None => ts.map(_._2)
+      }
+    }
+    spark.createDataset(tables).distinct()
   }
 }

@@ -75,11 +75,29 @@ class DiscoveryMirrorSpec extends AnyFunSuite {
     }
   }
 
-  test("pinned tableId via path#id suffix") {
+  test("pinned tableId via path#id suffix requires exactly one discovered table") {
     mkLake()
+    // path IS the table root: one table discovered, id pinned
     val pinned = base.copy(uri = base.uri + "/trips#my-fixed-id")
     val tables = TableDiscovery.discover(spark, Seq(pinned)).collect()
     assert(tables.length == 1 && tables.head.tableId == "my-fixed-id")
+    assert(tables.head.absoluteTableUri.endsWith("/trips"))
+
+    // pinned path holding SEVERAL tables contributes nothing
+    // (TableDiscoveryService exactly-one rule)
+    val ambiguous = base.copy(uri = base.uri + "#other-id")
+    assert(TableDiscovery.discover(spark, Seq(ambiguous)).collect().isEmpty)
+
+    // pinned path with a single table in a subdirectory pins that table
+    val viaParent = base.copy(uri = base.uri + "/nested#deep-id")
+    val deep = TableDiscovery.discover(spark, Seq(viaParent)).collect()
+    assert(deep.length == 1 && deep.head.tableId == "deep-id")
+    assert(deep.head.absoluteTableUri.endsWith("/users"))
+  }
+
+  test("invalid base path contributes an empty set, not a failure") {
+    val bad = TableDiscovery.BasePath("lake1", "db1", "file:///this-is-some-invalid-path")
+    assert(TableDiscovery.discover(spark, Seq(bad)).collect().isEmpty)
   }
 
   test("properties read with defaults and failure sentinel") {
