@@ -95,6 +95,28 @@ class DiscoveryMirrorSpec extends AnyFunSuite {
     assert(deep.head.absoluteTableUri.endsWith("/users"))
   }
 
+  test("manifest reader: whitespace version, unknown JSON fields, empty files, missing manifest") {
+    // ports LSMTimelineManifestReaderTest corner cases: _version_ parses
+    // with surrounding whitespace, unknown manifest fields are ignored,
+    // an empty files array is an empty (not failed) snapshot, and a missing
+    // manifest file propagates as a fast failure (FileNotFound is terminal,
+    // not retried)
+    val dir = java.nio.file.Files.createTempDirectory("lsm-corner").toString
+    write(s"$dir/_version_", " 3 \n")
+    write(s"$dir/manifest_3",
+      """{"files":[{"fileName":"a.parquet","fileLen":1,"extra":true}],"unknown":{"x":1}}""")
+    val snap = LsmManifestReader.latestSnapshot(spark, s"file://$dir")
+    assert(snap.version == 3 && snap.parquetFileNames == Seq("a.parquet"))
+
+    write(s"$dir/manifest_4", """{"files":[]}""")
+    assert(LsmManifestReader.readManifest(spark, s"file://$dir", 4).parquetFileNames.isEmpty)
+
+    val t0 = System.nanoTime()
+    intercept[java.io.FileNotFoundException](
+      LsmManifestReader.readManifest(spark, s"file://$dir", 9))
+    assert((System.nanoTime() - t0) / 1e9 < 2.0) // no retry backoff on missing key
+  }
+
   test("invalid base path contributes an empty set, not a failure") {
     val bad = TableDiscovery.BasePath("lake1", "db1", "file:///this-is-some-invalid-path")
     assert(TableDiscovery.discover(spark, Seq(bad)).collect().isEmpty)
