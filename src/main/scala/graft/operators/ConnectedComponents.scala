@@ -23,9 +23,10 @@ object ConnectedComponents {
   /** @return one row per vertex: (id, lbl) with lbl = min id of its component. */
   def components(edges: DataFrame, src: String, dst: String, maxIter: Int = 20,
                  localSolveEdges: Long = 4000000L): DataFrame = {
+    // no distinct: duplicate edges change neither union-find nor a
+    // neighbor-min, and deduping them costs a full shuffle of the edge list
     val und = edges.select(col(src).as("a"), col(dst).as("b"))
       .union(edges.select(col(dst).as("a"), col(src).as("b")))
-      .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nEdges = und.count()
     val out =
