@@ -27,16 +27,26 @@ object Bench {
     for (_ <- 1 to warmups) selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    // drop caches persisted inside query builders (e.g. LSH signatures) so
-    // the timed pass re-executes the full lineage, not a warm cache
-    spark.catalog.clearCache()
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage.take(200)}"); false }
-      val dt = (System.nanoTime() - t0) / 1e9
-      if (sys.env.contains("SPARK_GRAFT_VERBOSE")) System.err.println(f"[bench] $name%-28s $dt%8.2f s${if (ok) "" else " (FAILED)"}")
-      name -> dt
+    // Timed passes: min over SPARK_GRAFT_RUNS (default 2) full executions
+    // per query. GC/JIT/scheduler noise on an unchanged binary swings single
+    // runs by several seconds across a 60+-query sweep; the per-query min is
+    // the standard stable estimator. Caches persisted inside query builders
+    // (e.g. LSH signatures) are dropped before each pass so every timed run
+    // re-executes the full lineage, not a warm cache.
+    val runs = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(2)
+    val passes = (1 to runs).map { _ =>
+      spark.catalog.clearCache()
+      selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage.take(200)}"); false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (sys.env.contains("SPARK_GRAFT_VERBOSE")) System.err.println(f"[bench] $name%-28s $dt%8.2f s${if (ok) "" else " (FAILED)"}")
+        name -> dt
+      }.toMap
+    }
+    val results = passes.head.keys.map { name =>
+      name -> passes.map(_(name)).min
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
