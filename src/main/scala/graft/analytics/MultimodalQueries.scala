@@ -30,9 +30,12 @@ object MultimodalQueries {
             md5(col("payload")).as("payload_md5"),
             expr("cast(32 + pmod(n_chars, 97) as int)").as("width"),
             expr("cast(32 + pmod(n_chars * 31, 71) as int)").as("height"),
-            expr("floor(aggregate(transform(sequence(1, length(trim(text))), " +
+            // empty-payload guard: Spark's sequence(1, 0) is [1, 0] (not
+            // empty) and 0/0 is NaN where DuckDB yields NULL — match DuckDB
+            expr("if(octet_length(payload) = 0, cast(null as double), " +
+              "floor(aggregate(transform(sequence(1, length(trim(text))), " +
               "i -> ascii(substring(trim(text), i, 1))), cast(0 as bigint), " +
-              "(a, x) -> a + x) / octet_length(payload) * 1e6 + 0.5) / 1e6").as("mean_byte"))
+              "(a, x) -> a + x) / octet_length(payload) * 1e6 + 0.5) / 1e6)").as("mean_byte"))
           .orderBy(col("doc_id"))
       },
       Some("""SELECT doc_id,
@@ -53,8 +56,11 @@ object MultimodalQueries {
       (s, d) => {
         docs(s, d)
           .withColumn("body", trim(col("text")))
+          // empty-body guard: Spark's sequence(0, -1) is [0, -1], DuckDB's
+          // generate_series(0, -1) is empty — emit no frames for empty docs
           .select(col("doc_id"), col("body"),
-            explode(expr("sequence(0, cast(floor((length(body) - 1) / 64) as int))"))
+            explode(expr("if(length(body) = 0, cast(array() as array<int>), " +
+              "sequence(0, cast(floor((length(body) - 1) / 64) as int)))"))
               .as("frame_idx"))
           .filter(col("frame_idx") % 2 === 0)
           .withColumn("frame", expr("substring(body, frame_idx * 64 + 1, 16)"))
