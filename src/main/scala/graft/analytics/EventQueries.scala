@@ -94,6 +94,44 @@ object EventQueries {
              |FROM events GROUP BY 1 ORDER BY day""".stripMargin)
     ),
 
+    // ----- volume anomaly: daily count vs trailing-30-day average ----------
+    // Observability alerting: flag days whose event volume jumps against
+    // their trailing window. Deliberately ratio-based, not z-score: stddev
+    // accumulates in engine-specific order (Welford vs sum-of-squares), so a
+    // z-score can diverge in the last ulp across engines, while n * k / s
+    // over exact integer window sums is one IEEE division — identical
+    // everywhere. One shuffle for the daily rollup; the window runs over a
+    // few thousand day-rows at any corpus size.
+    "evt_daily_anomaly" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.orderBy(col("day")).rowsBetween(-30, -1)
+        ev(s, d)
+          .groupBy(date_trunc("day", col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("s", sum(col("n")).over(w))
+          .withColumn("k", count(col("n")).over(w))
+          .withColumn("ratio", expr(
+            "if(k = 0 or s = 0, cast(null as double), floor(n * k / s * 1e6 + 0.5) / 1e6)"))
+          .withColumn("anomalous", expr("coalesce(ratio > 1.3, false)"))
+          .select(col("day"), col("n"), col("ratio"), col("anomalous"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT date_trunc('day', ts) AS day, COUNT(*) AS n
+             |  FROM events GROUP BY 1),
+             |w AS (SELECT day, n,
+             |  CAST(SUM(n) OVER (ORDER BY day ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING) AS BIGINT) AS s,
+             |  CAST(COUNT(n) OVER (ORDER BY day ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING) AS BIGINT) AS k
+             |  FROM daily)
+             |SELECT day, n,
+             |  CASE WHEN k = 0 OR s = 0 THEN NULL
+             |    ELSE floor(n * k / s * 1e6 + 0.5) / 1e6 END AS ratio,
+             |  COALESCE(CASE WHEN k = 0 OR s = 0 THEN NULL
+             |    ELSE floor(n * k / s * 1e6 + 0.5) / 1e6 END > 1.3, false) AS anomalous
+             |FROM w ORDER BY day""".stripMargin)
+    ),
+
     // ----- JSON extraction from the props payload -----
     "evt_json_props" -> QuerySpec(
       (s, d) => {
