@@ -44,4 +44,16 @@ object Tables {
       else acc
     }
   }
+
+  /** All driver-provided table names at a scale-factor dir. */
+  val Names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every table as a temp view (plus the native vector/text
+    * functions) so users can drive the engine through plain `spark.sql`.
+    */
+  def createViews(spark: SparkSession, dir: String): Unit = {
+    graft.functions.VectorExpressions.register(spark)
+    Names.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+  }
 }
