@@ -59,6 +59,29 @@ class DocumentStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming LSH flags a near-dup arriving in a later micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[DocEvent]
+    val q = DocumentStream.nearDupPairs(ms.toDS())
+      .writeStream.format("memory").queryName("nd").outputMode("append").start()
+    try {
+      val text = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+      ms.addData(
+        doc(1, text, "2024-07-23 10:00:00"),
+        doc(5, "one two three four five six seven eight nine ten eleven twelve", "2024-07-23 10:00:05"))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM nd").count() == 0)
+
+      // identical content arrives later: every band collides, est = 1.0
+      ms.addData(doc(9, text, "2024-07-23 10:01:00"))
+      q.processAllAvailable()
+      val pairs = spark.sql("SELECT DISTINCT docA, docB, estJaccard FROM nd")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(pairs == Seq((1L, 9L, 1.0)))
+    } finally q.stop()
+  }
+
   test("windowed corpus stats aggregate by event time") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
