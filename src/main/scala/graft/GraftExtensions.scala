@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions._
+
+/** `spark.sql.extensions` entry point: registers the engine's native
+  * Catalyst expressions at session build, so a deployment enables the whole
+  * function surface declaratively —
+  *
+  * {{{
+  * spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * }}}
+  *
+  * or in code: `SparkSession.builder().withExtensions(new GraftExtensions)`.
+  * Unlike [[graft.functions.VectorExpressions.register]] (per-session
+  * imperative form the query registry uses), extension-injected functions
+  * survive `newSession()` and need no library call before first use.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, arity, builder) =>
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        (es: Seq[Expression]) => {
+          require(es.length == arity,
+            s"$name expects $arity argument(s), got ${es.length}")
+          builder(es)
+        }))
+    }
+}
+
+object GraftExtensions {
+  /** (name, arity, builder) for every native expression the engine ships. */
+  val functions: Seq[(String, Int, Seq[Expression] => Expression)] = Seq(
+    ("long_dot", 2, es => LongArrayDot(es(0), es(1))),
+    ("long_l2", 2, es => LongArrayL2(es(0), es(1))),
+    ("simhash32", 1, es => LongArraySimHash(es(0))),
+    ("shingle3_hash", 1, es => Shingle3Hash(es(0))),
+    ("minhash16", 1, es => MinHash16(es(0))),
+    ("hyperplane_key6", 1, es => HyperplaneKey6(es(0)))
+  )
+}

@@ -344,6 +344,67 @@ object DedupQueries {
              |WHERE j >= 0.6 ORDER BY doc_a, doc_b""".stripMargin)
     ),
 
+    // ----- exact repeated-span detection (substring dedup) ------------------
+    // Suffix-array-style substring dedup: find pairs of documents sharing a
+    // long EXACT token span (near-dup metrics like Jaccard miss a 50-token
+    // verbatim quote inside two otherwise-different documents). Positional
+    // 3-gram shingles are joined on hash; matches on the same (doc_a, doc_b,
+    // pos_a - pos_b) diagonal that sit at consecutive positions form one
+    // maximal shared span (gaps-and-islands via pos - row_number), whose
+    // token length is run + 2. Scale design: the join is the same DF-capped
+    // sparse inverted-index join as dedup_ngram_jaccard (no all-pairs), and
+    // the islands pass shuffles only matched positions, grouped by pair —
+    // at 100 TB the diagonal grouping keys are tiny next to the corpus.
+    "dedup_span" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        graft.functions.VectorExpressions.register(s)
+        // positions are 1-based to match the oracle's generate_series
+        val pc = Tables.spread(docs(s, d).select("doc_id", "text"), "doc_id")
+          .withColumn("t", expr(tokensS("text")))
+          .withColumn("th", expr(tokenHashesS("t")))
+          .withColumn("hs", expr("shingle3_hash(th)"))
+          .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos0", "h")))
+          .withColumn("pos", col("pos0") + 1).drop("pos0")
+          .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
+          .filter(col("df") <= ShingleDfCap)
+          .drop("df")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val m = pc.as("x")
+          .join(pc.as("y"), col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+            col("x.pos").as("pa"), (col("x.pos") - col("y.pos")).as("diag"))
+        val wr = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+          .orderBy(col("pa"))
+        m.withColumn("grp", col("pa") - row_number().over(wr))
+          .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
+          .agg((count(lit(1)) + 2).as("span_tokens"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(max(col("span_tokens")).as("longest_span"),
+            count(lit(1)).as("n_spans"))
+          .filter(col("longest_span") >= 20)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, ${tokensD("text")} AS t FROM documents),
+             |th AS (SELECT doc_id, ${tokenHashesD("t")} AS th FROM toks),
+             |sh AS (SELECT doc_id, ${shingleHashesD("th")} AS hs FROM th),
+             |p0 AS (SELECT doc_id, hs, unnest(generate_series(1, len(hs))) AS pos FROM sh),
+             |p AS (SELECT doc_id, pos, hs[pos] AS h FROM p0),
+             |pc AS (SELECT doc_id, pos, h FROM p
+             |  QUALIFY COUNT(*) OVER (PARTITION BY h) <= $ShingleDfCap),
+             |m AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.pos AS pa,
+             |    x.pos - y.pos AS diag
+             |  FROM pc x JOIN pc y ON x.h = y.h AND x.doc_id < y.doc_id),
+             |runs AS (SELECT doc_a, doc_b, diag,
+             |    pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp
+             |  FROM m),
+             |spans AS (SELECT doc_a, doc_b, COUNT(*) + 2 AS span_tokens
+             |  FROM runs GROUP BY doc_a, doc_b, diag, grp)
+             |SELECT doc_a, doc_b, MAX(span_tokens) AS longest_span, COUNT(*) AS n_spans
+             |FROM spans GROUP BY doc_a, doc_b HAVING MAX(span_tokens) >= 20
+             |ORDER BY doc_a, doc_b""".stripMargin)
+    ),
+
     // ----- embedding-cosine near-dup (exact all-pairs baseline) -------------
     "dedup_embedding_cosine" -> QuerySpec(
       (s, d) => {

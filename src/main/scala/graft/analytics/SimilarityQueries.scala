@@ -115,6 +115,109 @@ object SimilarityQueries {
              |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin)
     ),
 
+    // ----- ANN quality measurement: recall@5 of LSH vs exact ground truth ---
+    // The evaluation loop every ANN deployment runs: for each query, compare
+    // the LSH top-k against the brute-force top-k and report the overlap
+    // fraction. Ground truth is exact over the full corpus (fine for a small
+    // probe set of queries — the query side broadcasts); at 100 TB the same
+    // query runs over a sampled partition of the corpus. The shared
+    // quantized projection is persisted: both branches reference it and its
+    // lineage is the full corpus scan.
+    "sim_lsh_recall" -> QuerySpec(
+      (s, d) => {
+        graft.functions.VectorExpressions.register(s)
+        val n = Tables.spread(emb(s, d), "vec_id")
+          .select(col("vec_id"), expr(quantizeS("embedding")).as("qe"))
+          .withColumn("nrm", expr("long_dot(qe, qe)"))
+          .withColumn("bucket", expr("hyperplane_key6(qe)"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val queries = n.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("qe").as("qa"),
+            col("nrm").as("na"), col("bucket").as("qb"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("c").desc, col("vec_id"))
+        def top5(joined: org.apache.spark.sql.DataFrame) = joined
+          .withColumn("c", expr("long_dot(qa, qe) / (sqrt(na) * sqrt(nrm))"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("q_id"), col("vec_id"))
+        val exact = top5(broadcast(queries).join(n, col("vec_id") =!= col("q_id")))
+        val lsh = top5(broadcast(queries)
+          .join(n, col("qb") === col("bucket") && col("vec_id") =!= col("q_id")))
+        exact.join(lsh.withColumn("hit", lit(1)), Seq("q_id", "vec_id"), "left")
+          .groupBy(col("q_id"))
+          .agg(count(col("hit")).as("n_hits"))
+          .withColumn("recall", expr("floor(n_hits / 5 * 1e6 + 0.5) / 1e6"))
+          .orderBy(col("q_id"))
+      },
+      Some(s"""$OracleQ,
+             |bk AS (SELECT vec_id, qe, nrm, ${lshKeyD("qe")} AS bucket FROM n),
+             |ex AS (SELECT q_id, vec_id FROM (
+             |  SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+             |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+             |      ORDER BY ${dotD("a.qe", "b.qe")} / (sqrt(a.nrm) * sqrt(b.nrm)) DESC, b.vec_id) AS rn
+             |  FROM n a JOIN n b ON a.vec_id < 5 AND b.vec_id <> a.vec_id) z WHERE rn <= 5),
+             |ls AS (SELECT q_id, vec_id FROM (
+             |  SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+             |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+             |      ORDER BY ${dotD("a.qe", "b.qe")} / (sqrt(a.nrm) * sqrt(b.nrm)) DESC, b.vec_id) AS rn
+             |  FROM bk a JOIN bk b ON a.vec_id < 5 AND a.bucket = b.bucket AND b.vec_id <> a.vec_id) z
+             |  WHERE rn <= 5)
+             |SELECT ex.q_id, COUNT(ls.vec_id) AS n_hits,
+             |  floor(COUNT(ls.vec_id) / 5 * 1e6 + 0.5) / 1e6 AS recall
+             |FROM ex LEFT JOIN ls ON ex.q_id = ls.q_id AND ex.vec_id = ls.vec_id
+             |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin)
+    ),
+
+    // ----- kNN majority-vote classification via LSH buckets -----------------
+    // Label propagation: every vector is classified by the majority label of
+    // its 7 nearest same-bucket neighbors; output is the (true, predicted)
+    // confusion matrix. The candidate set is the LSH bucket equi-join (never
+    // all-pairs), votes are one map-side-combined count, and the argmax is a
+    // per-vector window over at most #labels rows — each stage scales
+    // linearly in matched pairs. Ties break deterministically: cosine ties
+    // by vec_id, vote ties by smallest label.
+    "sim_knn_classify" -> QuerySpec(
+      (s, d) => {
+        graft.functions.VectorExpressions.register(s)
+        val bk = Tables.spread(emb(s, d), "vec_id")
+          .select(col("vec_id"), col("label"), expr(quantizeS("embedding")).as("qe"))
+          .withColumn("nrm", expr("long_dot(qe, qe)"))
+          .withColumn("bucket", expr("hyperplane_key6(qe)"))
+        val wk = Window.partitionBy(col("v")).orderBy(col("c").desc, col("nb_id"))
+        val votes = bk.as("x")
+          .join(bk.as("y"),
+            col("x.bucket") === col("y.bucket") && col("y.vec_id") =!= col("x.vec_id"))
+          .select(col("x.vec_id").as("v"), col("x.label").as("true_label"),
+            col("y.vec_id").as("nb_id"), col("y.label").as("nl"),
+            expr("long_dot(x.qe, y.qe) / (sqrt(x.nrm) * sqrt(y.nrm))").as("c"))
+          .withColumn("rn", row_number().over(wk))
+          .filter(col("rn") <= 7)
+          .groupBy(col("v"), col("true_label"), col("nl"))
+          .agg(count(lit(1)).as("nv"))
+        val wp = Window.partitionBy(col("v")).orderBy(col("nv").desc, col("nl"))
+        votes
+          .withColumn("pn", row_number().over(wp))
+          .filter(col("pn") === 1)
+          .groupBy(col("true_label").as("label"), col("nl").as("predicted"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("label"), col("predicted"))
+      },
+      Some(s"""$OracleQ,
+             |bk AS (SELECT vec_id, label, qe, nrm, ${lshKeyD("qe")} AS bucket FROM n),
+             |pr AS (SELECT x.vec_id AS v, x.label AS true_label, y.label AS nl,
+             |    ROW_NUMBER() OVER (PARTITION BY x.vec_id
+             |      ORDER BY ${dotD("x.qe", "y.qe")} / (sqrt(x.nrm) * sqrt(y.nrm)) DESC, y.vec_id) AS rn
+             |  FROM bk x JOIN bk y ON x.bucket = y.bucket AND y.vec_id <> x.vec_id),
+             |votes AS (SELECT v, true_label, nl, COUNT(*) AS nv FROM pr WHERE rn <= 7
+             |  GROUP BY 1, 2, 3),
+             |pred AS (SELECT v, true_label, nl AS predicted FROM (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY v ORDER BY nv DESC, nl) AS pn
+             |  FROM votes) z WHERE pn = 1)
+             |SELECT true_label AS label, predicted, COUNT(*) AS n FROM pred
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+
     // ----- IVF: per-label centroids, nearest-cell assignment, 2-cell probe --
     "sim_ivf_topk" -> QuerySpec(
       (s, d) => {

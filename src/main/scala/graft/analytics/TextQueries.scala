@@ -260,6 +260,53 @@ object TextQueries {
              |FROM f GROUP BY lang ORDER BY lang""".stripMargin)
     ),
 
+    // ----- distinctive terms per language: lift-ranked TF-IDF analog --------
+    // Corpus diagnostics: which terms are over-represented in each language
+    // stratum. lift = (term share within the stratum) / (term share in the
+    // whole corpus) — the rational form of TF-IDF that avoids ln(), so both
+    // engines compute exact BIGINT products and ONE IEEE division (identical
+    // ordering, no ulp drift). One explode + one (lang, term) aggregate; the
+    // window totals run over the aggregated term table, which is vocabulary-
+    // sized, not corpus-sized — at 100 TB the corpus is touched once.
+    "txt_distinctive_terms" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tf = docs(s, d)
+          .select(col("lang"), explode(expr(tokensS("text"))).as("w"))
+          .groupBy(col("lang"), col("w"))
+          .agg(count(lit(1)).as("tf_lang"))
+        val x = tf
+          .withColumn("tokens_lang", sum(col("tf_lang")).over(Window.partitionBy(col("lang"))))
+          .withColumn("tf_all", sum(col("tf_lang")).over(Window.partitionBy(col("w"))))
+          .withColumn("tokens_all", sum(col("tf_lang")).over(Window.partitionBy()))
+          .filter(col("tf_lang") >= 5)
+        val wr = Window.partitionBy(col("lang"))
+          .orderBy(expr("(tf_lang * tokens_all) / (tokens_lang * tf_all)").desc, col("w"))
+        x.withColumn("lift",
+            expr("floor((tf_lang * tokens_all) / (tokens_lang * tf_all) * 1e6 + 0.5) / 1e6"))
+          .withColumn("rank", row_number().over(wr))
+          .filter(col("rank") <= 10)
+          .select(col("lang"), col("w").as("term"), col("tf_lang"), col("tf_all"),
+            col("lift"), col("rank"))
+          .orderBy(col("lang"), col("rank"))
+      },
+      Some(s"""WITH toks AS (SELECT lang, ${tokensD("text")} AS t FROM documents),
+             |u AS (SELECT lang, unnest(t) AS w FROM toks),
+             |tf AS (SELECT lang, w, COUNT(*) AS tf_lang FROM u GROUP BY 1, 2),
+             |x AS (SELECT lang, w, tf_lang,
+             |    CAST(SUM(tf_lang) OVER (PARTITION BY lang) AS BIGINT) AS tokens_lang,
+             |    CAST(SUM(tf_lang) OVER (PARTITION BY w) AS BIGINT) AS tf_all,
+             |    CAST(SUM(tf_lang) OVER () AS BIGINT) AS tokens_all
+             |  FROM tf),
+             |l AS (SELECT lang, w AS term, tf_lang, tf_all,
+             |    floor((tf_lang * tokens_all) / (tokens_lang * tf_all) * 1e6 + 0.5) / 1e6 AS lift,
+             |    ROW_NUMBER() OVER (PARTITION BY lang
+             |      ORDER BY (tf_lang * tokens_all) / (tokens_lang * tf_all) DESC, w) AS rank
+             |  FROM x WHERE tf_lang >= 5)
+             |SELECT lang, term, tf_lang, tf_all, lift, rank FROM l
+             |WHERE rank <= 10 ORDER BY lang, rank""".stripMargin)
+    ),
+
     // ----- corpus rollup by (lang, source): chars/tokens written ------------
     "txt_corpus_rollup" -> QuerySpec(
       (s, d) => {

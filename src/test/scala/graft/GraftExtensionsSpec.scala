@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The `spark.sql.extensions=graft.GraftExtensions` deployment path: a
+  * session built with the extension resolves every native function from
+  * plain SQL with no imperative registration call.
+  */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("extension-built session resolves all native functions from plain SQL") {
+    val base = SparkSpec.spark // ensure the shared SparkContext exists
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // `.config("spark.sql.extensions", ...)` is a STATIC conf read only when
+    // the SparkContext is first created, so with the suite's shared context
+    // the class-name path can't be exercised here; `withExtensions` applies
+    // the identical instance to the new session (spark-submit deployments
+    // use the conf form on a fresh context).
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      assert(s ne base) // a genuinely new session, extensions applied
+
+      assert(s.sql("SELECT long_dot(array(1L,2L,3L), array(4L,5L,6L)) v")
+        .head().getLong(0) === 32L)
+      assert(s.sql("SELECT long_l2(array(1L,2L), array(4L,6L)) v")
+        .head().getLong(0) === 25L)
+      // parity with the imperative per-session registration on the same input
+      val exprs = Seq(
+        "simhash32(array(1L,2L,3L,255L))",
+        "shingle3_hash(array(1L,2L,3L,4L,5L))",
+        "minhash16(array(10L,20L,30L))",
+        "hyperplane_key6(array(1L,-2L,3L,-4L,5L,-6L))")
+      graft.functions.VectorExpressions.register(base)
+      exprs.foreach { e =>
+        assert(s.sql(s"SELECT $e v").head() === base.sql(s"SELECT $e v").head(),
+          s"extension vs imperative mismatch for $e")
+      }
+
+      // survives newSession() (imperative temp functions do not)
+      assert(s.newSession().sql("SELECT long_dot(array(2L), array(3L)) v")
+        .head().getLong(0) === 6L)
+
+      val err = intercept[Exception](s.sql("SELECT long_dot(array(1L))").collect())
+      assert(err.getMessage.contains("expects 2 argument"))
+    } finally {
+      // do NOT s.stop(): that would stop the shared SparkContext;
+      // just restore the shared session as default/active for other suites
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+}
