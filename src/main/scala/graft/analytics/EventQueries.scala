@@ -166,6 +166,33 @@ object EventQueries {
              |ORDER BY user_id, event_id""".stripMargin)
     ),
 
+    // ----- user-path transitions: first-order Markov matrix over events -----
+    // Which event follows which: the per-user event sequence's adjacent
+    // (event_type -> next) transition counts — the input to funnel design
+    // and Markov-chain behavior models. One LEAD window partitioned by
+    // user_id (high cardinality, bounded per-partition state) and one
+    // map-side-combined count over the tiny (type x type) matrix; ties in
+    // the top-20 ranking break on the transition labels.
+    "evt_user_paths" -> QuerySpec(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        ev(s, d)
+          .withColumn("nxt", lead(col("event_type"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .groupBy(col("event_type"), col("nxt"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("event_type"), col("nxt"))
+          .limit(20)
+      },
+      Some("""WITH o AS (SELECT user_id, event_type,
+             |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+             |  FROM events)
+             |SELECT event_type, nxt, COUNT(*) AS n
+             |FROM o WHERE nxt IS NOT NULL
+             |GROUP BY 1, 2 ORDER BY n DESC, event_type, nxt LIMIT 20""".stripMargin)
+    ),
+
     // ----- sessionization: 30-minute inactivity gap -----
     "evt_sessionize" -> QuerySpec(
       (s, d) => {
