@@ -20,7 +20,7 @@ import graft.functions._
   * survive `newSession()` and need no library call before first use.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, arity, builder) =>
       ext.injectFunction((
         new FunctionIdentifier(name),
@@ -31,6 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           builder(es)
         }))
     }
+    // portable HOF dot products run through the native codegen'd loop
+    ext.injectOptimizerRule(_ => graft.plans.RewriteLongDot)
+  }
 }
 
 object GraftExtensions {

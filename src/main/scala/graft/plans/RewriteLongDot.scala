@@ -1,0 +1,71 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, LongType}
+
+import graft.functions.LongArrayDot
+
+/** Optimizer rule: rewrite the portable higher-order dot-product pattern
+  *
+  * {{{ aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (s, v) -> s + v) }}}
+  *
+  * into the native codegen'd [[LongArrayDot]], so portable SQL (the form
+  * [[graft.functions.TextFunctions.dotS]] emits, and what a user migrating
+  * DuckDB/Trino list arithmetic writes) gets the tight primitive loop
+  * (~70us interpreted HOF vs ~ns/element native, measured at bench scale)
+  * without knowing the native function exists.
+  *
+  * Soundness: applies only when both inputs are `ARRAY<BIGINT>` with
+  * non-nullable elements. For those inputs the HOF's full semantics are
+  *   - unequal lengths: `zip_with` pads the shorter side with nulls, the
+  *     null poisons the sum -> result is NULL;
+  *   - either array NULL -> NULL;
+  *   - equal lengths -> the exact integer dot product,
+  * which is precisely `if(size(a) = size(b), long_dot(a, b), NULL)` — the
+  * rewrite target contains no ArrayAggregate, so the rule converges in one
+  * operator-optimization pass (no self-triggering fixed-point growth).
+  * Overflow: the HOF multiplies under the session eval mode while the
+  * native loop wraps; the engine's quantization contract (|x| <= ~2^31
+  * after round(x*1e6)) keeps every product far from the 64-bit edge, and
+  * the DuckDB oracle computes the same wrapped integers.
+  */
+object RewriteLongDot extends Rule[LogicalPlan] {
+
+  private def isLongArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(LongType, false) => true
+    case _ => false
+  }
+
+  private def isZeroLong(e: Expression): Boolean =
+    e.foldable && e.dataType == LongType && {
+      val v = e.eval()
+      v != null && v.asInstanceOf[Long] == 0L
+    }
+
+  /** `f` combines exactly the two bound lambda vars, in either order. */
+  private def combinesVars(
+      a: Expression, b: Expression,
+      v1: NamedLambdaVariable, v2: NamedLambdaVariable): Boolean = (a, b) match {
+    case (x: NamedLambdaVariable, y: NamedLambdaVariable) =>
+      (x.exprId == v1.exprId && y.exprId == v2.exprId) ||
+        (x.exprId == v2.exprId && y.exprId == v1.exprId)
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case ArrayAggregate(
+          ZipWith(l, r,
+            LambdaFunction(Multiply(mx, my, _),
+              Seq(zx: NamedLambdaVariable, zy: NamedLambdaVariable), _)),
+          zero,
+          LambdaFunction(Add(ax, ay, _),
+            Seq(macc: NamedLambdaVariable, mel: NamedLambdaVariable), _),
+          LambdaFunction(fv: NamedLambdaVariable, Seq(fa: NamedLambdaVariable), _))
+        if isLongArray(l) && isLongArray(r) && isZeroLong(zero) &&
+          combinesVars(mx, my, zx, zy) && combinesVars(ax, ay, macc, mel) &&
+          fv.exprId == fa.exprId =>
+      If(EqualTo(Size(l), Size(r)), LongArrayDot(l, r), Literal(null, LongType))
+  }
+}

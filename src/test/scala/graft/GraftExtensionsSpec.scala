@@ -47,6 +47,27 @@ class GraftExtensionsSpec extends AnyFunSuite {
 
       val err = intercept[Exception](s.sql("SELECT long_dot(array(1L))").collect())
       assert(err.getMessage.contains("expects 2 argument"))
+
+      // ---- RewriteLongDot optimizer rule -------------------------------
+      // inputs derive from range(id) so they are NOT foldable — literal
+      // arrays would be constant-folded away before the rule could fire
+      val hof = "aggregate(zip_with(a, b, (x, y) -> x * y), " +
+        "cast(0 as bigint), (s, v) -> s + v)"
+      val eq = "SELECT array(id+1, id+2, id+3) AS a, array(id+4, id+5, id+6) AS b FROM range(1)"
+      val dot = s.sql(s"SELECT $hof AS d FROM ($eq)")
+      assert(dot.head().getLong(0) === 32L)
+      assert(dot.queryExecution.optimizedPlan.expressions
+        .exists(_.exists(_.isInstanceOf[graft.functions.LongArrayDot])),
+        "HOF dot product should be rewritten to native long_dot")
+      // unequal lengths: zip_with pads nulls -> HOF yields NULL; the
+      // rewritten guard must preserve that
+      val ne = "SELECT array(id+1, id+2, id+3) AS a, array(id+4, id+5) AS b FROM range(1)"
+      assert(s.sql(s"SELECT $hof AS d FROM ($ne)").head().isNullAt(0))
+      // parity with the un-extended session, which keeps the interpreted HOF
+      val baseRes = base.sql(s"SELECT $hof AS d FROM ($eq)")
+      assert(!baseRes.queryExecution.optimizedPlan.expressions
+        .exists(_.exists(_.isInstanceOf[graft.functions.LongArrayDot])))
+      assert(baseRes.head() === dot.head())
     } finally {
       // do NOT s.stop(): that would stop the shared SparkContext;
       // just restore the shared session as default/active for other suites
