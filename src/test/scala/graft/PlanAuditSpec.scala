@@ -40,6 +40,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast bench join in:\n$p")
   }
 
+  test("exact-span dedup: posting-list self-join is an equi-join, never cartesian") {
+    val p = plan("dedup_span")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"span self-join degenerated to all-pairs in:\n$p")
+  }
+
+  test("LSH recall: probe queries broadcast against the corpus projection") {
+    val p = plan("sim_lsh_recall")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast probe joins in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian in:\n$p")
+  }
+
+  test("kNN classify: candidates come from the bucket equi-join") {
+    val p = plan("sim_knn_classify")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"bucket join degenerated to all-pairs in:\n$p")
+  }
+
   test("aggregation pipeline runs inside whole-stage codegen") {
     // AQE annotates codegen spans only in the finalized plan: execute first
     val df = SparkEntry.queries("rel_agg_pricing_summary")(spark, dir)
