@@ -311,13 +311,16 @@ object DedupQueries {
         val sh = withShingles(docs(s, d).select("doc_id", "text"))
           .select("doc_id", "hs")
         // The capped posting list feeds three consumers (both self-join sides
-        // and the per-doc counts); persist it so the tokenize->shingle->window
-        // lineage — the dominant CPU cost — runs once, not three times.
-        val e = sh.select(col("doc_id"), explode(col("hs")).as("h"))
-          .withColumn("df", count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
-          .filter(col("df") <= ShingleDfCap)
-          .drop("df")
+        // and the per-doc counts); persist it so the tokenize->shingle
+        // lineage — the dominant CPU cost — runs once, not three times. The
+        // DF cap is an anti-join against the over-cap hash set, not a count
+        // window: the window form shuffle-sorts the whole posting list by h,
+        // this shuffles only map-side-combined counts and AQE broadcasts the
+        // (tiny) hot set over the otherwise-narrow corpus side.
+        val e0 = sh.select(col("doc_id"), explode(col("hs")).as("h"))
+        val hot = e0.groupBy(col("h")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > ShingleDfCap).select(col("h"))
+        val e = e0.join(hot, Seq("h"), "left_anti")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val shared = e.as("x")
           .join(e.as("y"), col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
@@ -360,15 +363,21 @@ object DedupQueries {
         import org.apache.spark.sql.expressions.Window
         graft.functions.VectorExpressions.register(s)
         // positions are 1-based to match the oracle's generate_series
-        val pc = Tables.spread(docs(s, d).select("doc_id", "text"), "doc_id")
+        val pc0 = Tables.spread(docs(s, d).select("doc_id", "text"), "doc_id")
           .withColumn("t", expr(tokensS("text")))
           .withColumn("th", expr(tokenHashesS("t")))
           .withColumn("hs", expr("shingle3_hash(th)"))
           .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos0", "h")))
           .withColumn("pos", col("pos0") + 1).drop("pos0")
-          .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
-          .filter(col("df") <= ShingleDfCap)
-          .drop("df")
+        // DF cap as an anti-join against the (tiny) over-cap hash set rather
+        // than a count window: the window form shuffle-SORTS the whole
+        // exploded posting list by h, while groupBy+anti-join shuffles only
+        // map-side-combined counts and AQE broadcasts the hot set — the
+        // corpus-sized side stays narrow (and degrades to a shuffle join,
+        // still sort-free on the big side, if the hot set is ever large)
+        val hot = pc0.groupBy(col("h")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > ShingleDfCap).select(col("h"))
+        val pc = pc0.join(hot, Seq("h"), "left_anti")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val m = pc.as("x")
           .join(pc.as("y"), col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
