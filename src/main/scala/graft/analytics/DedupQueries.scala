@@ -81,14 +81,18 @@ object DedupQueries {
       .select("doc_id", "hs")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = sh.withColumn("sig", expr("minhash16(hs)"))
-    val bands = sig.selectExpr("doc_id",
+    val bands0 = sig.selectExpr("doc_id",
       s"explode(transform(sequence(0, ${Bands - 1}), b -> named_struct(" +
         s"'b', b, 'k', array_join(slice(sig, b * $RowsPerBand + 1, $RowsPerBand), '_')))) AS bk")
       .select(col("doc_id"), col("bk.b").as("b"), col("bk.k").as("k"))
-      .withColumn("bs", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("b"), col("k"))))
-      .filter(col("bs") <= BandBucketCap)
-      .drop("bs")
+    // bucket-size cap as an anti-join against the (tiny) over-cap bucket
+    // set instead of a count window — same rows kept, but no shuffle-sort
+    // of the full band table (see the DF-cap note in dedup_span); the
+    // signature lineage below the explode reads from the persisted sh
+    val hotBuckets = bands0.groupBy(col("b"), col("k"))
+      .agg(count(lit(1)).as("bs"))
+      .filter(col("bs") > BandBucketCap).select(col("b"), col("k"))
+    val bands = bands0.join(hotBuckets, Seq("b", "k"), "left_anti")
     val pairs = bands.as("x")
       .join(bands.as("y"),
         col("x.b") === col("y.b") && col("x.k") === col("y.k") &&
