@@ -92,7 +92,10 @@ object DedupQueries {
     val hotBuckets = bands0.groupBy(col("b"), col("k"))
       .agg(count(lit(1)).as("bs"))
       .filter(col("bs") > BandBucketCap).select(col("b"), col("k"))
+    // persist: both self-join sides read the capped band table, and without
+    // it each side re-derives minhash16 + the band explode from sh
     val bands = bands0.join(hotBuckets, Seq("b", "k"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = bands.as("x")
       .join(bands.as("y"),
         col("x.b") === col("y.b") && col("x.k") === col("y.k") &&

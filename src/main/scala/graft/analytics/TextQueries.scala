@@ -263,27 +263,38 @@ object TextQueries {
     // ----- distinctive terms per language: lift-ranked TF-IDF analog --------
     // Corpus diagnostics: which terms are over-represented in each language
     // stratum. lift = (term share within the stratum) / (term share in the
-    // whole corpus) — the rational form of TF-IDF that avoids ln(), so both
-    // engines compute exact BIGINT products and ONE IEEE division (identical
-    // ordering, no ulp drift). One explode + one (lang, term) aggregate; the
-    // window totals run over the aggregated term table, which is vocabulary-
-    // sized, not corpus-sized — at 100 TB the corpus is touched once.
+    // whole corpus), computed as (tf_lang / tf_all) * (tokens_all /
+    // tokens_lang) — the divide-first form keeps every intermediate a double
+    // (a tf_lang * tokens_all BIGINT product would overflow int64 around
+    // 1e10 corpus tokens), and both engines evaluate the identical IEEE
+    // division/multiply sequence, so ordering matches exactly. Totals are
+    // aggregates joined back (per-language broadcast, per-term shuffle join,
+    // global scalar cross join) rather than windows: an empty-partition or
+    // per-language window would funnel the vocabulary table through single
+    // tasks, while these stay distributed at any vocabulary size. The final
+    // rank<=10 window is group-limit-optimized by Spark (per-partition
+    // top-k before the shuffle).
     "txt_distinctive_terms" -> QuerySpec(
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
+        // persist: four consumers (totals x3 + the main join) read tf, and
+        // its lineage is the corpus-sized explode; the cached table itself
+        // is only vocabulary-sized
         val tf = docs(s, d)
           .select(col("lang"), explode(expr(tokensS("text"))).as("w"))
           .groupBy(col("lang"), col("w"))
           .agg(count(lit(1)).as("tf_lang"))
-        val x = tf
-          .withColumn("tokens_lang", sum(col("tf_lang")).over(Window.partitionBy(col("lang"))))
-          .withColumn("tf_all", sum(col("tf_lang")).over(Window.partitionBy(col("w"))))
-          .withColumn("tokens_all", sum(col("tf_lang")).over(Window.partitionBy()))
-          .filter(col("tf_lang") >= 5)
-        val wr = Window.partitionBy(col("lang"))
-          .orderBy(expr("(tf_lang * tokens_all) / (tokens_lang * tf_all)").desc, col("w"))
-        x.withColumn("lift",
-            expr("floor((tf_lang * tokens_all) / (tokens_lang * tf_all) * 1e6 + 0.5) / 1e6"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val perLang = tf.groupBy(col("lang")).agg(sum(col("tf_lang")).as("tokens_lang"))
+        val perTerm = tf.groupBy(col("w")).agg(sum(col("tf_lang")).as("tf_all"))
+        val totals = tf.agg(sum(col("tf_lang")).as("tokens_all"))
+        val liftExpr = "(tf_lang / tf_all) * (tokens_all / tokens_lang)"
+        val wr = Window.partitionBy(col("lang")).orderBy(expr(liftExpr).desc, col("w"))
+        tf.filter(col("tf_lang") >= 5)
+          .join(broadcast(perLang), "lang")
+          .join(perTerm, "w")
+          .crossJoin(broadcast(totals))
+          .withColumn("lift", expr(s"floor($liftExpr * 1e6 + 0.5) / 1e6"))
           .withColumn("rank", row_number().over(wr))
           .filter(col("rank") <= 10)
           .select(col("lang"), col("w").as("term"), col("tf_lang"), col("tf_all"),
@@ -299,9 +310,9 @@ object TextQueries {
              |    CAST(SUM(tf_lang) OVER () AS BIGINT) AS tokens_all
              |  FROM tf),
              |l AS (SELECT lang, w AS term, tf_lang, tf_all,
-             |    floor((tf_lang * tokens_all) / (tokens_lang * tf_all) * 1e6 + 0.5) / 1e6 AS lift,
+             |    floor((tf_lang / tf_all) * (tokens_all / tokens_lang) * 1e6 + 0.5) / 1e6 AS lift,
              |    ROW_NUMBER() OVER (PARTITION BY lang
-             |      ORDER BY (tf_lang * tokens_all) / (tokens_lang * tf_all) DESC, w) AS rank
+             |      ORDER BY (tf_lang / tf_all) * (tokens_all / tokens_lang) DESC, w) AS rank
              |  FROM x WHERE tf_lang >= 5)
              |SELECT lang, term, tf_lang, tf_all, lift, rank FROM l
              |WHERE rank <= 10 ORDER BY lang, rank""".stripMargin)

@@ -32,9 +32,12 @@ abstract class LongArrayBinary extends BinaryExpression {
       s"$prettyName requires two ARRAY<BIGINT> arguments")
   }
 
-  /** Java source for one loop step: accumulate into `acc` from x[i], y[i]. */
+  /** Java source for one loop step: the value accumulated from x[i], y[i]. */
   protected def stepJava(a: String, b: String, i: String): String
   protected def stepEval(x: Long, y: Long): Long
+  /** Java statement folding one step into `acc` (default: wrapping add). */
+  protected def combineJava(acc: String, step: String): String = s"$acc += $step;"
+  protected def combineEval(acc: Long, step: Long): Long = acc + step
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -43,7 +46,7 @@ abstract class LongArrayBinary extends BinaryExpression {
     var acc = 0L
     var i = 0
     while (i < n) {
-      acc += stepEval(x.getLong(i), y.getLong(i))
+      acc = combineEval(acc, stepEval(x.getLong(i), y.getLong(i)))
       i += 1
     }
     acc
@@ -58,18 +61,27 @@ abstract class LongArrayBinary extends BinaryExpression {
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ${stepJava(a, b, i)};
+         |  ${combineJava(acc, stepJava(a, b, i))}
          |}
          |${ev.value} = $acc;
        """.stripMargin
     })
 }
 
-/** Exact integer dot product of two BIGINT arrays. */
+/** Exact integer dot product of two BIGINT arrays. Overflow-checked
+  * (`multiplyExact`/`addExact`, JIT intrinsics — same cost class as raw ops):
+  * inputs under the engine's quantization contract can never overflow, and a
+  * query outside it fails loudly like ANSI arithmetic instead of silently
+  * wrapping — required for [[graft.plans.RewriteLongDot]] to be a sound
+  * substitute for the ANSI-mode HOF form.
+  */
 case class LongArrayDot(left: Expression, right: Expression) extends LongArrayBinary {
   override protected def stepJava(a: String, b: String, i: String): String =
-    s"$a.getLong($i) * $b.getLong($i)"
-  override protected def stepEval(x: Long, y: Long): Long = x * y
+    s"java.lang.Math.multiplyExact($a.getLong($i), $b.getLong($i))"
+  override protected def combineJava(acc: String, step: String): String =
+    s"$acc = java.lang.Math.addExact($acc, $step);"
+  override protected def stepEval(x: Long, y: Long): Long = Math.multiplyExact(x, y)
+  override protected def combineEval(acc: Long, step: Long): Long = Math.addExact(acc, step)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)

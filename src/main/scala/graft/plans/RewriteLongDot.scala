@@ -26,10 +26,15 @@ import graft.functions.LongArrayDot
   * which is precisely `if(size(a) = size(b), long_dot(a, b), NULL)` — the
   * rewrite target contains no ArrayAggregate, so the rule converges in one
   * operator-optimization pass (no self-triggering fixed-point growth).
-  * Overflow: the HOF multiplies under the session eval mode while the
-  * native loop wraps; the engine's quantization contract (|x| <= ~2^31
-  * after round(x*1e6)) keeps every product far from the 64-bit edge, and
-  * the DuckDB oracle computes the same wrapped integers.
+  * Further guards:
+  *   - both inputs must be deterministic — the rewrite references each one
+  *     twice (size guard + dot), which would double-evaluate a
+  *     non-deterministic input;
+  *   - the arithmetic must be ANSI-mode (the Spark 4 default): ANSI
+  *     Multiply/Add raise on 64-bit overflow and [[LongArrayDot]] uses
+  *     `multiplyExact`/`addExact`, so both sides fail loudly rather than
+  *     wrap. LEGACY (wrapping) and TRY (null-on-overflow) HOFs are left
+  *     alone — their overflow results differ from the checked native loop.
   */
 object RewriteLongDot extends Rule[LogicalPlan] {
 
@@ -55,16 +60,22 @@ object RewriteLongDot extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    // the arithmetic nodes bind whole (their third ctor param is a version-
+    // dependent eval context); the ANSI requirement checks the evalMode
+    // accessor in the guard
     case ArrayAggregate(
           ZipWith(l, r,
-            LambdaFunction(Multiply(mx, my, _),
+            LambdaFunction(mul: Multiply,
               Seq(zx: NamedLambdaVariable, zy: NamedLambdaVariable), _)),
           zero,
-          LambdaFunction(Add(ax, ay, _),
+          LambdaFunction(add: Add,
             Seq(macc: NamedLambdaVariable, mel: NamedLambdaVariable), _),
           LambdaFunction(fv: NamedLambdaVariable, Seq(fa: NamedLambdaVariable), _))
-        if isLongArray(l) && isLongArray(r) && isZeroLong(zero) &&
-          combinesVars(mx, my, zx, zy) && combinesVars(ax, ay, macc, mel) &&
+        if isLongArray(l) && isLongArray(r) && l.deterministic && r.deterministic &&
+          mul.evalMode == EvalMode.ANSI && add.evalMode == EvalMode.ANSI &&
+          isZeroLong(zero) &&
+          combinesVars(mul.left, mul.right, zx, zy) &&
+          combinesVars(add.left, add.right, macc, mel) &&
           fv.exprId == fa.exprId =>
       If(EqualTo(Size(l), Size(r)), LongArrayDot(l, r), Literal(null, LongType))
   }

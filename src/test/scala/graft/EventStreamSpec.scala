@@ -8,16 +8,23 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Streaming sessionization: 30-minute-gap semantics identical to the batch
-  * `evt_sessionize` query — sessions close either by a gap inside a
-  * micro-batch or by the watermark passing an idle session's horizon, and
-  * every closed session is emitted exactly once.
+  * `evt_sessionize` rule. Sessions emit exactly once, only after the
+  * watermark passes their gap horizon (until then a late in-horizon event
+  * could extend or merge them), and late out-of-order arrivals inside the
+  * horizon land in the correct session.
   */
 class EventStreamSpec extends AnyFunSuite {
 
   private def ev(u: Long, t: String, v: Double = 1.0) =
     Event(u, "click", v, Timestamp.valueOf(t))
 
-  test("gap inside a batch closes the earlier session; idle session closes via watermark") {
+  private def collectSessions(spark: org.apache.spark.sql.SparkSession, table: String) =
+    spark.sql(s"SELECT userId, sessionStart, sessionEnd, nEvents, totalValue FROM $table" +
+        " WHERE userId < 99 ORDER BY userId, sessionStart")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getTimestamp(2).toString, r.getLong(3), r.getDouble(4))).toSeq
+
+  test("sessions emit only once the watermark passes their gap horizon") {
     val spark = SparkSpec.spark
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
@@ -26,49 +33,41 @@ class EventStreamSpec extends AnyFunSuite {
       .writeStream.format("memory").queryName("sess").outputMode("append").start()
     try {
       // user 1: two events 10 min apart (one session), then a 40-min gap
-      // (new session) — the gap closes session A inside the batch
+      // (second session); user 2: one event
       ms.addData(
         ev(1, "2024-07-23 10:00:00", 2.0),
         ev(1, "2024-07-23 10:10:00", 3.0),
         ev(1, "2024-07-23 10:50:00", 5.0),
         ev(2, "2024-07-23 10:05:00", 7.0))
       q.processAllAvailable()
-      val afterBatch = spark.sql(
-        "SELECT userId, sessionStart, sessionEnd, nEvents, totalValue FROM sess")
-        .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
-          r.getTimestamp(2).toString, r.getLong(3), r.getDouble(4))).toSeq
-      assert(afterBatch == Seq(
-        (1L, "2024-07-23 10:00:00.0", "2024-07-23 10:10:00.0", 2L, 5.0)))
+      // watermark still at 9:50 (max ts - 1h): nothing may emit yet
+      assert(collectSessions(spark, "sess").isEmpty)
 
-      // advance the watermark far past every open session's gap horizon:
-      // user 1's second session and user 2's only session close by timeout
+      // push the watermark past every session's horizon (13:00 after the
+      // next batch): all three sessions emit exactly once
       ms.addData(ev(99, "2024-07-23 14:00:00"))
       q.processAllAvailable()
       ms.addData(ev(99, "2024-07-23 15:00:00"))
       q.processAllAvailable()
-      val all = spark.sql(
-        "SELECT userId, sessionStart, sessionEnd, nEvents, totalValue FROM sess WHERE userId < 99 ORDER BY userId, sessionStart")
-        .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
-          r.getTimestamp(2).toString, r.getLong(3), r.getDouble(4))).toSeq
-      assert(all == Seq(
+      assert(collectSessions(spark, "sess") == Seq(
         (1L, "2024-07-23 10:00:00.0", "2024-07-23 10:10:00.0", 2L, 5.0),
         (1L, "2024-07-23 10:50:00.0", "2024-07-23 10:50:00.0", 1L, 5.0),
         (2L, "2024-07-23 10:05:00.0", "2024-07-23 10:05:00.0", 1L, 7.0)))
     } finally q.stop()
   }
 
-  test("streaming session boundaries match the batch evt_sessionize grouping") {
+  test("late out-of-order arrivals match the batch evt_sessionize grouping") {
     val spark = SparkSpec.spark
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
-    // deterministic event set: 3 users x irregular gaps straddling 30 min
+    // 3 users x irregular gaps straddling 30 min
     val base = Timestamp.valueOf("2024-07-23 10:00:00").getTime
     val events = for {
       u <- 1L to 3L
       (mins, i) <- Seq(0, 10, 45, 50, 95).zipWithIndex
     } yield Event(u, "click", (u * 10 + i).toDouble, new Timestamp(base + mins * 60000L))
 
-    // batch truth: the same gap rule in the window-sum form evt_sessionize uses
+    // batch truth: the window-sum gap rule evt_sessionize uses
     val truth = {
       events.toDF().createOrReplaceTempView("ev_batch")
       spark.sql(
@@ -89,17 +88,21 @@ class EventStreamSpec extends AnyFunSuite {
     val q = EventStream.sessionize(ms.toDS())
       .writeStream.format("memory").queryName("sess2").outputMode("append").start()
     try {
-      ms.addData(events: _*)
+      // deliver OUT OF ORDER across micro-batches: minutes 45/50 first
+      // (watermark after batch 1: 9:50), then the minute-0/10 events arrive
+      // LATE but inside the horizon, together with minute-95
+      val mid = events.filter(e => { val m = (e.ts.getTime - base) / 60000L; m == 45 || m == 50 })
+      val rest = events.filterNot(mid.contains)
+      ms.addData(mid: _*)
       q.processAllAvailable()
-      ms.addData(ev(99, "2024-07-24 10:00:00")) // watermark push
+      ms.addData(rest: _*)
+      q.processAllAvailable()
+      // push the watermark far past every horizon to flush
+      ms.addData(ev(99, "2024-07-24 10:00:00"))
       q.processAllAvailable()
       ms.addData(ev(99, "2024-07-25 10:00:00"))
       q.processAllAvailable()
-      val streamed = spark.sql(
-        "SELECT userId, sessionStart, sessionEnd, nEvents, totalValue FROM sess2 WHERE userId < 99")
-        .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
-          r.getTimestamp(2).toString, r.getLong(3), r.getDouble(4))).toSet
-      assert(streamed == truth)
+      assert(collectSessions(spark, "sess2").toSet == truth)
     } finally q.stop()
   }
 }

@@ -68,6 +68,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(!baseRes.queryExecution.optimizedPlan.expressions
         .exists(_.exists(_.isInstanceOf[graft.functions.LongArrayDot])))
       assert(baseRes.head() === dot.head())
+      // overflow parity: ANSI HOF raises, and so does the rewritten native
+      // loop (multiplyExact/addExact) — never a silently wrapped value
+      def msgs(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+        .takeWhile(_ != null).take(10)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ").toLowerCase
+      val big = "SELECT array(shiftleft(id + 1, 62)) AS a, " +
+        "array(shiftleft(id + 1, 62)) AS b FROM range(1)"
+      assert(msgs(intercept[Exception](
+        s.sql(s"SELECT $hof AS d FROM ($big)").collect())).contains("overflow"))
+      assert(msgs(intercept[Exception](
+        base.sql(s"SELECT $hof AS d FROM ($big)").collect())).contains("overflow"))
     } finally {
       // do NOT s.stop(): that would stop the shared SparkContext;
       // just restore the shared session as default/active for other suites
