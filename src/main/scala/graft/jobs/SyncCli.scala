@@ -43,6 +43,34 @@ object SyncCli {
     else Right(out)
   }
 
+  /** JSON-argv embedding (SURVEY §3.3 — the reference Glue wrapper's
+    * contract, `lakeview-glue/.../GlueWrapperMain.java:6-19`): platforms
+    * whose unit of work is "call a function with a JSON string" invoke the
+    * sync as `SyncCli.runJson(spark, "[\"-c\", \"<yaml>\"]")`. Returns
+    * "SUCCESS" or throws — a failed sync must fail the enclosing job, like
+    * the wrapper's propagated exception. Driver-side by design: unlike the
+    * reference (whose engine is Spark-free and so can run inside an
+    * executor-side UDF), this engine schedules Spark jobs, which must
+    * happen on the driver.
+    */
+  def runJson(spark: SparkSession, argJson: String): String = {
+    val argv = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readValue(argJson, classOf[Array[String]])
+    val cli = parseArgs(argv).fold(e => throw new IllegalArgumentException(e), identity)
+    val loaded = (cli.configFilePath, cli.configYaml) match {
+      case (Some(p), _) => ConfigLoader.loadFile(p)
+      case (_, Some(y)) => ConfigLoader.loadString(y)
+      case _ => throw new IllegalArgumentException("One of -p or -c is required.")
+    }
+    val report =
+      if (loaded.jobRunMode == "ONCE_WITH_RETRY") LakeViewSync.runOnceWithRetry(spark, loaded.sync)
+      else LakeViewSync.runOnce(spark, loaded.sync) // CONTINUOUS is not embeddable
+    if (!report.allSucceeded)
+      throw new IllegalStateException(
+        s"sync failed for ${report.failures.size} table(s): ${report.failures}")
+    "SUCCESS"
+  }
+
   def main(args: Array[String]): Unit = {
     parseArgs(args) match {
       case Left(err) =>

@@ -72,6 +72,24 @@ class ConfigCliSpec extends AnyFunSuite {
     assert(r.tablesDiscovered == 1 && r.allSucceeded && r.filesMirrored == 4)
   }
 
+  test("runJson: the JSON-argv embedding syncs and returns SUCCESS (§3.3)") {
+    val jroot = s"$root-json"
+    Seq(jroot, s"$jroot-mirror", s"$jroot-cp").foreach(rmTree)
+    write(s"$jroot/db/t1/.hoodie/hoodie.properties",
+      "hoodie.table.name=t1\nhoodie.table.type=COPY_ON_WRITE\n")
+    Seq("900.commit.requested", "900.commit.inflight", "900.commit")
+      .foreach(f => write(s"$jroot/db/t1/.hoodie/$f"))
+    val dbUri = s"file:///${Paths.get(jroot).toAbsolutePath.toString.stripPrefix("/")}/db"
+    val yaml = fixtureYaml(s"$jroot-mirror", s"$jroot-cp", dbUri)
+    val argJson = new com.fasterxml.jackson.databind.ObjectMapper()
+      .writeValueAsString(Array("-c", yaml))
+    assert(SyncCli.runJson(spark, argJson) == "SUCCESS")
+    // mirrored timeline exists under the mirror root
+    assert(Files.exists(Paths.get(s"$jroot-mirror")))
+    // malformed argv and failed syncs throw instead of returning
+    intercept[IllegalArgumentException](SyncCli.runJson(spark, "[\"--bogus\"]"))
+  }
+
   test("sinkConfig.file splices a second document (credential-splice analogue)") {
     rmTree(root)
     write(s"$root/sink.yaml", "mirrorRoot: /m\ncheckpointDir: /c\n")
