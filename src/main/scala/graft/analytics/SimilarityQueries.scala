@@ -241,14 +241,20 @@ object SimilarityQueries {
           .agg(transform(array_sort(collect_list(struct(col("j"), col("cj")))),
             x => x.getField("cj")).as("ce"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // assign every vector to its nearest centroid (exact integer L2^2)
+        // assign every vector to its nearest centroid (exact integer L2^2).
+        // argmin as min(struct(dist, c_id)) under groupBy rather than a
+        // per-vector window: partial aggregation combines map-side, so the
+        // vectors x centroids table is reduced before its shuffle instead
+        // of being shuffle-sorted whole; ties break on c_id exactly like
+        // the oracle's ORDER BY dist, c_id. qe/nrm are constant per vec_id,
+        // so first() is deterministic.
         val l2 = "long_l2(%s, %s)"
-        val wa = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("c_id"))
         val assigned = n.crossJoin(broadcast(cent))
           .withColumn("dist", expr(l2.format("qe", "ce")))
-          .withColumn("arn", row_number().over(wa))
-          .filter(col("arn") === 1)
-          .select(col("vec_id"), col("qe"), col("nrm"), col("c_id").as("cell"))
+          .groupBy(col("vec_id"))
+          .agg(first(col("qe")).as("qe"), first(col("nrm")).as("nrm"),
+            min(struct(col("dist"), col("c_id"))).as("m"))
+          .select(col("vec_id"), col("qe"), col("nrm"), col("m.c_id").as("cell"))
         // queries probe their 2 nearest cells
         val wp = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("c_id"))
         val probes = n.filter(col("vec_id") < 5)
