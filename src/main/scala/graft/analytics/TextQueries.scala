@@ -290,9 +290,14 @@ object TextQueries {
         val totals = tf.agg(sum(col("tf_lang")).as("tokens_all"))
         val liftExpr = "(tf_lang / tf_all) * (tokens_all / tokens_lang)"
         val wr = Window.partitionBy(col("lang")).orderBy(expr(liftExpr).desc, col("w"))
-        tf.filter(col("tf_lang") >= 5)
-          .join(broadcast(perLang), "lang")
-          .join(perTerm, "w")
+        // null-safe (<=>) joins: groupBy keeps a NULL lang/term as its own
+        // group (as the windowed oracle form does) and an equi-join would
+        // silently drop it
+        tf.filter(col("tf_lang") >= 5).as("t")
+          .join(broadcast(perLang.as("pl")), col("t.lang") <=> col("pl.lang"))
+          .drop(col("pl.lang"))
+          .join(perTerm.as("pt"), col("t.w") <=> col("pt.w"))
+          .drop(col("pt.w"))
           .crossJoin(broadcast(totals))
           .withColumn("lift", expr(s"floor($liftExpr * 1e6 + 0.5) / 1e6"))
           .withColumn("rank", row_number().over(wr))

@@ -56,15 +56,21 @@ object SyncCli {
   def runJson(spark: SparkSession, argJson: String): String = {
     val argv = new com.fasterxml.jackson.databind.ObjectMapper()
       .readValue(argJson, classOf[Array[String]])
+    if (argv == null) throw new IllegalArgumentException("argJson must be a JSON array")
     val cli = parseArgs(argv).fold(e => throw new IllegalArgumentException(e), identity)
+    if (cli.helpRequested) return usage
     val loaded = (cli.configFilePath, cli.configYaml) match {
       case (Some(p), _) => ConfigLoader.loadFile(p)
       case (_, Some(y)) => ConfigLoader.loadString(y)
       case _ => throw new IllegalArgumentException("One of -p or -c is required.")
     }
-    val report =
-      if (loaded.jobRunMode == "ONCE_WITH_RETRY") LakeViewSync.runOnceWithRetry(spark, loaded.sync)
-      else LakeViewSync.runOnce(spark, loaded.sync) // CONTINUOUS is not embeddable
+    val report = loaded.jobRunMode match {
+      case "ONCE_WITH_RETRY" => LakeViewSync.runOnceWithRetry(spark, loaded.sync)
+      case "ONCE" => LakeViewSync.runOnce(spark, loaded.sync)
+      case other => // a silently-downgraded CONTINUOUS would betray the caller
+        throw new IllegalArgumentException(
+          s"jobRunMode $other is not embeddable; use SyncCli.main or ContinuousSync")
+    }
     if (!report.allSucceeded)
       throw new IllegalStateException(
         s"sync failed for ${report.failures.size} table(s): ${report.failures}")

@@ -35,6 +35,13 @@ import graft.functions.LongArrayDot
   *     `multiplyExact`/`addExact`, so both sides fail loudly rather than
   *     wrap. LEGACY (wrapping) and TRY (null-on-overflow) HOFs are left
   *     alone — their overflow results differ from the checked native loop.
+  *
+  * One documented deviation remains: for MISMATCHED-length inputs whose
+  * overlapping prefix would overflow, the ANSI HOF raises (zip_with
+  * computes the overlap products eagerly) while the rewrite short-circuits
+  * on the size guard and returns the NULL the HOF would have produced had
+  * the products fit. The rewrite never fabricates a value — it can only
+  * turn that corner-case error into the semantically-motivated NULL.
   */
 object RewriteLongDot extends Rule[LogicalPlan] {
 

@@ -12,30 +12,33 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Correctness model: a session is only emitted once the watermark passes
   * `session_end + gap`, because until then an in-horizon event could still
-  * extend it or merge it with a later session. Events inside the watermark
-  * horizon buffer in per-user state (sorted on event time in MICROSECONDS,
-  * matching the batch rule's `unix_micros` comparisons); events at or below
-  * the watermark are dropped — the standard streaming contract, so batch
-  * parity holds exactly for all data within the horizon.
+  * extend it or merge it with a later session. Events at or below the
+  * watermark are dropped — the standard streaming contract, so batch parity
+  * holds exactly for all data within the horizon. All arithmetic is in
+  * event-time MICROSECONDS, matching the batch rule's `unix_micros`.
   *
-  * State design for 100 TB streams: keyed by `user_id` (high cardinality —
-  * state shards across the cluster), each key buffers only the events of
-  * its not-yet-emitted sessions, and the watermark bounds that window, so
-  * the store scales with *recently active users x horizon*, not stream
-  * age. `EventTimeTimeout` fires when the watermark passes the last
-  * buffered event's gap horizon, flushing idle users' sessions and
-  * removing their state entirely.
+  * State design for 100 TB streams: adding an event can only EXTEND a
+  * session or MERGE adjacent sessions — never split one (gaps only shrink) —
+  * so per-user state needs just one `(start, last, n, sum)` summary atom per
+  * not-yet-emitted session, never raw events. A key emitting events
+  * continuously holds ONE atom regardless of rate or stream age; the atom
+  * count is bounded by horizon/gap. Keys shard on `user_id` (high
+  * cardinality), and `EventTimeTimeout` fires at the EARLIEST pending
+  * session's gap horizon, so each session emits as soon as the watermark
+  * proves it final, after which idle keys drop their state entirely.
   */
 object EventStream {
 
   /** One event on the stream (mirrors the `events` table's core columns). */
   final case class Event(userId: Long, eventType: String, value: Double, ts: Timestamp)
 
-  /** Buffered not-yet-emitted events: parallel epoch-micros / value seqs
-    * (primitive Seqs serialize tighter than nested Products). Public — the
-    * state encoder's deserializer cannot call a private constructor.
+  /** Pending session summaries, parallel by index and start-ordered:
+    * `(starts(i), lasts(i), ns(i), sums(i))` is one not-yet-final session.
+    * Primitive parallel Seqs serialize tighter than nested Products; public
+    * — the state encoder's deserializer cannot call a private constructor.
     */
-  final case class Pending(tsUs: Seq[Long], values: Seq[Double])
+  final case class Pending(
+      starts: Seq[Long], lasts: Seq[Long], ns: Seq[Long], sums: Seq[Double])
 
   /** A closed session: emitted exactly once, when the watermark passes its
     * gap horizon.
@@ -66,38 +69,42 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (userId: Long, it: Iterator[Event], state: GroupState[Pending]) => {
           val wmUs = state.getCurrentWatermarkMs() * 1000L
-          val prev = state.getOption
-            .map(p => p.tsUs.zip(p.values)).getOrElse(Seq.empty)
+          val prev = state.getOption.map(p =>
+            p.starts.indices.map(i => (p.starts(i), p.lasts(i), p.ns(i), p.sums(i))))
+            .getOrElse(Seq.empty)
           // too-late rows (at/below the watermark) are dropped, like every
-          // watermarked operator; buffered rows predate the cutoff by
-          // construction and are kept until their session emits
-          val fresh = it.map(e => (toUs(e.ts), e.value)).filter(_._1 > wmUs)
-          val all = (prev ++ fresh).sortBy(identity)
-          if (all.isEmpty) {
+          // watermarked operator; each kept event becomes a 1-event atom
+          val fresh = it.collect {
+            case e if toUs(e.ts) > wmUs => val t = toUs(e.ts); (t, t, 1L, e.value)
+          }.toSeq
+          // fold start-sorted atoms, merging when the inter-atom gap closes.
+          // Atom internal gaps are <= gapUs by construction, and a new event
+          // inside an atom's span only shrinks internal gaps, so this
+          // reproduces the batch rule exactly.
+          val merged = Seq.newBuilder[(Long, Long, Long, Double)]
+          (prev ++ fresh).sortBy(a => (a._1, a._2)) match {
+            case Seq() =>
+            case sorted =>
+              var (s, l, n, v) = sorted.head
+              sorted.tail.foreach { case (s2, l2, n2, v2) =>
+                if (s2 - l <= gapUs) { l = math.max(l, l2); n += n2; v += v2 }
+                else { merged += ((s, l, n, v)); s = s2; l = l2; n = n2; v = v2 }
+              }
+              merged += ((s, l, n, v))
+          }
+          // a session is final once no in-horizon event can touch it
+          val (closed, open) = merged.result().partition(_._2 + gapUs <= wmUs)
+          if (open.isEmpty) {
             if (state.exists) state.remove()
-            Iterator.empty
           } else {
-            // walk the sorted buffer applying the batch gap rule
-            val sessions = Seq.newBuilder[(Long, Long, Long, Double)]
-            var (start, last, n, sum) = (all.head._1, all.head._1, 1L, all.head._2)
-            all.tail.foreach { case (t, v) =>
-              if (t - last <= gapUs) { last = t; n += 1; sum += v }
-              else { sessions += ((start, last, n, sum)); start = t; last = t; n = 1; sum = v }
-            }
-            sessions += ((start, last, n, sum))
-            // a session is final once no in-horizon event can touch it
-            val (closed, open) = sessions.result().partition(_._2 + gapUs <= wmUs)
-            if (open.isEmpty) state.remove()
-            else {
-              val cutoff = open.head._1 // first unemitted session's start
-              val keep = all.filter(_._1 >= cutoff)
-              state.update(Pending(keep.map(_._1), keep.map(_._2)))
-              // fire once the watermark passes the last event's gap horizon
-              state.setTimeoutTimestamp((all.last._1 + gapUs) / 1000L + 1L)
-            }
-            closed.iterator.map { case (s, e, cnt, v) =>
-              ClosedSession(userId, fromUs(s), fromUs(e), cnt, v)
-            }
+            state.update(Pending(
+              open.map(_._1), open.map(_._2), open.map(_._3), open.map(_._4)))
+            // fire at the EARLIEST pending horizon so each session emits as
+            // soon as the watermark proves it final
+            state.setTimeoutTimestamp((open.head._2 + gapUs) / 1000L + 1L)
+          }
+          closed.iterator.map { case (cs, ce, cnt, cv) =>
+            ClosedSession(userId, fromUs(cs), fromUs(ce), cnt, cv)
           }
         })
   }
