@@ -193,6 +193,54 @@ object EventQueries {
              |GROUP BY 1, 2 ORDER BY n DESC, event_type, nxt LIMIT 20""".stripMargin)
     ),
 
+    // ----- event-type affinity: market-basket co-occurrence with lift -----
+    // For every pair of event types, how many users perform both, and the
+    // lift vs independence: n_both * n_users / (n_a * n_b). The self-join
+    // runs on the DISTINCT (user_id, event_type) projection, so per-user
+    // fan-out is bounded by the type-cardinality squared (a small constant),
+    // never by the user's event count — at 100 TB the distinct is the only
+    // full shuffle and the per-type totals broadcast. Lift is exact-integer
+    // products with a single IEEE division, rounded — engine-order
+    // independent.
+    "evt_type_affinity" -> QuerySpec(
+      (s, d) => {
+        val ut = ev(s, d).select(col("user_id"), col("event_type")).distinct()
+        val totals = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        val nUsers = ut.select(col("user_id")).distinct()
+          .agg(count(lit(1)).as("n_users"))
+        val pairs = ut.as("a")
+          .join(ut.as("b"),
+            col("a.user_id") === col("b.user_id") &&
+              col("a.event_type") < col("b.event_type"))
+          .groupBy(col("a.event_type").as("type_a"),
+            col("b.event_type").as("type_b"))
+          .agg(count(lit(1)).as("n_both"))
+        pairs
+          .join(broadcast(totals.select(col("event_type").as("type_a"),
+            col("n").as("n_a"))), "type_a")
+          .join(broadcast(totals.select(col("event_type").as("type_b"),
+            col("n").as("n_b"))), "type_b")
+          .crossJoin(broadcast(nUsers))
+          .withColumn("lift",
+            expr("round(n_both * n_users / (n_a * n_b), 6)"))
+          .select(col("type_a"), col("type_b"), col("n_both"), col("lift"))
+          .orderBy(col("type_a"), col("type_b"))
+      },
+      Some("""WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+             |t AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY 1),
+             |u AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM ut),
+             |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+             |    COUNT(*) AS n_both
+             |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+             |    AND a.event_type < b.event_type
+             |  GROUP BY 1, 2)
+             |SELECT type_a, type_b, n_both,
+             |  round(n_both * n_users / (ta.n * tb.n), 6) AS lift
+             |FROM p JOIN t ta ON p.type_a = ta.event_type
+             |  JOIN t tb ON p.type_b = tb.event_type CROSS JOIN u
+             |ORDER BY type_a, type_b""".stripMargin)
+    ),
+
     // ----- sessionization: 30-minute inactivity gap -----
     "evt_sessionize" -> QuerySpec(
       (s, d) => {

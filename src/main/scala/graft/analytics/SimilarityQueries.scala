@@ -301,6 +301,52 @@ object SimilarityQueries {
              |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rn FROM res)
              |SELECT q_id, vec_id, cell, round(c, 6) AS cosine, rn FROM r
              |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin)
+    ),
+
+    // ----- cluster quality: per-label centroid cohesion ---------------------
+    // The evaluation every embedding-clustering pipeline runs: how tight is
+    // each cluster around its centroid (mean / worst member-to-centroid
+    // cosine). Centroids are per-dimension means built the scale-safe way —
+    // posexplode + groupBy(label, dim), map-side combined, no row ever holds
+    // a whole cell — then the tiny centroid table broadcasts back for one
+    // narrow pass over the vectors. Cosines quantize to 1e6 integers before
+    // the SUM, so the per-label average is an exact-integer sum with one
+    // IEEE division — engine-order independent.
+    "sim_cluster_stats" -> QuerySpec(
+      (s, d) => {
+        graft.functions.VectorExpressions.register(s)
+        val n = Tables.spread(emb(s, d), "vec_id")
+          .select(col("vec_id"), col("label"), expr(quantizeS("embedding")).as("qe"))
+          .withColumn("nrm", expr("long_dot(qe, qe)"))
+        val cent = n
+          .select(col("label"), posexplode(col("qe")).as(Seq("j", "v")))
+          .groupBy(col("label"), col("j"))
+          .agg(expr("cast(round(sum(v) / count(1)) as bigint)").as("cj"))
+          .groupBy(col("label"))
+          .agg(transform(array_sort(collect_list(struct(col("j"), col("cj")))),
+            x => x.getField("cj")).as("ce"))
+          .withColumn("cn", expr("long_dot(ce, ce)"))
+        n.join(broadcast(cent), Seq("label"))
+          .withColumn("ci",
+            expr("cast(floor(long_dot(qe, ce) / (sqrt(nrm) * sqrt(cn)) * 1e6 + 0.5) as bigint)"))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n_vecs"),
+            expr("round(sum(ci) / count(1) / 1e6, 6)").as("avg_cos"),
+            expr("round(min(ci) / 1e6, 6)").as("min_cos"))
+          .orderBy(col("label"))
+      },
+      Some(s"""$OracleQ,
+             |cent AS (SELECT label, list_transform(generate_series(1, 64), j -> CAST(round(
+             |      CAST(list_sum(list_transform(list(qe), v -> v[j])) AS BIGINT) / COUNT(*)) AS BIGINT)) AS ce
+             |  FROM q GROUP BY label),
+             |cn AS (SELECT label, ce, ${dotD("ce", "ce")} AS cn FROM cent),
+             |ci AS (SELECT n.label,
+             |    CAST(floor(${dotD("n.qe", "c.ce")} / (sqrt(n.nrm) * sqrt(c.cn)) * 1e6 + 0.5) AS BIGINT) AS ci
+             |  FROM n JOIN cn c ON n.label = c.label)
+             |SELECT label, COUNT(*) AS n_vecs,
+             |  round(SUM(ci) / COUNT(*) / 1e6, 6) AS avg_cos,
+             |  round(MIN(ci) / 1e6, 6) AS min_cos
+             |FROM ci GROUP BY label ORDER BY label""".stripMargin)
     )
   )
 }

@@ -343,6 +343,49 @@ object TextQueries {
              |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin)
     ),
 
+    // ----- source vocabulary overlap: pairwise Jaccard via inverted index ---
+    // How much two crawl sources share vocabulary — the corpus-mixing
+    // diagnostic run before blending sources into a training set. The join
+    // key is the WORD (inverted index), so each word emits at most
+    // sources-choose-2 pairs regardless of corpus size; documents are never
+    // self-joined. At 100 TB the distinct (source, word) projection is the
+    // only corpus-sized shuffle; everything after runs on vocabulary-sized
+    // data, and the per-source vocab totals broadcast.
+    "txt_source_overlap" -> QuerySpec(
+      (s, d) => {
+        val sw = docs(s, d)
+          .select(col("source"), explode(expr(tokensS("text"))).as("w"))
+          .filter(length(col("w")) > 0)
+          .distinct()
+        val vocab = sw.groupBy(col("source")).agg(count(lit(1)).as("v"))
+        sw.as("a").join(sw.as("b"),
+            col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+          .agg(count(lit(1)).as("n_common"))
+          .join(broadcast(vocab.select(col("source").as("src_a"),
+            col("v").as("v_a"))), "src_a")
+          .join(broadcast(vocab.select(col("source").as("src_b"),
+            col("v").as("v_b"))), "src_b")
+          .withColumn("jaccard",
+            expr("floor(n_common / (v_a + v_b - n_common) * 1e6 + 0.5) / 1e6"))
+          .select(col("src_a"), col("src_b"), col("n_common"), col("jaccard"))
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      Some(s"""WITH sw AS (SELECT DISTINCT source, w
+             |    FROM (SELECT source, unnest(${tokensD("text")}) AS w
+             |          FROM documents) z WHERE length(w) > 0),
+             |v AS (SELECT source, COUNT(*) AS v FROM sw GROUP BY 1),
+             |p AS (SELECT a.source AS src_a, b.source AS src_b,
+             |    COUNT(*) AS n_common
+             |  FROM sw a JOIN sw b ON a.w = b.w AND a.source < b.source
+             |  GROUP BY 1, 2)
+             |SELECT src_a, src_b, n_common,
+             |  floor(n_common / (va.v + vb.v - n_common) * 1e6 + 0.5) / 1e6 AS jaccard
+             |FROM p JOIN v va ON p.src_a = va.source
+             |  JOIN v vb ON p.src_b = vb.source
+             |ORDER BY src_a, src_b""".stripMargin)
+    ),
+
     // ----- domain-mixture reweighting: per-language sampling weights --------
     // Training mixtures are rebalanced by sampling weight = target share /
     // actual share. Target here is the uniform mixture over observed

@@ -58,6 +58,26 @@ class PlanAuditSpec extends AnyFunSuite {
       s"bucket join degenerated to all-pairs in:\n$p")
   }
 
+  test("type affinity: pair join keys on user_id, per-type totals broadcast") {
+    val p = plan("evt_type_affinity")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast totals join in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian in:\n$p")
+  }
+
+  test("source overlap: inverted-index join is an equi-join on the word") {
+    val p = plan("txt_source_overlap")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast vocab joins in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"word join degenerated to all-pairs in:\n$p")
+  }
+
+  test("cluster stats: centroid table broadcasts back to the vectors") {
+    val p = plan("sim_cluster_stats")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast centroid join in:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"unexpected all-pairs join in:\n$p")
+  }
+
   test("aggregation pipeline runs inside whole-stage codegen") {
     // AQE annotates codegen spans only in the finalized plan: execute first
     val df = SparkEntry.queries("rel_agg_pricing_summary")(spark, dir)
