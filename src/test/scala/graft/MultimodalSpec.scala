@@ -56,6 +56,75 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MultimodalSpec.closes.get() == 4, s"closes=${MultimodalSpec.closes.get()}")
     assert(MultimodalSpec.maxBatch.get() <= 16)
   }
+
+  test("JdkDecoder decodes real PNG payloads: true dimensions + luminance stats") {
+    import spark.implicits._
+    // 3 real PNGs with known content: solid black, solid white, half/half
+    def png(w: Int, h: Int, fill: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, fill(x, y))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val black = png(40, 30, (_, _) => 0x000000)
+    val white = png(16, 16, (_, _) => 0xffffff)
+    val half = png(10, 10, (x, _) => if (x < 5) 0x000000 else 0xffffff)
+    val ds = Seq(
+      Multimodal.MediaRecord(1L, "image", black, 99, 99),
+      Multimodal.MediaRecord(2L, "image", white, 99, 99),
+      Multimodal.MediaRecord(3L, "image", half, 99, 99)).toDS()
+    val out = Multimodal.decodeBatch(ds, batchSize = 2,
+      decoder = Multimodal.JdkDecoder).collect().map(f => f.docId -> f).toMap
+    // declared 99x99 is ignored: dimensions come from the DECODED image
+    assert(out(1L).width == 40 && out(1L).height == 30)
+    assert(out(1L).meanByte == 0.0 && out(1L).byteHisto(0) == 1200L)
+    assert(out(2L).width == 16 && out(2L).height == 16)
+    // BT.601 of white = (299+587+114)*255/1000 = 255 -> bucket 7
+    assert(out(2L).meanByte == 255.0 && out(2L).byteHisto(7) == 256L)
+    assert(out(3L).byteHisto(0) == 50L && out(3L).byteHisto(7) == 50L)
+    assert(out(3L).meanByte == 127.5)
+  }
+
+  test("JdkDecoder decodes real PCM WAV payloads: channels, rate, amplitude stats") {
+    import spark.implicits._
+    // real 16-bit mono PCM WAV, 8 kHz: constant amplitude 12800 (|s|>>7=100)
+    def wav(samples: Array[Short], rateHz: Float): Array[Byte] = {
+      val pcm = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        pcm(2 * i) = (s & 0xff).toByte; pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rateHz, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val tone = wav(Array.fill[Short](800)(12800), 8000f)
+    val ds = Seq(Multimodal.MediaRecord(7L, "audio", tone, 0, 0)).toDS()
+    val f = Multimodal.decodeBatch(ds, decoder = Multimodal.JdkDecoder)
+      .collect().head
+    assert(f.width == 1, "channels")
+    assert(f.height == 8, "sample rate kHz")
+    assert(f.meanByte == 100.0, "mean scaled amplitude")
+    assert(f.byteHisto(3) == 800L, "all samples in bucket 100>>5=3")
+  }
+
+  test("JdkDecoder falls back to pseudo-features for undecodable payloads") {
+    import spark.implicits._
+    val junk = Multimodal.MediaRecord(9L, "video",
+      "not a media file".getBytes("UTF-8"), 11, 13)
+    val f = Multimodal.decodeBatch(Seq(junk).toDS(),
+      decoder = Multimodal.JdkDecoder).collect().head
+    val want = Multimodal.fakeDecode(junk)
+    assert((f.docId, f.mediaType, f.nBytes, f.payloadMd5, f.width, f.height,
+      f.meanByte, f.byteHisto.toSeq) ==
+      (want.docId, want.mediaType, want.nBytes, want.payloadMd5, want.width,
+        want.height, want.meanByte, want.byteHisto.toSeq))
+  }
 }
 
 object MultimodalSpec {
