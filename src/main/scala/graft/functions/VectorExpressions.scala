@@ -289,5 +289,6 @@ object VectorExpressions {
     reg.createOrReplaceTempFunction("shingle3_hash", es => Shingle3Hash(es(0)), "built-in")
     reg.createOrReplaceTempFunction("minhash16", es => MinHash16(es(0)), "built-in")
     reg.createOrReplaceTempFunction("hyperplane_key6", es => HyperplaneKey6(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("zorder2", es => ZOrder2(es(0), es(1)), "built-in")
   }
 }

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.col
+
+/** Layout-optimized parquet writer for curated output lakes — the file
+  * layout is the dominant scan-cost lever at 100 TB, and this encodes the
+  * three levers the engine's own readers (and any downstream engine)
+  * exploit:
+  *
+  *   - **Hive partitioning** on low-cardinality columns → partition pruning
+  *     eliminates directories before any file is opened;
+  *   - **partition-aligned shuffle**: `repartition(partitionCols)` before
+  *     `write.partitionBy` means each task holds exactly the rows of its
+  *     output partitions — without it every task writes a file into every
+  *     partition, the classic small-files explosion (tasks × partitions
+  *     files);
+  *   - **sort-within-partitions clustering** on query columns → parquet
+  *     min/max zone maps become selective, so row groups and whole files
+  *     prune for range predicates; multi-dimensional locality via
+  *     [[graft.functions.ZOrder]] (`zorder2`) instead of a lexicographic
+  *     sort when two columns are queried independently;
+  *   - **bounded file sizes** via `maxRecordsPerFile`, keeping splits
+  *     uniform for downstream parallelism.
+  *
+  * The same config serves curated-corpus writes (partition by lang, cluster
+  * by quality) and the mirrored-lake analytics tables (partition by table,
+  * cluster by commit ts).
+  */
+object LakeLayout {
+
+  final case class LayoutConfig(
+      partitionCols: Seq[String],
+      clusterCols: Seq[Column],
+      maxRecordsPerFile: Long = 1000000L)
+
+  /** Write `df` to `path` with the layout above. `clusterCols` may be plain
+    * columns (lexicographic clustering) or a `zorder2(...)` expression
+    * (multi-dimensional tiles).
+    */
+  def write(df: DataFrame, path: String, cfg: LayoutConfig): Unit = {
+    require(cfg.partitionCols.nonEmpty || cfg.clusterCols.nonEmpty,
+      "layout must partition or cluster (or both)")
+    val aligned =
+      if (cfg.partitionCols.isEmpty) df
+      else df.repartition(cfg.partitionCols.map(col): _*)
+    // partition columns lead the sort: the parquet write path requires its
+    // ordering to start with them and would otherwise inject its own
+    // (unstable) sort by partition columns, destroying the clustering
+    val sortCols = cfg.partitionCols.map(col) ++ cfg.clusterCols
+    val clustered =
+      if (sortCols.isEmpty) aligned
+      else aligned.sortWithinPartitions(sortCols: _*)
+    val writer = clustered.write
+      .mode("overwrite")
+      .option("maxRecordsPerFile", cfg.maxRecordsPerFile)
+    (if (cfg.partitionCols.isEmpty) writer
+     else writer.partitionBy(cfg.partitionCols: _*)).parquet(path)
+  }
+}

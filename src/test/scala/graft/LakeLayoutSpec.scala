@@ -1,0 +1,109 @@
+package graft
+
+import graft.functions.ZOrder
+import graft.operators.LakeLayout
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The layout writer's claims, verified against what's actually on disk and
+  * in the read plan: partition-pruned scans, one file per partition per
+  * size-cap window (no small-files explosion), non-overlapping zone ranges
+  * under clustering, and Z-order tiles pruning better than a lexicographic
+  * sort for box predicates on the second dimension.
+  */
+class LakeLayoutSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.spark
+
+  test("morton code: known values, per-dimension monotonicity, sign bias") {
+    // interleave of small non-negative values matches the textbook bit
+    // pattern, offset by the sign bias (x's biased sign bit lands at 62;
+    // y's lands at 63 and is flipped back to 0)
+    val base = 1L << 62
+    assert(ZOrder.morton(0, 0) == base)
+    assert(ZOrder.morton(1, 0) == (base | 1L))
+    assert(ZOrder.morton(0, 1) == (base | 2L))
+    assert(ZOrder.morton(3, 5) == (base | 1L | 4L | 2L | 32L)) // x=0b11->bits0,2; y=0b101->bits1,5
+    // fixing one dimension, the code is monotone in the other
+    val xs = Seq(-5L, -1L, 0L, 1L, 7L, 1000L, Int.MaxValue.toLong)
+    xs.sliding(2).foreach { case Seq(a, b) =>
+      assert(ZOrder.morton(a, 42) < ZOrder.morton(b, 42))
+      assert(ZOrder.morton(42, a) < ZOrder.morton(42, b))
+    case _ => () }
+    // negative coordinates order before positive ones
+    assert(ZOrder.morton(Int.MinValue.toLong, 0) < ZOrder.morton(0, 0))
+    // out-of-range inputs fail loudly instead of aliasing
+    intercept[IllegalArgumentException](ZOrder.morton(Int.MaxValue.toLong + 1, 0))
+  }
+
+  test("partitioned write prunes partitions in the read plan and aligns files") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lake_layout").toString
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    LakeLayout.write(docs, s"$dir/docs",
+      LakeLayout.LayoutConfig(Seq("lang"), Seq(col("n_chars"))))
+    // partition pruning: the lang=en scan lists only the en directory
+    val read = spark.read.parquet(s"$dir/docs").filter($"lang" === "en")
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"),
+      s"expected partition filter in:\n$plan")
+    assert(read.count() == docs.filter($"lang" === "en").count())
+    // partition-aligned shuffle -> exactly one file per lang directory
+    val langs = docs.select("lang").distinct().as[String].collect()
+    langs.foreach { l =>
+      val files = new java.io.File(s"$dir/docs/lang=$l")
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"lang=$l has ${files.length} files, want 1")
+    }
+    // clustering: per-file n_chars zone ranges don't interleave when the
+    // size cap forces multiple files
+    LakeLayout.write(docs, s"$dir/split",
+      LakeLayout.LayoutConfig(Seq("lang"), Seq(col("n_chars")), maxRecordsPerFile = 10))
+    val enFiles = new java.io.File(s"$dir/split/lang=en")
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+    assert(enFiles.length > 1, "size cap should split the en partition")
+    val ranges = enFiles.map { f =>
+      val r = spark.read.parquet(f).agg(min($"n_chars"), max($"n_chars")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, aMax), (bMin, _)) =>
+        assert(bMin >= aMax, s"zone ranges interleave: $ranges")
+      case _ => ()
+    }
+  }
+
+  test("zorder clustering prunes a 2-D box predicate better than a linear sort") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lake_zorder").toString
+    // 16x16 grid, 4 files of 64 rows each
+    val grid = (for (x <- 0 until 16; y <- 0 until 16) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    graft.functions.VectorExpressions.register(spark)
+    // coalesce(1): sortWithinPartitions is global over one partition, so the
+    // size cap cuts clean sequential tiles (the demo needs exact 64-row files)
+    LakeLayout.write(grid.coalesce(1).withColumn("z", expr("zorder2(x, y)")), s"$dir/z",
+      LakeLayout.LayoutConfig(Nil, Seq(col("z")), maxRecordsPerFile = 64))
+    LakeLayout.write(grid.coalesce(1), s"$dir/linear",
+      LakeLayout.LayoutConfig(Nil, Seq(col("x"), col("y")), maxRecordsPerFile = 64))
+    // a file can serve the box query y < 8 only if its y zone-range says so:
+    // count files whose min/max y range intersects the box
+    def filesTouching(path: String): Int = {
+      val files = new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+      files.count { f =>
+        val r = spark.read.parquet(f).agg(min($"y"), max($"y")).head()
+        r.getLong(0) < 8 // box y in [0, 8)
+      }
+    }
+    val zTouch = filesTouching(s"$dir/z")
+    val linTouch = filesTouching(s"$dir/linear")
+    // z-order tiles: only half the files contain y<8 rows; an x-major sort
+    // spreads every y value across every file
+    assert(zTouch * 2 <= linTouch,
+      s"zorder files touching=$zTouch, linear=$linTouch")
+    // and the z-ordered lake still returns the right rows
+    val got = spark.read.parquet(s"$dir/z").filter($"y" < 8).count()
+    assert(got == 16L * 8)
+  }
+}
