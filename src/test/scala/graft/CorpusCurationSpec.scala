@@ -64,4 +64,23 @@ class CorpusCurationSpec extends AnyFunSuite {
     assert(report.input == docs.count())
     assert(report.kept > 0 && curated.count() == report.kept)
   }
+
+  test("curated output lands in a layout-optimized lake: pruned, clustered, complete") {
+    import org.apache.spark.sql.functions.col
+    val d = "/root/testdata/sf0.001"
+    val docs = Tables.t(spark, d, "documents")
+    val pairs = graft.analytics.DedupQueries.minhashPairs(spark, d)
+      .select("doc_a", "doc_b")
+    val (curated, report) = CorpusCuration.curate(docs, pairs)
+    val dir = java.nio.file.Files.createTempDirectory("curated_lake").toString
+    graft.operators.LakeLayout.write(curated, s"$dir/corpus",
+      graft.operators.LakeLayout.LayoutConfig(Seq("lang"), Seq(col("quality"))))
+    val back = spark.read.parquet(s"$dir/corpus")
+    assert(back.count() == report.kept, "write round-trips every kept doc")
+    // a training run reading one language prunes every other partition
+    val en = back.filter(col("lang") === "en")
+    assert(en.queryExecution.executedPlan.toString
+      .contains("PartitionFilters: [isnotnull(lang"))
+    assert(en.count() == curated.filter(col("lang") === "en").count())
+  }
 }
