@@ -386,6 +386,48 @@ object TextQueries {
              |ORDER BY src_a, src_b""".stripMargin)
     ),
 
+    // ----- sketch-estimated source similarity: MinHash-union aggregator -----
+    // The mergeable-sketch path to what txt_source_overlap computes exactly:
+    // per-document 16-lane MinHash signatures aggregate per source through
+    // the MinHashUnion Aggregator (element-wise min = signature of the
+    // source's token-set UNION), and lane agreement between two source
+    // signatures estimates vocabulary Jaccard. At 100 TB this is the query
+    // that scales where the exact one strains: partial aggregation reduces
+    // every map task to #sources x 16 longs before the only shuffle — no
+    // corpus-sized distinct, no inverted index. The pair join runs on a
+    // #sources-row table.
+    "txt_source_minhash_sim" -> QuerySpec(
+      (s, d) => {
+        graft.functions.VectorExpressions.register(s)
+        graft.functions.SketchAggregators.register(s)
+        val sigs = docs(s, d)
+          .withColumn("t", expr(tokensS("text")))
+          .withColumn("sig", expr(s"minhash16(${tokenHashesS("t")})"))
+          .groupBy(col("source"))
+          .agg(expr("minhash_union(sig)").as("sig"))
+        sigs.as("a").join(broadcast(sigs.as("b")),
+            col("a.source") < col("b.source"))
+          .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+            expr("cast(aggregate(zip_with(a.sig, b.sig, (x, y) -> if(x = y, 1L, 0L)), " +
+              "0L, (acc, v) -> acc + v) as bigint)").as("n_match"))
+          .withColumn("est_jaccard",
+            expr("floor(n_match / 16 * 1e6 + 0.5) / 1e6"))
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      Some(s"""WITH d AS (SELECT source,
+             |    ${minhashSigD(tokenHashesD(tokensD("text")))} AS s FROM documents),
+             |u AS (SELECT source, list_transform(generate_series(1, 16), i ->
+             |    list_min(list_transform(list(s), v -> v[i]))) AS sig
+             |  FROM d GROUP BY source),
+             |p AS (SELECT a.source AS src_a, b.source AS src_b,
+             |    CAST(list_sum(list_transform(generate_series(1, 16), i ->
+             |      CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) AS BIGINT) AS n_match
+             |  FROM u a JOIN u b ON a.source < b.source)
+             |SELECT src_a, src_b, n_match,
+             |  floor(n_match / 16 * 1e6 + 0.5) / 1e6 AS est_jaccard
+             |FROM p ORDER BY src_a, src_b""".stripMargin)
+    ),
+
     // ----- domain-mixture reweighting: per-language sampling weights --------
     // Training mixtures are rebalanced by sampling weight = target share /
     // actual share. Target here is the uniform mixture over observed

@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Mergeable-sketch aggregators (`Aggregator[IN, BUF, OUT]` — the typed
+  * UDAF surface). The sketch property is what matters at 100 TB: the
+  * per-group state is a fixed-width signature whose union is associative
+  * and commutative, so Spark's partial aggregation reduces each map task's
+  * slice to one signature BEFORE the shuffle — group statistics over an
+  * arbitrarily large corpus move #groups × K longs across the wire, never
+  * corpus-sized data.
+  */
+object SketchAggregators {
+
+  /** Element-wise-min union of K-lane MinHash signatures. The minimum of
+    * each lane over a set union equals the min over the per-set minima, so
+    * aggregating per-document signatures (e.g. [[MinHash16]]) with this
+    * yields exactly the signature of the group's UNION of token sets —
+    * lane-agreement between two group signatures then estimates their
+    * vocabulary Jaccard.
+    */
+  object MinHashUnion extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
+    override def zero: Array[Long] = Array.fill(TextFunctions.K)(Long.MaxValue)
+
+    override def reduce(buf: Array[Long], sig: Seq[Long]): Array[Long] = {
+      var i = 0
+      while (i < buf.length && i < sig.length) {
+        if (sig(i) < buf(i)) buf(i) = sig(i)
+        i += 1
+      }
+      buf
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) {
+        if (b(i) < a(i)) a(i) = b(i)
+        i += 1
+      }
+      a
+    }
+
+    override def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
+
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+  }
+
+  /** Register the sketch UDAFs on a session (`minhash_union(sig_array)`). */
+  def register(spark: SparkSession): Unit = {
+    implicit val inEnc: Encoder[Seq[Long]] = ExpressionEncoder()
+    spark.udf.register("minhash_union",
+      org.apache.spark.sql.functions.udaf(MinHashUnion))
+  }
+}

@@ -71,6 +71,13 @@ class PlanAuditSpec extends AnyFunSuite {
       s"word join degenerated to all-pairs in:\n$p")
   }
 
+  test("minhash-union sketch: signatures combine map-side before the shuffle") {
+    val p = plan("txt_source_minhash_sim")
+    assert(p.contains("partial_minhash_union"),
+      s"expected partial sketch aggregation before the exchange in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian in:\n$p")
+  }
+
   test("cluster stats: centroid table broadcasts back to the vectors") {
     val p = plan("sim_cluster_stats")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast centroid join in:\n$p")
