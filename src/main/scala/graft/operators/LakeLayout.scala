@@ -36,9 +36,12 @@ object LakeLayout {
 
   /** Write `df` to `path` with the layout above. `clusterCols` may be plain
     * columns (lexicographic clustering) or a `zorder2(...)` expression
-    * (multi-dimensional tiles).
+    * (multi-dimensional tiles). `mode` is "overwrite" for batch rebuilds,
+    * "append" for incremental/streaming micro-batches (each batch writes
+    * its own layout-clean files into the same partition tree).
     */
-  def write(df: DataFrame, path: String, cfg: LayoutConfig): Unit = {
+  def write(df: DataFrame, path: String, cfg: LayoutConfig,
+      mode: String = "overwrite"): Unit = {
     require(cfg.partitionCols.nonEmpty || cfg.clusterCols.nonEmpty,
       "layout must partition or cluster (or both)")
     val aligned =
@@ -52,7 +55,7 @@ object LakeLayout {
       if (sortCols.isEmpty) aligned
       else aligned.sortWithinPartitions(sortCols: _*)
     val writer = clustered.write
-      .mode("overwrite")
+      .mode(mode)
       .option("maxRecordsPerFile", cfg.maxRecordsPerFile)
     (if (cfg.partitionCols.isEmpty) writer
      else writer.partitionBy(cfg.partitionCols: _*)).parquet(path)

@@ -30,9 +30,14 @@ object DocumentStream {
     * rounding, so a document scores the same whether it arrives in a
     * backfill batch or on the stream).
     */
-  def scored(docs: Dataset[DocEvent]): DataFrame =
-    docs.toDF()
-      .withColumn("t", expr(tokensS("text")))
+  def scored(docs: Dataset[DocEvent]): DataFrame = scoreCols(docs.toDF())
+
+  /** The scoring projection itself — shared by [[scored]] and [[toLake]]
+    * (which scores AFTER the dedup so dropped duplicates are never
+    * tokenized).
+    */
+  private def scoreCols(df: DataFrame): DataFrame =
+    df.withColumn("t", expr(tokensS("text")))
       .withColumn("n_tokens", expr("size(t)"))
       .withColumn("stop_ratio", expr(stopRatioS("t")))
       .withColumn("distinct_ratio", expr(distinctRatioS("t")))
@@ -145,4 +150,31 @@ object DocumentStream {
         count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"),
         avg(col("quality")).as("avg_quality"))
+
+  /** Stream → layout-optimized lake: each micro-batch of deduped, scored,
+    * quality-filtered documents appends layout-clean files into the same
+    * partition tree batch curation writes ([[graft.operators.LakeLayout]]).
+    * foreachBatch because the layout needs a per-batch repartition+sort the
+    * file-sink API can't express; exactly-once comes from the checkpointed
+    * batch id (Spark re-runs a failed batch; the append of a replayed batch
+    * is the same data). Returns the started query.
+    */
+  def toLake(
+      docs: Dataset[DocEvent],
+      path: String,
+      checkpointDir: String,
+      minQuality: Double = 0.0,
+      watermarkDelay: String = "10 minutes"): org.apache.spark.sql.streaming.StreamingQuery = {
+    val deduped = scoreCols(dedupExact(docs, watermarkDelay))
+    deduped.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val kept = batch.filter(col("quality") >= minQuality)
+          .withColumn("day", to_date(col("eventTime")))
+        graft.operators.LakeLayout.write(kept, path,
+          graft.operators.LakeLayout.LayoutConfig(
+            Seq("day"), Seq(col("quality"))), mode = "append")
+      }
+      .start()
+  }
 }

@@ -101,4 +101,35 @@ class DocumentStreamSpec extends AnyFunSuite {
         ("2024-07-23 11:00:00.0", 1L, 1L)))
     } finally q.stop()
   }
+
+  test("toLake appends deduped, scored micro-batches into the partitioned lake") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("doc_lake").toString
+    val ms = MemoryStream[DocEvent]
+    val q = DocumentStream.toLake(ms.toDS(), s"$dir/lake", s"$dir/ckpt")
+    try {
+      ms.addData(
+        doc(1, "alpha beta gamma", "2024-07-23 10:00:00"),
+        doc(2, "delta epsilon zeta", "2024-07-24 09:00:00"))
+      q.processAllAvailable()
+      // second micro-batch: one re-crawl (dropped), one new doc
+      ms.addData(
+        doc(3, "alpha beta gamma", "2024-07-23 10:03:00"),
+        doc(4, "eta theta iota", "2024-07-24 11:00:00"))
+      q.processAllAvailable()
+      val back = spark.read.parquet(s"$dir/lake")
+      assert(back.select("docId").collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(1L, 2L, 4L), "dedup applied before the lake append")
+      assert(back.columns.contains("quality"), "scored before landing")
+      // day partitioning is live: one directory per event day, pruned reads
+      val days = new java.io.File(s"$dir/lake").listFiles()
+        .filter(_.isDirectory).map(_.getName).sorted
+      assert(days.toSeq == Seq("day=2024-07-23", "day=2024-07-24"))
+      val plan = spark.read.parquet(s"$dir/lake")
+        .filter(org.apache.spark.sql.functions.col("day") === "2024-07-24")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [isnotnull(day"))
+    } finally q.stop()
+  }
 }
