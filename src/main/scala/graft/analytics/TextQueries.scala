@@ -386,6 +386,41 @@ object TextQueries {
              |ORDER BY src_a, src_b""".stripMargin)
     ),
 
+    // ----- rare-token novelty: frequency-grounded quality signal ------------
+    // The corpus-statistics complement to the per-row repetition filter: a
+    // document's share of rare tokens (corpus document-frequency <= 2),
+    // high for novel/specific content and OCR garbage alike, so it feeds
+    // curation thresholds from both ends. Two map-side-combined aggregates
+    // (per-(doc, token) distinct, then token DF) and one equi-join of
+    // tokens to their DF on the hash — the frequency table is
+    // vocabulary-sized, joined not broadcast, so an arbitrarily large
+    // vocabulary still partitions. Ratios are exact-integer floor-rounded.
+    "txt_novelty" -> QuerySpec(
+      (s, d) => {
+        val dt = docs(s, d)
+          .select(col("doc_id"),
+            explode(expr(s"array_distinct(${tokenHashesS(tokensS("text"))})")).as("h"))
+        val df = dt.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        dt.join(df, "h")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_distinct"),
+            sum(when(col("df") <= 2, 1L).otherwise(0L)).as("n_rare"))
+          .withColumn("rarity_ratio",
+            expr("floor(n_rare / n_distinct * 1e6 + 0.5) / 1e6"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH raw AS (SELECT doc_id, unnest(${tokenHashesD(tokensD("text"))}) AS h
+             |    FROM documents),
+             |dt AS (SELECT DISTINCT doc_id, h FROM raw),
+             |f AS (SELECT h, COUNT(*) AS df FROM dt GROUP BY h)
+             |SELECT doc_id, COUNT(*) AS n_distinct,
+             |  CAST(SUM(CASE WHEN df <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+             |  floor(SUM(CASE WHEN df <= 2 THEN 1 ELSE 0 END) / COUNT(*) * 1e6 + 0.5) / 1e6
+             |    AS rarity_ratio
+             |FROM dt JOIN f USING (h)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    ),
+
     // ----- sketch-estimated source similarity: MinHash-union aggregator -----
     // The mergeable-sketch path to what txt_source_overlap computes exactly:
     // per-document 16-lane MinHash signatures aggregate per source through
