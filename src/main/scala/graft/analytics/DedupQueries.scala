@@ -446,6 +446,44 @@ object DedupQueries {
              |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
              |SELECT vec_a, vec_b, round(c, 6) AS cosine FROM p
              |WHERE c >= 0.4 ORDER BY vec_a, vec_b""".stripMargin)
+    ),
+
+    // ----- embedding near-dup, the scale path: hyperplane-LSH blocking ------
+    // The 100 TB form of dedup_embedding_cosine: candidates come from a
+    // 64-bucket hyperplane-LSH equi-join (vectors with the same sign
+    // pattern across 6 random hyperplanes), so pair generation is per
+    // bucket, never all-pairs — the same blocking shape as the text
+    // MinHash/SimHash family. Recall trades against the baseline: only
+    // same-bucket pairs are scored (a pair split by one hyperplane is
+    // missed; more tables/bands recover it), which is the standard
+    // LSH-dedup contract.
+    "dedup_embedding_lsh" -> QuerySpec(
+      (s, d) => {
+        graft.functions.VectorExpressions.register(s)
+        val q = Tables.spread(emb(s, d), "vec_id")
+          .select(col("vec_id"), expr(quantizeS("embedding")).as("qe"))
+          .withColumn("nrm", expr("long_dot(qe, qe)"))
+          .withColumn("bucket", expr("hyperplane_key6(qe)"))
+        val a = q.select(col("bucket"), col("vec_id").as("vec_a"),
+          col("qe").as("qa"), col("nrm").as("na"))
+        val b = q.select(col("bucket"), col("vec_id").as("vec_b"),
+          col("qe").as("qb"), col("nrm").as("nb"))
+        a.join(b, Seq("bucket"))
+          .filter(col("vec_a") < col("vec_b"))
+          .withColumn("c", expr("long_dot(qa, qb) / (sqrt(na) * sqrt(nb))"))
+          .filter(col("c") >= 0.4)
+          .select(col("vec_a"), col("vec_b"), col("bucket"),
+            expr("round(c, 6)").as("cosine"))
+          .orderBy(col("vec_a"), col("vec_b"))
+      },
+      Some(s"""WITH q AS (SELECT vec_id, ${quantizeD("embedding")} AS qe FROM embeddings),
+             |n AS (SELECT vec_id, qe, ${dotD("qe", "qe")} AS nrm,
+             |    ${SimilarityQueries.lshKeyD("qe")} AS bucket FROM q),
+             |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
+             |    ${dotD("a.qe", "b.qe")} / (sqrt(a.nrm) * sqrt(b.nrm)) AS c
+             |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+             |SELECT vec_a, vec_b, bucket, round(c, 6) AS cosine FROM p
+             |WHERE c >= 0.4 ORDER BY vec_a, vec_b""".stripMargin)
     )
   )
 }
