@@ -108,4 +108,38 @@ object EventStream {
           }
         })
   }
+
+  /** Stream-stream interval join: attribute each conversion to the same
+    * user's preceding trigger within the attribution window — the streaming
+    * twin of the batch as-of join (`evt_asof_last_click`), as a real
+    * watermarked stream-stream join rather than stateful custom code.
+    *
+    * State bounds come from the two watermarks plus the interval condition:
+    * Spark keeps a trigger row only while a joinable conversion could still
+    * arrive (trigger_ts + window past the conversion watermark), so state
+    * is rate × (delay + window) per side regardless of stream age, sharded
+    * by the `userId` equi-key. Inner join: unattributed conversions drop;
+    * a conversion matching several triggers in-window emits one row per
+    * trigger (downstream picks max trigger ts for strict last-touch).
+    */
+  def attribution(
+      triggers: Dataset[Event],
+      conversions: Dataset[Event],
+      windowMinutes: Int = 30,
+      watermarkDelay: String = "1 hour"): Dataset[(Long, Timestamp, Timestamp, Double)] = {
+    import triggers.sparkSession.implicits._
+    import org.apache.spark.sql.functions._
+    val t = triggers.toDF()
+      .select(col("userId").as("t_user"), col("ts").as("t_ts"))
+      .withWatermark("t_ts", watermarkDelay)
+    val c = conversions.toDF()
+      .select(col("userId").as("c_user"), col("ts").as("c_ts"), col("value"))
+      .withWatermark("c_ts", watermarkDelay)
+    c.join(t,
+        col("c_user") === col("t_user") &&
+          col("t_ts") <= col("c_ts") &&
+          col("t_ts") >= col("c_ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("c_user"), col("c_ts"), col("t_ts"), col("value"))
+      .as[(Long, Timestamp, Timestamp, Double)]
+  }
 }

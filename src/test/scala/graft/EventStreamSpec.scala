@@ -105,4 +105,35 @@ class EventStreamSpec extends AnyFunSuite {
       assert(collectSessions(spark, "sess2").toSet == truth)
     } finally q.stop()
   }
+
+  test("stream-stream attribution joins conversions to in-window triggers only") {
+    val spark = SparkSpec.spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val views = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val q = EventStream.attribution(views.toDS(), buys.toDS(), windowMinutes = 30)
+      .toDF("userId", "convTs", "trigTs", "value")
+      .writeStream.format("memory").queryName("attr").outputMode("append").start()
+    try {
+      views.addData(
+        ev(1, "2024-07-23 10:00:00"), // in window of the 10:20 buy
+        ev(1, "2024-07-23 09:00:00"), // 80 min before: outside
+        ev(2, "2024-07-23 10:05:00")) // other user's view
+      buys.addData(
+        Event(1, "buy", 50.0, Timestamp.valueOf("2024-07-23 10:20:00")),
+        Event(3, "buy", 70.0, Timestamp.valueOf("2024-07-23 10:21:00"))) // no trigger
+      q.processAllAvailable()
+      // advance both watermarks so results flush
+      views.addData(ev(98, "2024-07-24 12:00:00"))
+      buys.addData(Event(98, "buy", 0.0, Timestamp.valueOf("2024-07-24 12:00:00")))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT userId, trigTs, value FROM attr WHERE userId < 90 ORDER BY userId")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getDouble(2)))
+      // exactly one attribution: user 1's buy -> the 10:00 view; the 09:00
+      // view is out of window, user 2 never converts, user 3 has no trigger
+      assert(rows.toSeq == Seq((1L, "2024-07-23 10:00:00.0", 50.0)))
+    } finally q.stop()
+  }
 }
