@@ -260,6 +260,51 @@ object TextQueries {
              |FROM f GROUP BY lang ORDER BY lang""".stripMargin)
     ),
 
+    // ----- temperature-scaled mixture sampling (T = 0.5) --------------------
+    // The multilingual rebalancing step: sample each language with
+    // probability (tokens_lang / tokens_biggest)^T so low-resource strata
+    // are up-weighted relative to their raw share. T is fixed at 0.5 —
+    // sqrt is IEEE-exact on every platform where pow(x, 0.7) is not, so
+    // the per-stratum threshold floor(sqrt(tl/tmax)*1e6) is bit-identical
+    // in Spark and DuckDB and the hash-threshold keep decision is exactly
+    // reproducible. One corpus pass for token sums, a languages-sized
+    // probability table broadcast back, one map-side-combined count.
+    "txt_temperature_sample" -> QuerySpec(
+      (s, d) => {
+        val base = docs(s, d)
+          .withColumn("norm", expr(raw"regexp_replace(lower(trim(text)), '\\s+', ' ')"))
+          .withColumn("n_tok", expr(s"size(${tokensS("text")})"))
+        val lt = base.groupBy(col("lang"))
+          .agg(sum(col("n_tok")).as("tl"))
+        val m = lt.agg(max(col("tl")).as("tmax"))
+        val probs = lt.crossJoin(broadcast(m))
+          .withColumn("thresh", expr("cast(floor(sqrt(tl / tmax) * 1e6) as bigint)"))
+          .select(col("lang"), col("thresh"))
+        base.join(broadcast(probs), "lang")
+          .withColumn("keep", expr(s"pmod(${strHashS("norm")}, 1000000) < thresh"))
+          .groupBy(col("lang"), col("thresh"))
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+          .withColumn("sample_p", expr("thresh / 1e6"))
+          .select(col("lang"), col("n_total"), col("n_kept"), col("sample_p"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH b AS (SELECT lang,
+             |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm,
+             |    len(${tokensD("text")}) AS n_tok FROM documents),
+             |lt AS (SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS tl FROM b GROUP BY lang),
+             |m AS (SELECT MAX(tl) AS tmax FROM lt),
+             |pr AS (SELECT lang, CAST(floor(sqrt(tl / tmax) * 1e6) AS BIGINT) AS thresh
+             |  FROM lt CROSS JOIN m),
+             |f AS (SELECT b.lang, pr.thresh,
+             |    ((${strHashD("norm")} % 1000000) + 1000000) % 1000000 < pr.thresh AS keep
+             |  FROM b JOIN pr USING (lang))
+             |SELECT lang, COUNT(*) AS n_total,
+             |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  thresh / 1e6 AS sample_p
+             |FROM f GROUP BY lang, thresh ORDER BY lang""".stripMargin)
+    ),
+
     // ----- distinctive terms per language: lift-ranked TF-IDF analog --------
     // Corpus diagnostics: which terms are over-represented in each language
     // stratum. lift = (term share within the stratum) / (term share in the
