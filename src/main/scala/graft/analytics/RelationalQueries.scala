@@ -220,6 +220,31 @@ object RelationalQueries {
              |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
     ),
 
+    // ----- explicit grouping sets: a lattice rollup/cube can't express ------
+    // {(status, year), (year), ()} — per-year detail and totals WITHOUT the
+    // per-status marginals a cube would add. Same single-shuffle Expand
+    // plan as rollup/cube; grouping columns are non-null in the source, so
+    // the null pattern identifies each set. Spark side goes through
+    // spark.sql: the DataFrame API exposes only rollup/cube, GROUPING SETS
+    // is SQL surface in both engines.
+    "rel_grouping_sets" -> QuerySpec(
+      (s, d) => {
+        ord(s, d).createOrReplaceTempView("orders_gs")
+        s.sql("""SELECT o_orderstatus, year(o_orderdate) AS order_year,
+                |  COUNT(*) AS n_orders
+                |FROM orders_gs
+                |GROUP BY GROUPING SETS ((o_orderstatus, year(o_orderdate)),
+                |  (year(o_orderdate)), ())
+                |ORDER BY o_orderstatus NULLS FIRST, order_year NULLS FIRST""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus, EXTRACT(YEAR FROM o_orderdate) AS order_year,
+             |  COUNT(*) AS n_orders
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus, EXTRACT(YEAR FROM o_orderdate)),
+             |  (EXTRACT(YEAR FROM o_orderdate)), ())
+             |ORDER BY o_orderstatus NULLS FIRST, order_year NULLS FIRST""".stripMargin)
+    ),
+
     // ----- set ops -----------------------------------------------------------
     "rel_set_except" -> QuerySpec(
       (s, d) => {
