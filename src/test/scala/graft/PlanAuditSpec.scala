@@ -71,6 +71,13 @@ class PlanAuditSpec extends AnyFunSuite {
       s"word join degenerated to all-pairs in:\n$p")
   }
 
+  test("grouping sets: one Expand feeding one partial-aggregated shuffle") {
+    val p = plan("rel_grouping_sets")
+    assert(p.contains("Expand"), s"expected Expand for the grouping lattice in:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"grouping-sets aggregate should shuffle exactly once in:\n$p")
+  }
+
   test("minhash-union sketch: signatures combine map-side before the shuffle") {
     val p = plan("txt_source_minhash_sim")
     assert(p.contains("partial_minhash_union"),
