@@ -17,11 +17,18 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY: optional regex to dump a subset (builder-side tool;
-    // the driver sets no filter and gets every query)
+    // the driver sets no filter and gets every query). Log loudly when
+    // active so a filtered run can never pass silently as a full one.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
-    SparkEntry.queries.filter { case (n, _) =>
+    val selected = SparkEntry.queries.filter { case (n, _) =>
       only.forall(_.findFirstIn(n).isDefined)
-    }.foreach { case (name, fn) =>
+    }
+    only.foreach { p =>
+      System.err.println(s"[verify] PARTIAL RUN: SPARK_GRAFT_ONLY=${p.regex} " +
+        s"selects ${selected.size}/${SparkEntry.queries.size} queries " +
+        s"(${SparkEntry.queries.size - selected.size} skipped)")
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -45,10 +45,17 @@ object SimilarityQueries {
       s"j -> (((i * 37 + j * 101) % 19) - 9) * $qe[j])) AS BIGINT) > 0 " +
       s"THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)"
 
-  /** Oracle CTE: quantized vectors with exact integer norms. */
+  /** Oracle CTE: quantized vectors with exact integer norms, plus the
+    * embedding dimensionality derived from the data (`dim`) so per-lane
+    * oracle arithmetic never hardcodes a lane count the Spark side derives.
+    */
   private val OracleQ =
     s"""WITH q AS (SELECT vec_id, label, ${quantizeD("embedding")} AS qe FROM embeddings),
-       |n AS (SELECT vec_id, label, qe, ${dotD("qe", "qe")} AS nrm FROM q)""".stripMargin
+       |n AS (SELECT vec_id, label, qe, ${dotD("qe", "qe")} AS nrm FROM q),
+       |dim AS (SELECT max(len(qe)) AS d FROM q)""".stripMargin
+
+  /** A 1..dim series for per-lane list_transforms in the oracle SQL. */
+  private val LaneSeries = "generate_series(1, (SELECT d FROM dim))"
 
   val all: Map[String, QuerySpec] = Map(
 
@@ -277,18 +284,18 @@ object SimilarityQueries {
       },
       Some(s"""$OracleQ,
              |cent AS (SELECT label AS c_id,
-             |    list_transform(generate_series(1, 64), j -> CAST(round(
+             |    list_transform($LaneSeries, j -> CAST(round(
              |      CAST(list_sum(list_transform(list(qe), v -> v[j])) AS BIGINT) / COUNT(*)) AS BIGINT)) AS ce
              |  FROM q GROUP BY label),
              |ad AS (SELECT n.vec_id, n.qe, n.nrm, c.c_id,
-             |    CAST(list_sum(list_transform(generate_series(1, 64),
+             |    CAST(list_sum(list_transform($LaneSeries,
              |      j -> (n.qe[j] - c.ce[j]) * (n.qe[j] - c.ce[j]))) AS BIGINT) AS dist
              |  FROM n CROSS JOIN cent c),
              |assigned AS (SELECT vec_id, qe, nrm, c_id AS cell FROM (
              |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c_id) AS arn FROM ad) z
              |  WHERE arn = 1),
              |pd AS (SELECT n.vec_id AS q_id, n.qe AS qa, n.nrm AS na, c.c_id,
-             |    CAST(list_sum(list_transform(generate_series(1, 64),
+             |    CAST(list_sum(list_transform($LaneSeries,
              |      j -> (n.qe[j] - c.ce[j]) * (n.qe[j] - c.ce[j]))) AS BIGINT) AS dist
              |  FROM n CROSS JOIN cent c WHERE n.vec_id < 5),
              |probes AS (SELECT q_id, qa, na, c_id AS cell FROM (
@@ -336,7 +343,7 @@ object SimilarityQueries {
           .orderBy(col("label"))
       },
       Some(s"""$OracleQ,
-             |cent AS (SELECT label, list_transform(generate_series(1, 64), j -> CAST(round(
+             |cent AS (SELECT label, list_transform($LaneSeries, j -> CAST(round(
              |      CAST(list_sum(list_transform(list(qe), v -> v[j])) AS BIGINT) / COUNT(*)) AS BIGINT)) AS ce
              |  FROM q GROUP BY label),
              |cn AS (SELECT label, ce, ${dotD("ce", "ce")} AS cn FROM cent),

@@ -25,8 +25,13 @@ object SketchAggregators {
     override def zero: Array[Long] = Array.fill(TextFunctions.K)(Long.MaxValue)
 
     override def reduce(buf: Array[Long], sig: Seq[Long]): Array[Long] = {
+      // A short signature would leave Long.MaxValue in the missing lanes and
+      // silently inflate lane-agreement (estimated Jaccard); fail loudly
+      // instead, matching the zorder2 out-of-range policy.
+      require(sig.length == TextFunctions.K,
+        s"minhash_union expects ${TextFunctions.K}-lane signatures, got ${sig.length}")
       var i = 0
-      while (i < buf.length && i < sig.length) {
+      while (i < buf.length) {
         if (sig(i) < buf(i)) buf(i) = sig(i)
         i += 1
       }

@@ -32,7 +32,11 @@ object LakeLayout {
   final case class LayoutConfig(
       partitionCols: Seq[String],
       clusterCols: Seq[Column],
-      maxRecordsPerFile: Long = 1000000L)
+      maxRecordsPerFile: Long = 1000000L,
+      // target task count for the cluster-only range shuffle (defaults to
+      // spark.sql.shuffle.partitions) — the output-file-count lever when
+      // there is no Hive partitioning
+      clusterPartitions: Option[Int] = None)
 
   /** Write `df` to `path` with the layout above. `clusterCols` may be plain
     * columns (lexicographic clustering) or a `zorder2(...)` expression
@@ -41,11 +45,21 @@ object LakeLayout {
     * its own layout-clean files into the same partition tree).
     */
   def write(df: DataFrame, path: String, cfg: LayoutConfig,
-      mode: String = "overwrite"): Unit = {
+      mode: String = "overwrite",
+      options: Map[String, String] = Map.empty): Unit = {
     require(cfg.partitionCols.nonEmpty || cfg.clusterCols.nonEmpty,
       "layout must partition or cluster (or both)")
+    // With no Hive partitioning the clustering must still be GLOBAL: a
+    // range shuffle on the cluster columns gives tasks disjoint key ranges,
+    // so per-file zone ranges never overlap across tasks (plain
+    // sortWithinPartitions on the incoming partitioning would only cluster
+    // within each input task).
     val aligned =
-      if (cfg.partitionCols.isEmpty) df
+      if (cfg.partitionCols.isEmpty)
+        cfg.clusterPartitions match {
+          case Some(n) => df.repartitionByRange(n, cfg.clusterCols: _*)
+          case None => df.repartitionByRange(cfg.clusterCols: _*)
+        }
       else df.repartition(cfg.partitionCols.map(col): _*)
     // partition columns lead the sort: the parquet write path requires its
     // ordering to start with them and would otherwise inject its own
@@ -57,6 +71,7 @@ object LakeLayout {
     val writer = clustered.write
       .mode(mode)
       .option("maxRecordsPerFile", cfg.maxRecordsPerFile)
+      .options(options)
     (if (cfg.partitionCols.isEmpty) writer
      else writer.partitionBy(cfg.partitionCols: _*)).parquet(path)
   }

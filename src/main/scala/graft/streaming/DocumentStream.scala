@@ -152,12 +152,16 @@ object DocumentStream {
         avg(col("quality")).as("avg_quality"))
 
   /** Stream → layout-optimized lake: each micro-batch of deduped, scored,
-    * quality-filtered documents appends layout-clean files into the same
+    * quality-filtered documents lands layout-clean files into the same
     * partition tree batch curation writes ([[graft.operators.LakeLayout]]).
     * foreachBatch because the layout needs a per-batch repartition+sort the
-    * file-sink API can't express; exactly-once comes from the checkpointed
-    * batch id (Spark re-runs a failed batch; the append of a replayed batch
-    * is the same data). Returns the started query.
+    * file-sink API can't express. foreachBatch alone is only at-least-once
+    * (a batch whose files commit before the checkpoint write fails is
+    * replayed), so the write is made idempotent with the batch id: each
+    * batch lands under a trailing `batch_id=N` partition via DYNAMIC
+    * partition overwrite — a replayed batch rewrites exactly its own
+    * `day=* / batch_id=N` directories instead of appending duplicates.
+    * Returns the started query.
     */
   def toLake(
       docs: Dataset[DocEvent],
@@ -168,13 +172,24 @@ object DocumentStream {
     val deduped = scoreCols(dedupExact(docs, watermarkDelay))
     deduped.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val kept = batch.filter(col("quality") >= minQuality)
-          .withColumn("day", to_date(col("eventTime")))
-        graft.operators.LakeLayout.write(kept, path,
-          graft.operators.LakeLayout.LayoutConfig(
-            Seq("day"), Seq(col("quality"))), mode = "append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        landBatch(batch, batchId, path, minQuality)
       }
       .start()
+  }
+
+  /** The idempotent per-micro-batch landing [[toLake]] runs — exposed so the
+    * replay path (same batchId twice) is directly testable.
+    */
+  def landBatch(batch: DataFrame, batchId: Long, path: String,
+      minQuality: Double): Unit = {
+    val kept = batch.filter(col("quality") >= minQuality)
+      .withColumn("day", to_date(col("eventTime")))
+      .withColumn("batch_id", lit(batchId))
+    graft.operators.LakeLayout.write(kept, path,
+      graft.operators.LakeLayout.LayoutConfig(
+        Seq("day", "batch_id"), Seq(col("quality"))),
+      mode = "overwrite",
+      options = Map("partitionOverwriteMode" -> "dynamic"))
   }
 }

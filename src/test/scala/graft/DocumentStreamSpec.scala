@@ -132,4 +132,25 @@ class DocumentStreamSpec extends AnyFunSuite {
       assert(plan.contains("PartitionFilters: [isnotnull(day"))
     } finally q.stop()
   }
+
+  test("landBatch replay with the same batch id is idempotent") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("doc_lake_replay").toString
+    val batch = DocumentStream.scored(Seq(
+      doc(1, "alpha beta gamma", "2024-07-23 10:00:00"),
+      doc(2, "delta epsilon zeta", "2024-07-24 09:00:00")).toDS())
+    DocumentStream.landBatch(batch, 7L, s"$dir/lake", 0.0)
+    // a replayed micro-batch rewrites exactly its own batch_id partitions
+    // (dynamic overwrite) instead of appending duplicates
+    DocumentStream.landBatch(batch, 7L, s"$dir/lake", 0.0)
+    assert(spark.read.parquet(s"$dir/lake").count() == 2)
+    // a NEW batch id still lands alongside, untouched by later replays
+    val next = DocumentStream.scored(Seq(
+      doc(3, "eta theta iota", "2024-07-24 11:00:00")).toDS())
+    DocumentStream.landBatch(next, 8L, s"$dir/lake", 0.0)
+    DocumentStream.landBatch(batch, 7L, s"$dir/lake", 0.0)
+    val back = spark.read.parquet(s"$dir/lake")
+    assert(back.select("docId").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+  }
 }
