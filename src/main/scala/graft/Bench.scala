@@ -48,10 +48,23 @@ object Bench {
     val results = passes.head.keys.map { name =>
       name -> passes.map(_(name)).min
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Values rounded to 0.1 ms: bench noise dwarfs that, and the shorter
+    // line survives tail-style output capture with every query present.
+    def json(r: Map[String, Double]): String = {
+      val qs = r.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+        .mkString("{", ",", "}")
+      val total = f"${if (r.nonEmpty) r.values.sum else 0.0}%.4f"
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    val line = json(results)
+    println(line)
+    // Complete artifact on disk as well — the stdout line is subject to
+    // whatever capture window the harness uses, the file never is.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] artifact write failed: ${e.getMessage}") }
     spark.stop()
   }
 }
