@@ -229,9 +229,13 @@ object SimilarityQueries {
     "sim_ivf_topk" -> QuerySpec(
       (s, d) => {
         graft.functions.VectorExpressions.register(s)
+        // persist: three consumers (centroid build, cell assignment, query
+        // probes) each re-run the parquet scan + 64-lane quantization
+        // otherwise — the dominant cost of the whole query
         val n = Tables.spread(emb(s, d), "vec_id")
           .select(col("vec_id"), col("label"), expr(quantizeS("embedding")).as("qe"))
           .withColumn("nrm", expr("long_dot(qe, qe)"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // centroid per label: per-dimension mean via posexplode + groupBy —
         // partial aggregation does the heavy lifting map-side and no row ever
         // holds more than one (label, dim) sum, so a hot label can't OOM an
