@@ -360,6 +360,50 @@ object TimelineQueries {
              |FROM u ORDER BY uri""".stripMargin)
     ),
 
+    // ----- P1/P11: V9 completion-time latency --------------------------------
+    // V9 completed instants carry `requestTs_completionTs` in the filename;
+    // commit duration = completion − request. Pre-V9 instants have no
+    // completion component and are excluded (completion_ts IS NULL). The
+    // 17-digit instant is rebuilt into an ISO timestamp string with the same
+    // substr/concat fragment in both engines, so the parse can't drift.
+    "tl_commit_latency" -> QuerySpec(
+      (s, _) => {
+        def iso(c: String) =
+          s"substr($c,1,4) || '-' || substr($c,5,2) || '-' || substr($c,7,2) || ' ' || " +
+            s"substr($c,9,2) || ':' || substr($c,11,2) || ':' || substr($c,13,2) || '.' || substr($c,15,3)"
+        fx(s)
+          .filter(!col("is_directory") && isActiveInstantFile(col("filename")))
+          .select(instantTs(col("filename")).as("ts"),
+            instantCompletionTs(col("filename")).as("cts"),
+            instantAction(col("filename")).as("action"),
+            instantState(col("filename")).as("state"))
+          .filter(col("state") === "completed" && col("cts").isNotNull)
+          .select(col("ts"), col("action"),
+            expr(s"to_timestamp(${iso("ts")})").as("requested_at"),
+            expr(s"to_timestamp(${iso("cts")})").as("completed_at"))
+          .withColumn("latency_ms",
+            expr("unix_millis(completed_at) - unix_millis(requested_at)"))
+          .orderBy(col("ts"))
+      },
+      Some {
+        def iso(c: String) =
+          s"substr($c,1,4) || '-' || substr($c,5,2) || '-' || substr($c,7,2) || ' ' || " +
+            s"substr($c,9,2) || ':' || substr($c,11,2) || ':' || substr($c,13,2) || '.' || substr($c,15,3)"
+        s"""WITH src AS (SELECT * FROM $From),
+           |$OracleParse,
+           |v9 AS (SELECT ts, action,
+           |    CAST(${iso("ts")} AS TIMESTAMP) AS requested_at,
+           |    CAST(${iso("completion_ts")} AS TIMESTAMP) AS completed_at
+           |  FROM parsed
+           |  WHERE NOT is_directory
+           |    AND regexp_full_match(filename, '\\d+(_\\d+)?(\\.[a-z]{1,20}){1,2}')
+           |    AND state = 'completed' AND completion_ts IS NOT NULL)
+           |SELECT ts, action, requested_at, completed_at,
+           |  epoch_ms(completed_at) - epoch_ms(requested_at) AS latency_ms
+           |FROM v9 ORDER BY ts""".stripMargin
+      }
+    ),
+
     // ----- G4: greedy commit-atomic batching (typed fold; rows-only check) --
     "tl_batches" -> QuerySpec(
       (s, _) => {

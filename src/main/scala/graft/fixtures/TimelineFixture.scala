@@ -51,10 +51,17 @@ object TimelineFixture {
     ("20240123080808008.commit.requested", "2024-07-23 07:00:00", false),
     ("20240123080808008.inflight", "2024-07-23 07:00:00", false),
     ("20240123080808008.commit", "2024-07-23 07:00:00", false),
-    // V9 completed instants: requestTs_completionTs
+    // V9 completed instants: requestTs_completionTs (varied latencies so
+    // completion-time analytics have a distribution to rank)
     ("20260204053206256.deltacommit.requested", "2026-02-04 00:00:00", false),
     ("20260204053206256.deltacommit.inflight", "2026-02-04 00:00:00", false),
     ("20260204053206256_20260204053210895.deltacommit", "2026-02-04 00:00:00", false),
+    ("20260205060000000.commit.requested", "2026-02-05 00:00:00", false),
+    ("20260205060000000.commit.inflight", "2026-02-05 00:00:00", false),
+    ("20260205060000000_20260205060002500.commit", "2026-02-05 00:00:00", false),
+    ("20260206070000000.replacecommit.requested", "2026-02-06 00:00:00", false),
+    ("20260206070000000.replacecommit.inflight", "2026-02-06 00:00:00", false),
+    ("20260206070000000_20260206070130000.replacecommit", "2026-02-06 00:00:00", false),
     // V1 archived files — numeric index sort differs from lexical (10 > 5)
     (".commits_.archive.5_20260101-20260115-50", "2024-07-19 00:00:00", false),
     (".commits_.archive.10_20260116-20260131-50", "2024-07-19 01:00:00", false),
