@@ -32,7 +32,10 @@ object LakeViewSync {
       checkpointDir: String,
       maxBatchSize: Int = 20,
       tableBatchSize: Int = 20,
-      strategy: UploadStrategy = UploadStrategy.BlockOnIncompleteCommit)
+      strategy: UploadStrategy = UploadStrategy.BlockOnIncompleteCommit,
+      // §3.2 post-sync catalog chaining (reference LakeviewGlueSyncTool /
+      // LakeviewHiveSyncTool): invoked per successfully mirrored table
+      metastore: Option[MetastoreSync] = None)
 
   /** T7 failure taxonomy (reference `MetadataExtractorUtils.java:12-30` +
     * `MetricsConstants.MetadataUploadFailureReasons`), mapped onto the
@@ -113,6 +116,10 @@ object LakeViewSync {
                   val r = TimelineMirror.mirrorTable(spark, table, props,
                     config.mirrorRoot, config.checkpointDir,
                     config.maxBatchSize, config.strategy)
+                  // chained catalog sync runs inside the table's isolation:
+                  // a hook failure fails this table, not the run
+                  config.metastore.foreach(_.register(spark, table, props,
+                    s"${config.mirrorRoot.stripSuffix("/")}/${table.tableId}"))
                   Right(r.filesMirrored.toLong)
                 } else Left(table.absoluteTableUri -> FailureReason.NoSuchKey)
               } catch {

@@ -28,6 +28,51 @@ final class SyncMetrics {
     }.toMap ++ Map(
       SyncMetrics.TablesDiscoveredGauge -> tablesDiscoveredGauge.get(),
       SyncMetrics.TablesProcessedGauge -> tablesProcessedGauge.get())
+
+  /** Prometheus text exposition (format 0.0.4) of the registry — the
+    * reference serves the same surface over HTTP
+    * (`lakeview/src/main/java/ai/onehouse/metrics/Metrics.java:39-71`).
+    * One `# TYPE` line per metric family, samples sorted for determinism,
+    * reason tags as a quoted `reason` label.
+    */
+  def prometheus: String = {
+    val counterLines = counters.readOnlySnapshot().toSeq
+      .groupBy { case ((n, _), _) => n }
+      .toSeq.sortBy(_._1)
+      .flatMap { case (name, samples) =>
+        s"# TYPE $name counter" +: samples
+          .map { case ((_, tag), v) =>
+            val lbl = if (tag.isEmpty) "" else s"""{reason="$tag"}"""
+            s"$name$lbl ${v.sum()}"
+          }.sorted
+      }
+    val gaugeLines = Seq(
+      SyncMetrics.TablesDiscoveredGauge -> tablesDiscoveredGauge.get(),
+      SyncMetrics.TablesProcessedGauge -> tablesProcessedGauge.get())
+      .sortBy(_._1)
+      .flatMap { case (n, v) => Seq(s"# TYPE $n gauge", s"$n $v") }
+    (counterLines ++ gaugeLines).mkString("", "\n", "\n")
+  }
+
+  /** Serve [[prometheus]] at `http://localhost:<port>/metrics` on the JDK's
+    * built-in HTTP server (the reference binds an HTTPServer the same way).
+    * Pass port 0 for an ephemeral port; caller owns `stop()`. Returns the
+    * started server (its address carries the bound port).
+    */
+  def serve(port: Int): com.sun.net.httpserver.HttpServer = {
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", port), 0)
+    srv.createContext("/metrics", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val body = prometheus.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      ex.getResponseHeaders.add("Content-Type",
+        "text/plain; version=0.0.4; charset=utf-8")
+      ex.sendResponseHeaders(200, body.length.toLong)
+      ex.getResponseBody.write(body)
+      ex.close()
+    })
+    srv.start()
+    srv
+  }
 }
 
 object SyncMetrics {
