@@ -78,6 +78,43 @@ class LakeViewSyncSpec extends AnyFunSuite {
     assert(r2.filesMirrored == 0 && r2.allSucceeded)
   }
 
+  test("metastore hook registers mirrored timelines queryable via spark.sql") {
+    val mroot = s"$root-metastore"
+    Seq(mroot, s"$mroot-mirror", s"$mroot-cp").foreach(rmTree)
+    write(s"$mroot/db/alpha/.hoodie/hoodie.properties",
+      "hoodie.table.name=alpha\nhoodie.table.type=COPY_ON_WRITE\n")
+    // one complete commit group plus a V9 completed deltacommit
+    Seq("500.commit.requested", "500.commit.inflight", "500.commit",
+      "600.deltacommit.requested", "600.deltacommit.inflight", "600_700.deltacommit")
+      .foreach(f => write(s"$mroot/db/alpha/.hoodie/$f"))
+    val base = TableDiscovery.BasePath("lake", "db",
+      s"file:///${Paths.get(mroot).toAbsolutePath.toString.stripPrefix("/")}/db")
+    val cfg = LakeViewSync.SyncConfig(
+      basePaths = Seq(base),
+      mirrorRoot = s"$mroot-mirror",
+      checkpointDir = s"$mroot-cp",
+      metastore = Some(new graft.jobs.SparkCatalogSync("lakeview_test")))
+    val r = LakeViewSync.runOnce(spark, cfg)
+    assert(r.allSucceeded && r.tablesSynced == 1)
+    // the mirrored timeline is queryable BY NAME, like after a Glue/Hive sync
+    val rows = spark.sql(
+      """SELECT ts, completion_ts, action, state FROM lakeview_test.alpha_timeline
+        |WHERE is_instant ORDER BY filename""".stripMargin).collect()
+    assert(rows.length == 6)
+    assert(rows.map(_.getString(2)).toSet == Set("commit", "deltacommit"))
+    val v9 = rows.find(r => r.getString(0) == "600" && r.getString(3) == "completed").get
+    assert(v9.getString(1) == "700", "V9 completion ts survives the catalog parse")
+    // non-instant mirror content (hoodie.properties) is carried but flagged
+    val props = spark.sql(
+      "SELECT count(*) FROM lakeview_test.alpha_timeline WHERE NOT is_instant").head().getLong(0)
+    assert(props == 1)
+    // a second sync re-registers idempotently and stays queryable
+    val r2 = LakeViewSync.runOnce(spark, cfg)
+    assert(r2.allSucceeded)
+    assert(spark.sql("SELECT count(*) FROM lakeview_test.alpha_timeline WHERE is_instant")
+      .head().getLong(0) == 6)
+  }
+
   /** Deterministic clock for driving the continuous-mode cadence. */
   private final class TestClock(start: java.time.Instant) extends java.time.Clock {
     private var now = start
@@ -125,6 +162,87 @@ class LakeViewSyncSpec extends AnyFunSuite {
     val r2 = cs.processTick()
     assert(r2.exists(r => r.tablesDiscovered == 2 && r.tablesSynced == 2))
     assert(r2.exists(_.filesMirrored == 4)) // only beta's props + 3-file group
+  }
+
+  test("continuous soak: 3 discovery cycles, table appears mid-run, checkpoints monotone, no re-mirrors") {
+    val sroot = s"$root-soak"
+    Seq(sroot, s"$sroot-mirror", s"$sroot-cp").foreach(rmTree)
+    def commitGroup(table: String, ts: Int): Unit =
+      Seq(s"$ts.commit.requested", s"$ts.commit.inflight", s"$ts.commit")
+        .foreach(f => write(s"$sroot/db/$table/.hoodie/$f"))
+    write(s"$sroot/db/alpha/.hoodie/hoodie.properties",
+      "hoodie.table.name=alpha\nhoodie.table.type=COPY_ON_WRITE\n")
+    commitGroup("alpha", 100)
+    val base = TableDiscovery.BasePath("lake", "db",
+      s"file:///${Paths.get(sroot).toAbsolutePath.toString.stripPrefix("/")}/db")
+    val cfg = LakeViewSync.SyncConfig(basePaths = Seq(base),
+      mirrorRoot = s"$sroot-mirror", checkpointDir = s"$sroot-cp")
+    val clock = new TestClock(java.time.Instant.parse("2026-01-01T00:00:00Z"))
+    val cs = new LakeViewSync.ContinuousSync(spark, cfg,
+      LakeViewSync.ContinuousConfig(uploadIntervalMinutes = 5), clock)
+    val conf = spark.sparkContext.hadoopConfiguration
+
+    var mirrored = 0L
+    var lastCp = Map.empty[String, java.math.BigInteger]
+    // after every successful poll: accumulate mirrored-file counts and
+    // assert each table's active checkpoint never regresses
+    def poll(): Option[LakeViewSync.SyncReport] = {
+      val r = cs.processTick()
+      r.foreach { rep =>
+        assert(rep.allSucceeded, rep.failures.toString)
+        mirrored += rep.filesMirrored
+        TableDiscovery.discover(spark, Seq(base), Nil).collect().foreach { t =>
+          graft.operators.CheckpointStore
+            .loadTable(conf, cfg.checkpointDir, t.tableId)
+            .get(graft.model.TimelineType.Active)
+            .filter(_.lastUploadedFile.nonEmpty)
+            .foreach { cp =>
+              val commitId = new java.math.BigInteger(
+                cp.lastUploadedFile.split("[._]")(0))
+              lastCp.get(t.tableId).foreach { prev =>
+                assert(commitId.compareTo(prev) >= 0,
+                  s"checkpoint regressed for ${t.tableId}: $prev -> $commitId")
+              }
+              lastCp += t.tableId -> commitId
+            }
+        }
+      }
+      r
+    }
+
+    // cycle 1: alpha synced
+    cs.discoverTick()
+    assert(poll().exists(_.filesMirrored == 4))
+    // polls inside the gate window do nothing
+    clock.advance(java.time.Duration.ofMinutes(1))
+    assert(poll().isEmpty)
+
+    // alpha grows a commit group; beta appears mid-run (not yet discovered)
+    commitGroup("alpha", 200)
+    write(s"$sroot/db/beta/.hoodie/hoodie.properties",
+      "hoodie.table.name=beta\nhoodie.table.type=COPY_ON_WRITE\n")
+    commitGroup("beta", 300)
+    // gate reopens pre-discovery: only alpha's NEW group mirrors (3 files)
+    clock.advance(java.time.Duration.ofMinutes(5))
+    assert(poll().exists(_.filesMirrored == 3))
+
+    // cycle 2: discovery picks beta up; its props + group mirror once
+    cs.discoverTick()
+    clock.advance(java.time.Duration.ofMinutes(5))
+    assert(poll().exists(r => r.tablesDiscovered == 2 && r.filesMirrored == 4))
+
+    // cycle 3: nothing new anywhere — sync runs, mirrors nothing
+    cs.discoverTick()
+    clock.advance(java.time.Duration.ofMinutes(5))
+    assert(poll().exists(r => r.tablesSynced == 2 && r.filesMirrored == 0))
+
+    // no duplicate mirror writes across the whole soak: every file landed
+    // exactly once, so the cumulative count equals the distinct tree size
+    import scala.jdk.CollectionConverters._
+    val treeFiles = Files.walk(Paths.get(s"$sroot-mirror")).iterator().asScala
+      .count(p => Files.isRegularFile(p) && !p.getFileName.toString.endsWith(".crc"))
+    assert(mirrored == treeFiles.toLong,
+      s"cumulative filesMirrored=$mirrored vs distinct files on disk=$treeFiles")
   }
 
   test("sync survives one transient storage fault via the retry wiring (T6)") {

@@ -92,6 +92,41 @@ class PlanAuditSpec extends AnyFunSuite {
       s"unexpected all-pairs join in:\n$p")
   }
 
+  test("ngram-jaccard self-join keeps the AQE-skew-eligible sort-merge shape") {
+    // skew mitigation must be available (it rewrites SMJ/SHJ, not BHJ) …
+    assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
+    // … and the join must take that shape at scale. At sf0.001 AQE folds the
+    // tiny sides to broadcast, which hides the scale shape — disable the
+    // broadcast thresholds to see the plan a 100 TB corpus would get.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("dedup_ngram_jaccard")(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"posting-list self-join is not in a skew-eligible shape:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"self-join degenerated to all-pairs in:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("ivf topk: quantized projection cached once, centroid broadcast reused") {
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("sim_ivf_topk")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the centroid/assignment/probe consumers must read the cached
+    // projection, not re-run the scan + quantization lineage
+    assert(p.contains("InMemoryTableScan"),
+      s"expected consumers to read the cached projection in:\n$p")
+    spark.catalog.clearCache()
+  }
+
   test("aggregation pipeline runs inside whole-stage codegen") {
     // AQE annotates codegen spans only in the finalized plan: execute first
     val df = SparkEntry.queries("rel_agg_pricing_summary")(spark, dir)
