@@ -27,7 +27,14 @@ object ConfigLoader {
   final case class Loaded(
       sync: LakeViewSync.SyncConfig,
       cadence: LakeViewSync.ContinuousConfig,
-      jobRunMode: String)
+      jobRunMode: String,
+      // sinkConfig.metricsPort: serve Prometheus exposition at /metrics
+      // (reference Main starts its HTTPServer the same way)
+      metricsPort: Option[Int] = None,
+      // ONCE-mode shutdown linger so a scraper can collect the final state
+      // (reference waitTimeBeforeShutdown = 120 s,
+      // constants/MetadataExtractorConstants.java:40-41)
+      shutdownLingerSeconds: Int = 120)
 
   def loadFile(path: String): Loaded =
     loadString(new String(Files.readAllBytes(Paths.get(path)), UTF_8))
@@ -95,6 +102,16 @@ object ConfigLoader {
       if (v < 1) throw new IllegalArgumentException(s"$k should be a positive integer")
     }
 
+    // §3.2 catalog chaining: sinkConfig.metastoreDatabase switches on the
+    // post-sync SparkCatalogSync hook (the Glue/Hive-sync-tool analog)
+    val metastore = sink.path("metastoreDatabase").asText("") match {
+      case "" => None
+      case db => Some(new SparkCatalogSync(db): MetastoreSync)
+    }
+    val metricsPort =
+      if (sink.path("metricsPort").isMissingNode) None
+      else Some(sink.path("metricsPort").asInt())
+
     Loaded(
       sync = LakeViewSync.SyncConfig(
         basePaths = basePaths,
@@ -102,9 +119,12 @@ object ConfigLoader {
         mirrorRoot = mirrorRoot,
         checkpointDir = checkpointDir,
         maxBatchSize = intOr(mec, "presignedUrlRequestBatchSizeActiveTimeline", 20),
-        strategy = strategy),
+        strategy = strategy,
+        metastore = metastore),
       cadence = cadence,
-      jobRunMode = mec.path("jobRunMode").asText("CONTINUOUS"))
+      jobRunMode = mec.path("jobRunMode").asText("CONTINUOUS"),
+      metricsPort = metricsPort,
+      shutdownLingerSeconds = intOr(sink, "shutdownLingerSeconds", 120))
   }
 
   private def text(n: JsonNode, field: String): String = {

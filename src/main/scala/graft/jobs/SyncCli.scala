@@ -95,6 +95,9 @@ object SyncCli {
           .appName("graft-lakeview-sync")
           .config("spark.sql.shuffle.partitions", 32)
           .getOrCreate()
+        // sinkConfig.metricsPort: Prometheus exposition for the whole run
+        // (reference Main.start brings its HTTPServer up before the job)
+        val metricsServer = loaded.metricsPort.map(SyncMetrics.global.serve)
         loaded.jobRunMode match {
           case "CONTINUOUS" =>
             val cs = new LakeViewSync.ContinuousSync(spark, loaded.sync, loaded.cadence)
@@ -107,6 +110,12 @@ object SyncCli {
             println(s"tablesDiscovered=${report.tablesDiscovered} " +
               s"tablesSynced=${report.tablesSynced} filesMirrored=${report.filesMirrored} " +
               s"allSucceeded=${report.allSucceeded}")
+            // ONCE lingers so a scraper can collect the final counters
+            // (reference waitTimeBeforeShutdown, 120 s default)
+            metricsServer.foreach { srv =>
+              Thread.sleep(loaded.shutdownLingerSeconds * 1000L)
+              srv.stop(0)
+            }
             if (!report.allSucceeded) sys.exit(1)
         }
     }

@@ -109,6 +109,37 @@ class ConfigCliSpec extends AnyFunSuite {
     assert(loaded.jobRunMode == "CONTINUOUS") // reference default
   }
 
+  test("sinkConfig wires the metastore hook, metrics port, and shutdown linger") {
+    val yaml =
+      s"""version: V1
+         |sinkConfig:
+         |  mirrorRoot: /tmp/x-mirror
+         |  checkpointDir: /tmp/x-cp
+         |  metastoreDatabase: lakeview_cfg
+         |  metricsPort: 0
+         |  shutdownLingerSeconds: 1
+         |metadataExtractorConfig:
+         |  jobRunMode: ONCE
+         |  parserConfig:
+         |    - lake: lake1
+         |      databases:
+         |        - name: db1
+         |          basePaths:
+         |            - file:///tmp/x/db1
+         |""".stripMargin
+    val loaded = ConfigLoader.loadString(yaml)
+    assert(loaded.sync.metastore.exists(_.isInstanceOf[graft.jobs.SparkCatalogSync]))
+    assert(loaded.metricsPort.contains(0))
+    assert(loaded.shutdownLingerSeconds == 1)
+    // absent by default — no hook, no server, reference's 120 s linger
+    val plain = ConfigLoader.loadString(yaml
+      .replace("  metastoreDatabase: lakeview_cfg\n", "")
+      .replace("  metricsPort: 0\n", "")
+      .replace("  shutdownLingerSeconds: 1\n", ""))
+    assert(plain.sync.metastore.isEmpty && plain.metricsPort.isEmpty)
+    assert(plain.shutdownLingerSeconds == 120)
+  }
+
   test("validation: unsupported version, missing sink fields, non-positive intervals") {
     val ok = fixtureYaml("/m", "/c", "file:///tmp/x")
     intercept[UnsupportedOperationException] {
