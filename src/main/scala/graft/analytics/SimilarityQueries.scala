@@ -187,20 +187,26 @@ object SimilarityQueries {
     "sim_knn_classify" -> QuerySpec(
       (s, d) => {
         graft.functions.VectorExpressions.register(s)
+        graft.functions.SketchAggregators.register(s)
         val bk = Tables.spread(emb(s, d), "vec_id")
           .select(col("vec_id"), col("label"), expr(quantizeS("embedding")).as("qe"))
           .withColumn("nrm", expr("long_dot(qe, qe)"))
           .withColumn("bucket", expr("hyperplane_key6(qe)"))
-        val wk = Window.partitionBy(col("v")).orderBy(col("c").desc, col("nb_id"))
+        // top-7 neighbors via the bounded mergeable aggregate, NOT a
+        // row_number window: the candidate set is quadratic in bucket
+        // occupancy, and a window would shuffle-sort all of it — the
+        // aggregator's partial phase cuts each map task to 7 rows per
+        // vector before the exchange (same ORDER BY c DESC, nb_id ties)
         val votes = bk.as("x")
           .join(bk.as("y"),
             col("x.bucket") === col("y.bucket") && col("y.vec_id") =!= col("x.vec_id"))
           .select(col("x.vec_id").as("v"), col("x.label").as("true_label"),
             col("y.vec_id").as("nb_id"), col("y.label").as("nl"),
             expr("long_dot(x.qe, y.qe) / (sqrt(x.nrm) * sqrt(y.nrm))").as("c"))
-          .withColumn("rn", row_number().over(wk))
-          .filter(col("rn") <= 7)
-          .groupBy(col("v"), col("true_label"), col("nl"))
+          .groupBy(col("v"), col("true_label"))
+          .agg(expr("top7_by_score(c, nb_id, nl)").as("nbrs"))
+          .select(col("v"), col("true_label"), explode(col("nbrs")).as("nb"))
+          .groupBy(col("v"), col("true_label"), col("nb._3").as("nl"))
           .agg(count(lit(1)).as("nv"))
         val wp = Window.partitionBy(col("v")).orderBy(col("nv").desc, col("nl"))
         votes

@@ -53,10 +53,56 @@ object SketchAggregators {
     override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
   }
 
-  /** Register the sketch UDAFs on a session (`minhash_union(sig_array)`). */
+  /** Bounded top-k as a mergeable aggregate: per group, keep the k best
+    * (score DESC, id ASC) (score, id, tag) triples. The buffer is k rows of
+    * fixed width, so partial aggregation reduces each map task's slice to k
+    * rows per group BEFORE the shuffle — a top-k over an arbitrarily large
+    * candidate set moves #groups × k rows across the wire instead of
+    * shuffle-sorting the whole set the way a row_number window must. Ties
+    * break exactly like `ORDER BY score DESC, id` (deterministic for
+    * distinct ids).
+    */
+  final class TopKByScore(k: Int)
+      extends Aggregator[(Double, Long, Int), Seq[(Double, Long, Int)], Seq[(Double, Long, Int)]] {
+
+    // better = wins the ORDER BY score DESC, id ASC contest
+    private def beats(a: (Double, Long, Int), b: (Double, Long, Int)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+    override def zero: Seq[(Double, Long, Int)] = Vector.empty
+
+    // buffer kept sorted best-first; insertion is O(k)
+    override def reduce(buf: Seq[(Double, Long, Int)],
+        x: (Double, Long, Int)): Seq[(Double, Long, Int)] = {
+      if (buf.length >= k && !beats(x, buf.last)) buf
+      else {
+        val i = buf.indexWhere(b => beats(x, b)) match {
+          case -1 => buf.length
+          case j => j
+        }
+        (buf.take(i) :+ x) ++ buf.drop(i).take(k - i - 1)
+      }
+    }
+
+    override def merge(a: Seq[(Double, Long, Int)],
+        b: Seq[(Double, Long, Int)]): Seq[(Double, Long, Int)] =
+      b.foldLeft(a)(reduce)
+
+    override def finish(buf: Seq[(Double, Long, Int)]): Seq[(Double, Long, Int)] = buf
+
+    override def bufferEncoder: Encoder[Seq[(Double, Long, Int)]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[(Double, Long, Int)]] = ExpressionEncoder()
+  }
+
+  /** Register the sketch UDAFs on a session (`minhash_union(sig_array)`,
+    * `top7_by_score(score, id, tag)`).
+    */
   def register(spark: SparkSession): Unit = {
     implicit val inEnc: Encoder[Seq[Long]] = ExpressionEncoder()
     spark.udf.register("minhash_union",
       org.apache.spark.sql.functions.udaf(MinHashUnion))
+    implicit val topkEnc: Encoder[(Double, Long, Int)] = ExpressionEncoder()
+    spark.udf.register("top7_by_score",
+      org.apache.spark.sql.functions.udaf(new TopKByScore(7)))
   }
 }
