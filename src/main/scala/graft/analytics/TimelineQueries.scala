@@ -404,7 +404,13 @@ object TimelineQueries {
       }
     ),
 
-    // ----- G4: greedy commit-atomic batching (typed fold; rows-only check) --
+    // ----- G4: greedy commit-atomic batching ---------------------------------
+    // The oracle replays the BLOCKING greedy fold as a linear recursive CTE:
+    // group classification only inspects fixed lookahead offsets, so it
+    // precomputes per index (`cls`), and the fold state (index, batch, fill)
+    // walks it one group per recursion step — an exact SQL replica of
+    // `ActiveTimelineBatcher.createBatches`, so the driver hash-checks the
+    // batching itself, not just its row count.
     "tl_batches" -> QuerySpec(
       (s, _) => {
         import s.implicits._
@@ -423,7 +429,77 @@ object TimelineQueries {
             col("posInBatch").as("pos_in_batch"), col("filename"))
           .orderBy(col("batch_id"), col("pos_in_batch"))
       },
-      None // greedy fold is not ANSI-SQL expressible; driver rows-only check
+      Some(s"""WITH RECURSIVE src AS (SELECT * FROM $From),
+             |$OracleParse,
+             |files AS (SELECT filename, ts, action, state,
+             |    ROW_NUMBER() OVER (ORDER BY (filename = 'hoodie.properties') DESC, filename) AS rn
+             |  FROM parsed
+             |  WHERE NOT is_directory
+             |    AND (filename = 'hoodie.properties'
+             |      OR (regexp_full_match(filename, '\\d+(_\\d+)?(\\.[a-z]{1,20}){1,2}')
+             |        AND action IN ('commit','deltacommit','rollback','savepoint','restore',
+             |          'clean','compaction','replacecommit','clustering','logcompaction')))),
+             |nn AS (SELECT COUNT(*) AS n,
+             |    max(CASE WHEN filename = 'hoodie.properties' THEN 1 ELSE 0 END) AS has_props
+             |  FROM files),
+             |cls AS (SELECT f1.rn,
+             |    -- boundary defer: <3 files of lookahead for a 3-file shape
+             |    (f1.rn + 2 > nn.n AND f1.action <> 'savepoint') AS stop_iter,
+             |    CASE
+             |      WHEN f1.action = 'rollback' THEN
+             |        CASE WHEN (f1.ts = f2.ts AND f2.ts = f3.ts
+             |               AND 'inflight'  IN (f1.state, f2.state, f3.state)
+             |               AND 'requested' IN (f1.state, f2.state, f3.state)
+             |               AND 'completed' IN (f1.state, f2.state, f3.state)) THEN 3
+             |             WHEN (f1.ts = f2.ts AND f1.action = f2.action
+             |               AND 'inflight'  IN (f1.state, f2.state)
+             |               AND 'completed' IN (f1.state, f2.state)) THEN 2
+             |             WHEN f1.state = 'completed' THEN 1
+             |             ELSE 0 END
+             |      WHEN f1.action = 'savepoint' THEN
+             |        CASE WHEN (f1.ts = f2.ts AND f1.action = f2.action
+             |               AND 'inflight'  IN (f1.state, f2.state)
+             |               AND 'completed' IN (f1.state, f2.state)) THEN 2
+             |             ELSE 0 END
+             |      ELSE
+             |        CASE WHEN (f1.ts = f2.ts AND f2.ts = f3.ts
+             |               AND 'inflight'  IN (f1.state, f2.state, f3.state)
+             |               AND 'requested' IN (f1.state, f2.state, f3.state)
+             |               AND 'completed' IN (f1.state, f2.state, f3.state)) THEN 3
+             |             ELSE 0 END
+             |    END AS gs
+             |  FROM files f1
+             |  LEFT JOIN files f2 ON f2.rn = f1.rn + 1
+             |  LEFT JOIN files f3 ON f3.rn = f1.rn + 2
+             |  CROSS JOIN nn
+             |  WHERE f1.filename <> 'hoodie.properties'),
+             |walk AS (
+             |  SELECT CAST(NULL AS BIGINT) AS grp_start, 0 AS gs, 0 AS batch,
+             |      CASE WHEN has_props = 1 THEN 1 ELSE 0 END AS fill,
+             |      CASE WHEN has_props = 1 THEN 2 ELSE 1 END AS rn
+             |    FROM nn
+             |  UNION ALL
+             |  SELECT c.rn AS grp_start, c.gs,
+             |      CASE WHEN w.fill + c.gs <= 6 THEN w.batch ELSE w.batch + 1 END AS batch,
+             |      CASE WHEN w.fill + c.gs <= 6 THEN w.fill + c.gs ELSE c.gs END AS fill,
+             |      w.rn + c.gs AS rn
+             |    FROM walk w
+             |    JOIN cls c ON c.rn = w.rn
+             |    CROSS JOIN nn
+             |    -- blocking: stop at the loop bound, a boundary defer, or the
+             |    -- first incomplete group (gs = 0)
+             |    WHERE w.rn <= nn.n - 1 AND NOT c.stop_iter AND c.gs > 0),
+             |asn AS (
+             |  SELECT grp_start, gs, batch, fill - gs AS fill_before
+             |    FROM walk WHERE grp_start IS NOT NULL
+             |  UNION ALL
+             |  SELECT 1, 1, 0, 0 FROM nn WHERE has_props = 1)
+             |SELECT 'fixture-table' AS table_id,
+             |  CAST(a.batch AS INT) AS batch_id,
+             |  CAST(a.fill_before + (f.rn - a.grp_start) AS INT) AS pos_in_batch,
+             |  f.filename
+             |FROM asn a JOIN files f ON f.rn >= a.grp_start AND f.rn < a.grp_start + a.gs
+             |ORDER BY batch_id, pos_in_batch""".stripMargin)
     )
   )
 }
