@@ -12,6 +12,11 @@ object Bench {
       // joins). These workloads are compute-heavy per byte — keep the
       // explicit partition count.
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // typed Aggregators (minhash_union, top7_by_score) run through
+      // ObjectHashAggregate, whose default 128-key fallback degrades the
+      // partial phase to sort-based almost immediately; the buffers here
+      // are tiny fixed-width rows, so a large hash map is the right trade
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
