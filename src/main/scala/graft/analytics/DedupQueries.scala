@@ -270,7 +270,13 @@ object DedupQueries {
              |ORDER BY tot.doc_id""".stripMargin)
     ),
 
-    // ----- SimHash near-dup: 32-bit signature, 8-bit band join, hamming -----
+    // ----- SimHash near-dup: 32-bit signature, 16-bit band join, hamming ----
+    // Banding width is the collision lever: the output filter is
+    // hamming <= 1, and by pigeonhole a pair within hamming 1 shares at
+    // least one identical 16-bit half — so TWO 16-bit bands are a COMPLETE
+    // candidate generator for the filter (identical output to any narrower
+    // banding) with 65536 bucket keys instead of 256: candidate-pair mass
+    // drops ~64× at any corpus size, and the join stays an equi-join.
     "dedup_simhash" -> QuerySpec(
       (s, d) => {
         graft.functions.VectorExpressions.register(s)
@@ -279,8 +285,8 @@ object DedupQueries {
           .withColumn("th", expr(tokenHashesS("t")))
           .select(col("doc_id"), expr("simhash32(th)").as("sh"))
         val bands = sig.selectExpr("doc_id", "sh",
-          "explode(transform(sequence(0, 3), b -> named_struct(" +
-            "'b', b, 'k', shiftright(sh, 8 * b) & 255))) AS bk")
+          "explode(transform(sequence(0, 1), b -> named_struct(" +
+            "'b', b, 'k', shiftright(sh, 16 * b) & 65535))) AS bk")
           .select(col("doc_id"), col("sh"), col("bk.b").as("b"), col("bk.k").as("k"))
         bands.as("x")
           .join(bands.as("y"),
@@ -295,8 +301,8 @@ object DedupQueries {
       Some(s"""WITH toks AS (SELECT doc_id, ${tokensD("text")} AS t FROM documents),
              |th AS (SELECT doc_id, ${tokenHashesD("t")} AS th FROM toks),
              |s AS (SELECT doc_id, ${simhashD("th")} AS sh FROM th),
-             |bands AS (SELECT doc_id, sh, b, (sh >> (8 * b)) & 255 AS k
-             |  FROM s CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bb),
+             |bands AS (SELECT doc_id, sh, b, (sh >> (16 * b)) & 65535 AS k
+             |  FROM s CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS b) bb),
              |pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
              |    CAST(bit_count(xor(x.sh, y.sh)) AS INT) AS hamming
              |  FROM bands x JOIN bands y
