@@ -354,6 +354,27 @@ object RelationalQueries {
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     ),
 
+    // ----- mergeable approximate percentiles (the 100 TB percentile path) ---
+    // Exact percentile is a full sort per group; approx_percentile is
+    // Spark's mergeable quantile sketch (Greenwald-Khanna), map-side
+    // combined like any partial aggregate — #groups × sketch moves across
+    // the wire, never the column. No DuckDB oracle (its approx_quantile is
+    // a different sketch with different estimates); the estimate itself is
+    // error-bounded against the exact twin by ApproxAccuracySpec, the same
+    // contract as the HLL distinct count.
+    "rel_percentiles_approx" -> QuerySpec(
+      (s, d) => {
+        li(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50_est"),
+            expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("p90_est"),
+            count(lit(1)).as("n_rows"))
+          .orderBy(col("l_returnflag"))
+      },
+      None // sketch estimates differ per engine; accuracy spec-bounded
+    ),
+
     // ----- histogram via bucketed floor arithmetic -----------------------------
     "rel_histogram_order_value" -> QuerySpec(
       (s, d) => {

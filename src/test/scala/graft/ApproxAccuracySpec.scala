@@ -13,6 +13,24 @@ class ApproxAccuracySpec extends AnyFunSuite {
   private lazy val spark = SparkSpec.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("rel_percentiles_approx is within 1% of the exact percentiles per flag") {
+    val approx = SparkEntry.queries("rel_percentiles_approx")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = Tables.t(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet == exact.keySet && approx.nonEmpty)
+    exact.foreach { case (flag, (e50, e90)) =>
+      val (a50, a90) = approx(flag)
+      assert(math.abs(a50 - e50) / e50 <= 0.01,
+        f"$flag p50: approx=$a50%.2f exact=$e50%.2f")
+      assert(math.abs(a90 - e90) / e90 <= 0.01,
+        f"$flag p90: approx=$a90%.2f exact=$e90%.2f")
+    }
+  }
+
   test("evt_approx_users_by_type is within 5% of exact per type") {
     val approx = SparkEntry.queries("evt_approx_users_by_type")(spark, sf)
       .select(col("event_type"), col("approx_users"))
