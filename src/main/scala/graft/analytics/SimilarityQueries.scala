@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   * Three tiers, mirroring how an ANN pipeline scales:
   *   - `sim_cosine_topk`: brute-force exact top-k — the correctness
   *     baseline. O(Q*N); fine when Q is small (the query side broadcasts).
-  *   - `sim_lsh_ann`: random-hyperplane LSH — vectors hash to one of 64
-  *     sign-pattern buckets; search is an equi-join on the bucket key, so at
-  *     100 TB Spark shuffles on the key and each task reranks one bucket.
+  *   - `sim_lsh_ann`: random-hyperplane LSH — vectors hash to one of
+  *     2^[[Planes]] sign-pattern buckets; search is an equi-join on the
+  *     bucket key, so at 100 TB Spark shuffles on the key and each task
+  *     reranks one bucket (plane count scaled to hold occupancy constant).
   *   - `sim_ivf_topk`: IVF — coarse centroids (per-label means), each vector
   *     assigned to its nearest cell; queries probe the 2 nearest cells. The
   *     centroid table is tiny (broadcast); the cell assignment is one narrow
@@ -29,8 +30,32 @@ object SimilarityQueries {
 
   private def emb(s: SparkSession, d: String) = Tables.t(s, d, "embeddings")
 
-  /** Number of hyperplanes (2^6 = 64 buckets). */
-  private val Planes = 6
+  /** Number of hyperplanes (2^Planes buckets) — THE scale lever of every
+    * LSH consumer (sim_lsh_ann / sim_lsh_recall / sim_knn_classify /
+    * dedup_embedding_lsh): candidate generation is an equi-join on the
+    * bucket key, so pair mass is quadratic in bucket occupancy and a fixed
+    * key space turns quadratic at scale. Any fixed value is deterministic
+    * (the oracle SQL is generated from the same constant), so the default
+    * stays 6 for the sf-scale gates and a deployment raises it with the
+    * corpus — `SPARK_GRAFT_LSH_PLANES` overrides per run, [[planesFor]]
+    * gives the corpus-scaled choice.
+    */
+  val DefaultPlanes = 6
+  val Planes: Int =
+    sys.env.get("SPARK_GRAFT_LSH_PLANES").map(_.trim.toInt).getOrElse(DefaultPlanes)
+
+  /** Corpus-scaled plane count: the smallest key space that keeps expected
+    * bucket occupancy at or under `targetOccupancy` for a uniform corpus —
+    * ceil(log2(n / target)) — clamped to [DefaultPlanes, 24]. Occupancy is
+    * what bounds per-bucket rerank cost AND candidate-pair mass, so holding
+    * it constant keeps LSH linear in corpus size: 2^k more vectors, k more
+    * planes, same per-bucket work.
+    */
+  def planesFor(corpusRows: Long, targetOccupancy: Long = 1024L): Int = {
+    val needed = 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(corpusRows / math.max(targetOccupancy, 1L), 1L) - 1L)
+    math.min(math.max(needed, DefaultPlanes), 24)
+  }
 
   /** Deterministic integer hyperplane weights: w(i,j) = ((i*37+j*101)%19)-9. */
   private def lshKeyS(qe: String): String =
@@ -95,7 +120,7 @@ object SimilarityQueries {
         val n = Tables.spread(emb(s, d), "vec_id")
           .select(col("vec_id"), expr(quantizeS("embedding")).as("qe"))
           .withColumn("nrm", expr("long_dot(qe, qe)"))
-          .withColumn("bucket", expr("hyperplane_key6(qe)"))
+          .withColumn("bucket", expr(s"hyperplane_key(qe, $Planes)"))
         val queries = n.filter(col("vec_id") < 5)
           .select(col("vec_id").as("q_id"), col("qe").as("qa"),
             col("nrm").as("na"), col("bucket").as("qb"))
@@ -136,7 +161,7 @@ object SimilarityQueries {
         val n = Tables.spread(emb(s, d), "vec_id")
           .select(col("vec_id"), expr(quantizeS("embedding")).as("qe"))
           .withColumn("nrm", expr("long_dot(qe, qe)"))
-          .withColumn("bucket", expr("hyperplane_key6(qe)"))
+          .withColumn("bucket", expr(s"hyperplane_key(qe, $Planes)"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val queries = n.filter(col("vec_id") < 5)
           .select(col("vec_id").as("q_id"), col("qe").as("qa"),
@@ -191,7 +216,7 @@ object SimilarityQueries {
         val bk = Tables.spread(emb(s, d), "vec_id")
           .select(col("vec_id"), col("label"), expr(quantizeS("embedding")).as("qe"))
           .withColumn("nrm", expr("long_dot(qe, qe)"))
-          .withColumn("bucket", expr("hyperplane_key6(qe)"))
+          .withColumn("bucket", expr(s"hyperplane_key(qe, $Planes)"))
         // top-7 neighbors via the bounded mergeable aggregate, NOT a
         // row_number window: the candidate set is quadratic in bucket
         // occupancy, and a window would shuffle-sort all of it — the

@@ -243,25 +243,48 @@ case class MinHash16(child: Expression) extends LongArrayToArray {
     copy(child = newChild)
 }
 
-/** 6-plane random-hyperplane LSH bucket of a quantized vector, weights
+/** N-plane random-hyperplane LSH bucket of a quantized vector, weights
   * w(i,j) = ((i*37 + j*101) % 19) - 9 (1-based j) — identical to
   * [[graft.analytics.SimilarityQueries]]'s oracle form.
+  *
+  * The plane count is THE scale lever of every LSH consumer: the key space
+  * is 2^planes buckets, candidate generation is an equi-join on the key,
+  * and candidate-pair mass is quadratic in bucket occupancy — so a corpus
+  * 2^k times larger keeps constant occupancy (and linear pair mass) by
+  * adding k planes. `planes` must be a foldable integer in 1..62, fixed at
+  * plan time (it is a determinism contract with the oracle, never data).
   */
-case class HyperplaneKey6(child: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with CodegenFallback {
+case class HyperplaneKey(child: Expression, planes: Expression) extends BinaryExpression {
+  override def left: Expression = child
+  override def right: Expression = planes
   override def dataType: DataType = LongType
-  override def prettyName: String = "hyperplane_key6"
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (child.dataType match { case ArrayType(LongType, _) => true; case _ => false })
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires an ARRAY<BIGINT> argument")
+  override def prettyName: String = "hyperplane_key"
 
-  override protected def nullSafeEval(a: Any): Any = {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val childOk = child.dataType match { case ArrayType(LongType, _) => true; case _ => false }
+    val planesOk = planes.foldable && (planes.dataType match {
+      case org.apache.spark.sql.types.IntegerType | LongType => true
+      case _ => false
+    })
+    if (!childOk || !planesOk)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (ARRAY<BIGINT>, foldable integer planes) arguments")
+    else {
+      val p = planes.eval().asInstanceOf[Number].longValue()
+      if (p >= 1 && p <= 62)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName planes must be in 1..62, got $p")
+    }
+  }
+
+  private lazy val nPlanes: Int = planes.eval().asInstanceOf[Number].intValue()
+
+  override protected def nullSafeEval(a: Any, unused: Any): Any = {
     val x = a.asInstanceOf[ArrayData].toLongArray()
     var key = 0L
     var i = 0
-    while (i < 6) {
+    while (i < nPlanes) {
       var s = 0L
       var j = 0
       while (j < x.length) {
@@ -273,8 +296,31 @@ case class HyperplaneKey6(child: Expression)
     }
     key
   }
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, _) => {
+      val len = ctx.freshName("len")
+      val key = ctx.freshName("key")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      s"""
+         |int $len = $a.numElements();
+         |long $key = 0L;
+         |for (int $i = 0; $i < $nPlanes; $i++) {
+         |  long $s = 0L;
+         |  for (int $j = 0; $j < $len; $j++) {
+         |    $s += ((($i * 37 + ($j + 1) * 101) % 19) - 9) * $a.getLong($j);
+         |  }
+         |  if ($s > 0) $key |= (1L << $i);
+         |}
+         |${ev.value} = $key;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(child = newLeft, planes = newRight)
 }
 
 object VectorExpressions {
@@ -288,7 +334,12 @@ object VectorExpressions {
     reg.createOrReplaceTempFunction("simhash32", es => LongArraySimHash(es(0)), "built-in")
     reg.createOrReplaceTempFunction("shingle3_hash", es => Shingle3Hash(es(0)), "built-in")
     reg.createOrReplaceTempFunction("minhash16", es => MinHash16(es(0)), "built-in")
-    reg.createOrReplaceTempFunction("hyperplane_key6", es => HyperplaneKey6(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("hyperplane_key",
+      es => HyperplaneKey(es(0), es(1)), "built-in")
+    // fixed-6 convenience alias (the historical name; same expression)
+    reg.createOrReplaceTempFunction("hyperplane_key6",
+      es => HyperplaneKey(es(0),
+        org.apache.spark.sql.catalyst.expressions.Literal(6)), "built-in")
     reg.createOrReplaceTempFunction("zorder2", es => ZOrder2(es(0), es(1)), "built-in")
   }
 }

@@ -66,18 +66,50 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
-  test("hyperplane_key6 matches the HOF hyperplane fold") {
-    val e = Tables.t(spark, sf, "embeddings")
-      .withColumn("qe", expr(quantizeS("embedding")))
-    val hof = s"aggregate(sequence(0, 5), cast(0 as bigint), (acc, i) -> acc + " +
+  private def hyperplaneHof(planes: Int): String =
+    s"aggregate(sequence(0, ${planes - 1}), cast(0 as bigint), (acc, i) -> acc + " +
       s"if(aggregate(sequence(1, size(qe)), cast(0 as bigint), " +
       s"(s2, j) -> s2 + (((i * 37 + j * 101) % 19) - 9) * element_at(qe, j)) > 0, " +
       s"shiftleft(cast(1 as bigint), i), cast(0 as bigint)))"
+
+  test("hyperplane_key6 matches the HOF hyperplane fold") {
+    val e = Tables.t(spark, sf, "embeddings")
+      .withColumn("qe", expr(quantizeS("embedding")))
     val diff = e
       .withColumn("a", expr("hyperplane_key6(qe)"))
-      .withColumn("b", expr(hof))
+      .withColumn("b", expr(hyperplaneHof(6)))
       .filter(expr("a != b"))
       .count()
     assert(diff == 0)
+  }
+
+  test("hyperplane_key(n) matches the HOF fold at scaled plane counts") {
+    val e = Tables.t(spark, sf, "embeddings")
+      .withColumn("qe", expr(quantizeS("embedding")))
+    for (planes <- Seq(1, 10, 14)) {
+      val diff = e
+        .withColumn("a", expr(s"hyperplane_key(qe, $planes)"))
+        .withColumn("b", expr(hyperplaneHof(planes)))
+        .filter(expr("a != b"))
+        .count()
+      assert(diff == 0, s"planes=$planes")
+    }
+    // a 10-plane key's low 6 bits ARE the 6-plane key (prefix property:
+    // adding planes refines buckets, it never reshuffles them)
+    val refine = e
+      .withColumn("k6", expr("hyperplane_key(qe, 6)"))
+      .withColumn("k10", expr("hyperplane_key(qe, 10)"))
+      .filter(expr("(k10 & 63) != k6"))
+      .count()
+    assert(refine == 0)
+  }
+
+  test("planesFor holds bucket occupancy constant as the corpus grows") {
+    import graft.analytics.SimilarityQueries.planesFor
+    assert(planesFor(1000L) == 6) // small corpora keep the default
+    assert(planesFor(1024L * 1024) == 10)
+    assert(planesFor(1024L * 1024 * 32) == 15)
+    // 2^k more rows => k more planes (constant occupancy), until the clamp
+    assert(planesFor(Long.MaxValue) == 24)
   }
 }
