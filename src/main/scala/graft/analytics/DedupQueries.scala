@@ -73,13 +73,28 @@ object DedupQueries {
        |    len(list_distinct(list_concat(a.hs, b.hs))) AS j
        |  FROM pairs p JOIN sh a ON p.doc_a = a.doc_id JOIN sh b ON p.doc_b = b.doc_id)""".stripMargin
 
+  /** The persisted per-doc signature projection (doc_id, hs, n_tok): the
+    * tokenize -> hash -> shingle lineage is the dominant CPU cost of every
+    * minhash consumer, so it runs ONCE and the cached rows feed banding,
+    * both verify joins, and — via `n_tok` — the corpus stats of
+    * dedup_filtered_corpus without a second tokenization pass.
+    */
+  private[graft] def shingleProjection(s: SparkSession, d: String): DataFrame =
+    withShingles(docs(s, d).select("doc_id", "text"))
+      .select(col("doc_id"), col("hs"), size(col("t")).as("n_tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** Verified near-dup pairs (doc_a < doc_b, j >= 0.5) from the MinHash+LSH
     * pipeline — see the dedup_minhash_lsh docs for the skew guards.
     */
-  private[graft] def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = withShingles(docs(s, d).select("doc_id", "text"))
-      .select("doc_id", "hs")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  private[graft] def minhashPairs(s: SparkSession, d: String): DataFrame =
+    minhashPairsFrom(shingleProjection(s, d))
+
+  /** [[minhashPairs]] over a caller-supplied (already persisted) shingle
+    * projection, so callers needing both the pairs and the per-doc rows
+    * (dedup_filtered_corpus) share one cache.
+    */
+  private[graft] def minhashPairsFrom(sh: DataFrame): DataFrame = {
     val sig = sh.withColumn("sig", expr("minhash16(hs)"))
     val bands0 = sig.selectExpr("doc_id",
       s"explode(transform(sequence(0, ${Bands - 1}), b -> named_struct(" +
@@ -203,11 +218,14 @@ object DedupQueries {
     // stage untouched by shuffle.
     "dedup_filtered_corpus" -> QuerySpec(
       (s, d) => {
-        val pairs = minhashPairs(s, d).select(col("doc_a"), col("doc_b"))
+        // one shingle projection feeds BOTH the pair pipeline and the final
+        // corpus stats: n_tok rides the persisted rows, so the corpus is
+        // tokenized once, not re-tokenized for the token count
+        val sh = shingleProjection(s, d)
+        val pairs = minhashPairsFrom(sh).select(col("doc_a"), col("doc_b"))
         val comp = graft.operators.ConnectedComponents.components(pairs, "doc_a", "doc_b")
         val drop = comp.filter(col("id") =!= col("lbl")).select(col("id").as("doc_id"))
-        docs(s, d)
-          .withColumn("n_tok", expr(s"size(${tokensS("text")})"))
+        sh.select(col("doc_id"), col("n_tok"))
           .join(broadcast(drop.withColumn("dropped", lit(1))), Seq("doc_id"), "left")
           .agg(
             count(when(col("dropped").isNull, 1)).as("n_docs_kept"),
@@ -288,13 +306,20 @@ object DedupQueries {
           "explode(transform(sequence(0, 1), b -> named_struct(" +
             "'b', b, 'k', shiftright(sh, 16 * b) & 65535))) AS bk")
           .select(col("doc_id"), col("sh"), col("bk.b").as("b"), col("bk.k").as("k"))
+        // first-matching-band emission: a hamming<=1 pair collides in ~both
+        // 16-bit bands, so emitting from every band doubles the verify mass
+        // and forces a distinct() over the join output. Requiring all bands
+        // BEFORE the matching one to differ (band 1 only fires when the
+        // low halves differ) makes each pair come out of exactly one band —
+        // same pairs, no distinct, half the rows into the hamming filter.
         bands.as("x")
           .join(bands.as("y"),
             col("x.b") === col("y.b") && col("x.k") === col("y.k") &&
-              col("x.doc_id") < col("y.doc_id"))
+              col("x.doc_id") < col("y.doc_id") &&
+              (col("x.b") === 0 ||
+                col("x.sh").bitwiseAND(lit(65535L)) =!= col("y.sh").bitwiseAND(lit(65535L))))
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
             expr("cast(bit_count(x.sh ^ y.sh) as int)").as("hamming"))
-          .distinct()
           .filter(col("hamming") <= 1)
           .orderBy(col("doc_a"), col("doc_b"))
       },
@@ -456,10 +481,11 @@ object DedupQueries {
 
     // ----- embedding near-dup, the scale path: hyperplane-LSH blocking ------
     // The 100 TB form of dedup_embedding_cosine: candidates come from a
-    // 64-bucket hyperplane-LSH equi-join (vectors with the same sign
-    // pattern across 6 random hyperplanes), so pair generation is per
-    // bucket, never all-pairs — the same blocking shape as the text
-    // MinHash/SimHash family. Recall trades against the baseline: only
+    // 2^Planes-bucket hyperplane-LSH equi-join (vectors with the same sign
+    // pattern across SimilarityQueries.Planes random hyperplanes), so pair
+    // generation is per bucket, never all-pairs — the same blocking shape
+    // as the text MinHash/SimHash family, with the plane count as the
+    // occupancy lever (see SimilarityQueries.planesFor). Recall trades against the baseline: only
     // same-bucket pairs are scored (a pair split by one hyperplane is
     // missed; more tables/bands recover it), which is the standard
     // LSH-dedup contract.
@@ -469,7 +495,7 @@ object DedupQueries {
         val q = Tables.spread(emb(s, d), "vec_id")
           .select(col("vec_id"), expr(quantizeS("embedding")).as("qe"))
           .withColumn("nrm", expr("long_dot(qe, qe)"))
-          .withColumn("bucket", expr("hyperplane_key6(qe)"))
+          .withColumn("bucket", expr(s"hyperplane_key(qe, ${SimilarityQueries.Planes})"))
         val a = q.select(col("bucket"), col("vec_id").as("vec_a"),
           col("qe").as("qa"), col("nrm").as("na"))
         val b = q.select(col("bucket"), col("vec_id").as("vec_b"),
