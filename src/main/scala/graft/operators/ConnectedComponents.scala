@@ -13,10 +13,12 @@ import org.apache.spark.storage.StorageLevel
   * Two-tier by edge count: graphs under `localSolveEdges` are solved by
   * union-find inside a single executor task (a verified near-dup graph is
   * ~0.1% of its corpus, so this is the common case and skips all per-round
-  * shuffle overhead); larger graphs run distributed min-label propagation
-  * with pointer jumping, converging in O(log diameter) rounds of two
-  * equi-joins each. The classic refinement for skewed giant components is
-  * large-star/small-star, which the iterative structure extends to.
+  * shuffle overhead); larger graphs run alternating large-star/small-star
+  * rounds (Kiveris et al., SoCC'14) — the skew-robust formulation: a giant
+  * boilerplate component (the worst case real near-dup graphs produce)
+  * shuffles on CHILD vertex ids each round, never funnelling its whole
+  * membership through the representative's partition the way min-label
+  * propagation does. See [[iterateWithRounds]].
   */
 object ConnectedComponents {
 
@@ -80,23 +82,40 @@ object ConnectedComponents {
     spark.createDataFrame(labeled, schema)
   }
 
-  /** Distributed min-label propagation for graphs above the local threshold.
+  /** Distributed tier: alternating large-star / small-star rounds (the
+    * MapReduce CC algorithm of Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14) until the edge set is a fixpoint — a
+    * forest of stars rooted at each component's minimum vertex.
     *
-    *   - Lineage cut per round: each result is snapshotted to a persisted RDD
-    *     and re-wrapped as a fresh DataFrame. Without this the logical plan
-    *     embeds the previous round's plan twice per round (2^k growth — on a
-    *     12-hop chain the analyzed-plan string alone OOMs the driver).
-    *   - Pointer jumping: after the neighbor-min step, each vertex adopts its
-    *     representative's label (`lbl <- lbl(lbl)`), so labels hop two levels
-    *     per round and the loop converges in O(log diameter) rounds, not
-    *     O(diameter). Every label IS a vertex id, so the shortcut is an
-    *     equi-join back onto the same round's labels.
-    *   - Convergence by label sum: per-vertex labels only ever decrease, so
-    *     the DECIMAL(38,0) sum strictly decreases until the fixpoint — one
-    *     aggregate over the just-cached round, no comparison join, and the
-    *     same action that materializes the round's RDD.
+    *   - Large-star: every vertex u hangs its LARGER neighbors onto
+    *     m = min(N(u) ∪ {u}). Small-star: with all edges now child→smaller,
+    *     every u re-hangs itself and all its parents onto its smallest
+    *     parent. Both halve tree heights, so the loop converges in
+    *     O(log² n) rounds worst-case (O(log n) in practice).
+    *   - Why this beats plain min-label propagation on a skewed graph: the
+    *     per-vertex min is a map-side-combined aggregate, and every emitted
+    *     edge is KEYED BY THE CHILD vertex — uniformly distributed even
+    *     when one giant component dominates. Label propagation instead
+    *     shuffles and joins on the label VALUE, so a giant component
+    *     funnels its entire membership through the representative's
+    *     partition every round.
+    *   - Lineage cut per round: each round's edge set is snapshotted to a
+    *     persisted RDD and re-wrapped as a fresh DataFrame; without this
+    *     the logical plan nests the previous round's plan several times per
+    *     round (exponential growth — the analyzed-plan string alone OOMs
+    *     the driver on a 12-hop chain).
+    *   - Fixpoint check: stars are invariant under both operations, so the
+    *     loop stops when a round reproduces the identical (distinct) edge
+    *     set — count equality + an empty `except`, computed on the two
+    *     cached rounds.
     */
-  private def iterate(und: DataFrame, maxIter: Int): DataFrame = {
+  private def iterate(und: DataFrame, maxIter: Int): DataFrame =
+    iterateWithRounds(und, maxIter)._1
+
+  /** [[iterate]] plus the number of rounds run — exposed for the spec's
+    * convergence-rate assertions.
+    */
+  private[graft] def iterateWithRounds(und: DataFrame, maxIter: Int): (DataFrame, Int) = {
     val spark = und.sparkSession
 
     def snapshot(df: DataFrame): (DataFrame, RDD[Row]) = {
@@ -104,35 +123,44 @@ object ConnectedComponents {
       (spark.createDataFrame(rdd, df.schema), rdd)
     }
 
-    def labelSum(df: DataFrame): java.math.BigDecimal = {
-      val v = df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.get(0)
-      if (v == null) java.math.BigDecimal.ZERO
-      else v.asInstanceOf[java.math.BigDecimal]
-    }
-
-    var (labels, labelsRdd) = snapshot(
-      und.select(col("a").as("id")).distinct().withColumn("lbl", col("id")))
-    var prevSum = labelSum(labels)
+    var (edges, edgesRdd) = snapshot(und.filter(col("a") =!= col("b")))
+    var rounds = 0
     var converged = false
-    var i = 0
-    while (!converged && i < maxIter) {
-      val nbrMin = und.join(labels, col("b") === col("id"))
-        .groupBy(col("a")).agg(min(col("lbl")).as("nlbl"))
-      val hop = labels.join(nbrMin, col("id") === col("a"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-      val (next, nextRdd) = snapshot(
-        hop.as("n")
-          .join(hop.select(col("id").as("rid"), col("lbl").as("rlbl")).as("r"),
-            col("n.lbl") === col("r.rid"), "left")
-          .select(col("n.id").as("id"), coalesce(col("rlbl"), col("n.lbl")).as("lbl")))
-      val nextSum = labelSum(next)
-      labelsRdd.unpersist(blocking = false)
-      labels = next
-      labelsRdd = nextRdd
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
-      i += 1
+    while (!converged && rounds < maxIter) {
+      // large-star over full neighborhoods (symmetrize: the round-1 input
+      // is undirected; later rounds are child→smaller but the union keeps
+      // the step uniform and idempotent on stars)
+      val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+      val mL = sym.groupBy(col("a")).agg(min(col("b")).as("mn"))
+        .select(col("a"), least(col("a"), col("mn")).as("m"))
+      val large = sym.join(mL, "a")
+        .filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .distinct()
+      // small-star: all edges point child→smaller now, so each child's
+      // parents are exactly its (smaller) neighbors
+      val mS = large.groupBy(col("a")).agg(min(col("b")).as("m"))
+      val small = large.join(mS, "a")
+        .select(col("b").as("v"), col("m"))
+        .union(mS.select(col("a").as("v"), col("m")))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .distinct()
+      val (next, nextRdd) = snapshot(small)
+      val same = next.count() == edges.count() && next.except(edges).isEmpty
+      edgesRdd.unpersist(blocking = false)
+      edges = next
+      edgesRdd = nextRdd
+      converged = same
+      rounds += 1
     }
-    labels
+    // converged edge set = {(member, component-min)}; roots carry no edge
+    val (labels, _) = snapshot(
+      und.select(col("a").as("id")).distinct()
+        .join(edges.select(col("a").as("id"), col("b").as("lbl")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("lbl"), col("id")).as("lbl")))
+    labels.count() // materialize before the caller unpersists the edge cache
+    edgesRdd.unpersist(blocking = false)
+    (labels, rounds)
   }
 }

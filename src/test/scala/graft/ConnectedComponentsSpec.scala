@@ -1,13 +1,14 @@
 package graft
 
 import graft.operators.ConnectedComponents
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Min-label propagation on shapes the clique-like oracle data doesn't
-  * exercise: long chains (many propagation rounds), disjoint components,
-  * and cycles — on BOTH tiers (single-task union-find below the edge
-  * threshold, distributed pointer-jumping loop above it, forced here with
-  * `localSolveEdges = 0`).
+/** Connected components on shapes the clique-like oracle data doesn't
+  * exercise: long chains (many rounds), disjoint components, cycles, giant
+  * skewed stars, and seeded random graphs — on BOTH tiers (single-task
+  * union-find below the edge threshold, distributed large-star/small-star
+  * rounds above it, forced here with `localSolveEdges = 0`).
   */
 class ConnectedComponentsSpec extends AnyFunSuite {
 
@@ -43,5 +44,43 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     import spark.implicits._
     val df = Seq.empty[(Long, Long)].toDF("src", "dst")
     assert(ConnectedComponents.components(df, "src", "dst").count() == 0)
+  }
+
+  private def iterateRounds(edges: Seq[(Long, Long)]): (Map[Long, Long], Int) = {
+    import spark.implicits._
+    val df = edges.toDF("a", "b")
+    val und = df.union(df.select(col("b").as("a"), col("a").as("b")))
+    val (labels, rounds) = ConnectedComponents.iterateWithRounds(und, maxIter = 20)
+    (labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap, rounds)
+  }
+
+  test("large-star/small-star: a giant star plus a long chain converges fast " +
+    "and matches the local tier") {
+    // the skewed shape the distributed tier exists for: one vertex (0)
+    // directly linked to 1000 others — a giant boilerplate dup cluster —
+    // plus a 64-hop chain (the deep-diameter worst case) as one component
+    val star = (1L to 1000L).map(v => (0L, v))
+    val chain = (2000L to 2064L).sliding(2).map(p => (p(0), p(1))).toSeq
+    val edges = star ++ chain ++ Seq((1000L, 2000L)) // join the two shapes
+    val (got, rounds) = iterateRounds(edges)
+    assert(got.size == 1066 && got.values.forall(_ == 0L))
+    // star heights halve per round: far fewer rounds than the 65-hop
+    // diameter (label propagation without jumping would need ~65)
+    assert(rounds <= 10, s"took $rounds rounds")
+    val local = comps(edges, localSolveEdges = Long.MaxValue)
+    assert(got == local)
+  }
+
+  test("large-star/small-star matches the local tier on seeded random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 200
+      val edges = Seq.fill(300)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val (got, rounds) = iterateRounds(edges)
+      val local = comps(edges, localSolveEdges = Long.MaxValue)
+      assert(got == local, s"trial $trial mismatch")
+      assert(rounds <= 12, s"trial $trial took $rounds rounds")
+    }
   }
 }
