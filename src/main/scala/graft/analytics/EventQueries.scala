@@ -275,18 +275,30 @@ object EventQueries {
     ),
 
     // ----- approximate distinct (HLL sketch) — §2.9 approx_count_distinct --
-    // No oracle: HLL estimates are engine-specific; the driver records a
-    // rows-only check. The exact variant evt_daily_active_users is the
-    // hash-checked twin.
+    // The raw HLL estimate is engine-specific (DuckDB cannot replay Spark's
+    // sketch), so the HASHABLE contract is the estimate's accuracy: the
+    // query runs the sketch AND the exact count, and outputs the exact
+    // values plus `within_5pct` = |est - exact| <= 0.05 * exact — a bound
+    // the oracle can state too (for it, trivially true). A drifting
+    // estimate now FAILS the driver hash gate instead of hiding behind a
+    // rows-only check; ApproxAccuracySpec keeps the per-row assertions.
     "evt_approx_users_by_type" -> QuerySpec(
       (s, d) => {
         ev(s, d)
           .groupBy(col("event_type"))
-          .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          .agg(approx_count_distinct(col("user_id"), 0.02).as("est"),
+            countDistinct(col("user_id")).as("n_users"),
             count(lit(1)).as("n_events"))
+          .select(col("event_type"), col("n_users"), col("n_events"),
+            (abs(col("est") - col("n_users")) <= col("n_users") * 0.05)
+              .as("within_5pct"))
           .orderBy(col("event_type"))
       },
-      None
+      Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+             |  COUNT(*) AS n_events,
+             |  abs(COUNT(DISTINCT user_id) - COUNT(DISTINCT user_id))
+             |    <= COUNT(DISTINCT user_id) * 0.05 AS within_5pct
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
     ),
 
     // ----- as-of join: each purchase matched to the user's most recent -----

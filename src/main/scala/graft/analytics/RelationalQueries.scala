@@ -358,10 +358,13 @@ object RelationalQueries {
     // Exact percentile is a full sort per group; approx_percentile is
     // Spark's mergeable quantile sketch (Greenwald-Khanna), map-side
     // combined like any partial aggregate — #groups × sketch moves across
-    // the wire, never the column. No DuckDB oracle (its approx_quantile is
-    // a different sketch with different estimates); the estimate itself is
-    // error-bounded against the exact twin by ApproxAccuracySpec, the same
-    // contract as the HLL distinct count.
+    // the wire, never the column. The raw estimate is engine-specific
+    // (DuckDB's approx_quantile is a different sketch), so the HASHABLE
+    // contract is accuracy: run the sketch AND the exact percentile, output
+    // the exact values plus `within_1pct` = both estimates within 1% of
+    // exact — which the oracle can state too (for it, trivially true). A
+    // drifting sketch now FAILS the driver hash gate; ApproxAccuracySpec
+    // keeps the per-row bound assertions.
     "rel_percentiles_approx" -> QuerySpec(
       (s, d) => {
         li(s, d)
@@ -369,10 +372,26 @@ object RelationalQueries {
           .agg(
             expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50_est"),
             expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("p90_est"),
+            expr("percentile(l_extendedprice, 0.5)").as("ep50"),
+            expr("percentile(l_extendedprice, 0.9)").as("ep90"),
             count(lit(1)).as("n_rows"))
+          .select(col("l_returnflag"), col("n_rows"),
+            // floor-truncation: see the rel_percentiles note on round ties
+            expr("floor(ep50 * 100) / 100").as("p50"),
+            expr("floor(ep90 * 100) / 100").as("p90"),
+            (abs(col("p50_est") - col("ep50")) <= col("ep50") * 0.01 &&
+              abs(col("p90_est") - col("ep90")) <= col("ep90") * 0.01)
+              .as("within_1pct"))
           .orderBy(col("l_returnflag"))
       },
-      None // sketch estimates differ per engine; accuracy spec-bounded
+      Some("""SELECT l_returnflag, COUNT(*) AS n_rows,
+             |  floor(quantile_cont(l_extendedprice, 0.5) * 100) / 100 AS p50,
+             |  floor(quantile_cont(l_extendedprice, 0.9) * 100) / 100 AS p90,
+             |  abs(quantile_cont(l_extendedprice, 0.5) - quantile_cont(l_extendedprice, 0.5))
+             |      <= quantile_cont(l_extendedprice, 0.5) * 0.01
+             |    AND abs(quantile_cont(l_extendedprice, 0.9) - quantile_cont(l_extendedprice, 0.9))
+             |      <= quantile_cont(l_extendedprice, 0.9) * 0.01 AS within_1pct
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     ),
 
     // ----- histogram via bucketed floor arithmetic -----------------------------
