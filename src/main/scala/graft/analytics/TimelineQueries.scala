@@ -188,7 +188,9 @@ object TimelineQueries {
         val lastCompaction = parsed
           .filter(col("action") === "compaction")
           .agg(max(col("ts")).as("last_compaction_ts"))
-        parsed.crossJoin(lastCompaction)
+        // 1-row aggregate side: hint it explicitly so the plan is a
+        // BroadcastNestedLoopJoin by construction, not an AQE rescue
+        parsed.crossJoin(broadcast(lastCompaction))
           .filter(col("action") === "deltacommit" && col("state") === "completed" &&
             col("ts") > col("last_compaction_ts"))
           .groupBy(col("last_compaction_ts"))

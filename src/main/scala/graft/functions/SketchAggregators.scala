@@ -65,9 +65,15 @@ object SketchAggregators {
   final class TopKByScore(k: Int)
       extends Aggregator[(Double, Long, Int), Seq[(Double, Long, Int)], Seq[(Double, Long, Int)]] {
 
-    // better = wins the ORDER BY score DESC, id ASC contest
-    private def beats(a: (Double, Long, Int), b: (Double, Long, Int)): Boolean =
-      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    // better = wins the ORDER BY score DESC, id ASC contest. Double.compare
+    // is the same total order Spark's sort uses (NaN greater than every
+    // value, including +Inf), so a NaN score — e.g. a zero-norm vector's
+    // cosine — ranks first here exactly as it would in the row_number
+    // window this aggregate replaces, instead of being silently dropped.
+    private def beats(a: (Double, Long, Int), b: (Double, Long, Int)): Boolean = {
+      val c = java.lang.Double.compare(a._1, b._1)
+      c > 0 || (c == 0 && a._2 < b._2)
+    }
 
     override def zero: Seq[(Double, Long, Int)] = Vector.empty
 

@@ -108,9 +108,15 @@ object ConfigLoader {
       case "" => None
       case db => Some(new SparkCatalogSync(db): MetastoreSync)
     }
-    val metricsPort =
-      if (sink.path("metricsPort").isMissingNode) None
-      else Some(sink.path("metricsPort").asInt())
+    // fail loudly like the interval validation above: asInt() alone turns a
+    // non-numeric or negative value into port 0 (ephemeral) silently
+    val metricsPort = sink.path("metricsPort") match {
+      case n if n.isMissingNode => None
+      case n if !n.isIntegralNumber || n.asInt() < 0 || n.asInt() > 65535 =>
+        throw new IllegalArgumentException(
+          s"metricsPort should be an integer in 0..65535, got: ${n.asText()}")
+      case n => Some(n.asInt())
+    }
 
     Loaded(
       sync = LakeViewSync.SyncConfig(

@@ -152,8 +152,11 @@ object DocumentStream {
         avg(col("quality")).as("avg_quality"))
 
   /** Stream → layout-optimized lake: each micro-batch of deduped, scored,
-    * quality-filtered documents lands layout-clean files into the same
-    * partition tree batch curation writes ([[graft.operators.LakeLayout]]).
+    * quality-filtered documents lands layout-clean files via
+    * [[graft.operators.LakeLayout]] into the streaming lake's OWN
+    * `day=... / batch_id=N` partition tree — NOT the flat `day=...` tree
+    * batch curation writes: mixing the two under one root would give
+    * Spark's partition discovery conflicting directory depths.
     * foreachBatch because the layout needs a per-batch repartition+sort the
     * file-sink API can't express. foreachBatch alone is only at-least-once
     * (a batch whose files commit before the checkpoint write fails is

@@ -38,13 +38,12 @@ object TimelineStream {
   def windowedActionCounts(
       events: Dataset[InstantEvent],
       windowLen: String = "1 hour",
-      watermarkDelay: String = "2 hours"): DataFrame = {
-    val parsedAction = udf((f: String) => ActiveTimelineBatcher.parseInstant(f).action)
+      watermarkDelay: String = "2 hours"): DataFrame =
     events
       .withWatermark("eventTime", watermarkDelay)
-      .groupBy(window(col("eventTime"), windowLen), parsedAction(col("filename")).as("action"))
+      .groupBy(window(col("eventTime"), windowLen),
+        graft.functions.InstantFunctions.instantAction(col("filename")).as("action"))
       .agg(count(lit(1)).as("n"))
-  }
 
   /** G1-G3 as streaming state: a group completes when its state set reaches
     *   - {requested, inflight, completed} (3-file commit group), or

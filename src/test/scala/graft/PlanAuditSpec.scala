@@ -127,6 +127,13 @@ class PlanAuditSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("compaction backlog: 1-row aggregate joins as broadcast, never cartesian") {
+    val p = plan("tl_compaction_backlog")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"expected the 1-row last-compaction side to broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian in:\n$p")
+  }
+
   test("aggregation pipeline runs inside whole-stage codegen") {
     // AQE annotates codegen spans only in the finalized plan: execute first
     val df = SparkEntry.queries("rel_agg_pricing_summary")(spark, dir)
