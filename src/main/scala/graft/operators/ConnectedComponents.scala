@@ -33,7 +33,7 @@ object ConnectedComponents {
     val nEdges = und.count()
     val out =
       if (nEdges <= localSolveEdges) localSolve(und)
-      else iterate(und, maxIter)
+      else iterate(und, maxIter, localSolveEdges)
     und.unpersist(blocking = false)
     out
   }
@@ -108,14 +108,22 @@ object ConnectedComponents {
     *     loop stops when a round reproduces the identical (distinct) edge
     *     set — count equality + an empty `except`, computed on the two
     *     cached rounds.
+    *   - Hybrid hand-off: each round's edge set is an equivalent graph
+    *     (same components, fewer edges — a star round collapses most of a
+    *     near-dup graph's clique mass to one edge per member), so once the
+    *     count falls under `localCut` the remaining rounds are finished by
+    *     the single-task union-find tier instead of 2-3 more distributed
+    *     rounds of joins plus convergence checks.
     */
-  private def iterate(und: DataFrame, maxIter: Int): DataFrame =
-    iterateWithRounds(und, maxIter)._1
+  private def iterate(und: DataFrame, maxIter: Int, localCut: Long): DataFrame =
+    iterateWithRounds(und, maxIter, localCut)._1
 
-  /** [[iterate]] plus the number of rounds run — exposed for the spec's
-    * convergence-rate assertions.
+  /** [[iterate]] plus the number of distributed rounds run — exposed for
+    * the spec's convergence-rate assertions (`localCut = 0` keeps the loop
+    * purely distributed to full star convergence).
     */
-  private[graft] def iterateWithRounds(und: DataFrame, maxIter: Int): (DataFrame, Int) = {
+  private[graft] def iterateWithRounds(und: DataFrame, maxIter: Int,
+      localCut: Long = 0L): (DataFrame, Int) = {
     val spark = und.sparkSession
 
     def snapshot(df: DataFrame): (DataFrame, RDD[Row]) = {
@@ -126,7 +134,8 @@ object ConnectedComponents {
     var (edges, edgesRdd) = snapshot(und.filter(col("a") =!= col("b")))
     var rounds = 0
     var converged = false
-    while (!converged && rounds < maxIter) {
+    var localResult: Option[DataFrame] = None
+    while (localResult.isEmpty && !converged && rounds < maxIter) {
       // large-star over full neighborhoods (symmetrize: the round-1 input
       // is undirected; later rounds are child→smaller but the union keeps
       // the step uniform and idempotent on stars)
@@ -147,17 +156,31 @@ object ConnectedComponents {
         .select(col("v").as("a"), col("m").as("b"))
         .distinct()
       val (next, nextRdd) = snapshot(small)
-      val same = next.count() == edges.count() && next.except(edges).isEmpty
-      edgesRdd.unpersist(blocking = false)
-      edges = next
-      edgesRdd = nextRdd
-      converged = same
+      val nextCnt = next.count()
+      if (nextCnt <= localCut) {
+        // the contracted graph fits the local tier: finish with one
+        // union-find task instead of more distributed rounds
+        edgesRdd.unpersist(blocking = false)
+        edges = next
+        edgesRdd = nextRdd
+        localResult = Some(localSolve(next))
+      } else {
+        val same = nextCnt == edges.count() && next.except(edges).isEmpty
+        edgesRdd.unpersist(blocking = false)
+        edges = next
+        edgesRdd = nextRdd
+        converged = same
+      }
       rounds += 1
     }
-    // converged edge set = {(member, component-min)}; roots carry no edge
+    // converged edge set = {(member, component-min)}; roots carry no edge.
+    // On the hybrid path the labels come from union-find over the
+    // contracted graph instead (same components by construction).
+    val resolved = localResult.getOrElse(
+      edges.select(col("a").as("id"), col("b").as("lbl")))
     val (labels, _) = snapshot(
       und.select(col("a").as("id")).distinct()
-        .join(edges.select(col("a").as("id"), col("b").as("lbl")), Seq("id"), "left")
+        .join(resolved, Seq("id"), "left")
         .select(col("id"), coalesce(col("lbl"), col("id")).as("lbl")))
     labels.count() // materialize before the caller unpersists the edge cache
     edgesRdd.unpersist(blocking = false)

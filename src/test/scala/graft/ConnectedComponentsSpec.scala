@@ -71,6 +71,23 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(got == local)
   }
 
+  test("hybrid hand-off: one star round contracts the graph, union-find finishes") {
+    import spark.implicits._
+    // 3 disjoint triangles: 18 directed edges > cut, one round collapses
+    // them to 6 star edges <= cut, so the local tier takes over
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 12L), (12L, 10L),
+      (20L, 21L), (21L, 22L), (22L, 20L))
+    val df = edges.toDF("a", "b")
+    val und = df.union(df.select(col("b").as("a"), col("a").as("b")))
+    val (labels, rounds) =
+      ConnectedComponents.iterateWithRounds(und, maxIter = 20, localCut = 10L)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rounds == 1, s"expected hand-off after round 1, ran $rounds")
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("large-star/small-star matches the local tier on seeded random graphs") {
     val rnd = new scala.util.Random(42)
     for (trial <- 1 to 3) {
