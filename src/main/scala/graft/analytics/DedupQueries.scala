@@ -516,6 +516,60 @@ object DedupQueries {
              |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
              |SELECT vec_a, vec_b, bucket, round(c, 6) AS cosine FROM p
              |WHERE c >= 0.4 ORDER BY vec_a, vec_b""".stripMargin)
+    ),
+
+    // ----- multi-table embedding LSH: the recall-recovery path --------------
+    // Single-table hyperplane LSH misses any pair split by one hyperplane —
+    // the standard fix is L independent tables, each a separate bucket
+    // equi-join, union of candidates. Two tables here: ONE native
+    // hyperplane_key(qe, 2*Planes) evaluation yields both keys (low Planes
+    // bits = table 1, high bits = table 2 — the hyperplane family is
+    // indexed by plane number, so disjoint bit ranges are independent
+    // tables). Each table stays a per-bucket equi-join (never all-pairs),
+    // and the union dedups WITHOUT a distinct() via first-matching-table
+    // emission: table 2 only fires when the table-1 keys differ — the same
+    // trick as dedup_simhash. Candidate mass doubles; recall rises
+    // accordingly (this catches every pair split by a single plane of
+    // table 1 that table 2 keeps together).
+    "dedup_embedding_lsh_multi" -> QuerySpec(
+      (s, d) => {
+        graft.functions.VectorExpressions.register(s)
+        val p = SimilarityQueries.Planes
+        val mask = (1L << p) - 1
+        val q = Tables.spread(emb(s, d), "vec_id")
+          .select(col("vec_id"), expr(quantizeS("embedding")).as("qe"))
+          .withColumn("nrm", expr("long_dot(qe, qe)"))
+          .withColumn("k2", expr(s"hyperplane_key(qe, ${2 * p})"))
+          .withColumn("b1", expr(s"k2 & $mask"))
+          .withColumn("b2", expr(s"shiftright(k2, $p)"))
+        def side(n: String) = q.select(col("vec_id").as(s"vec_$n"),
+          col("qe").as(s"q$n"), col("nrm").as(s"n$n"),
+          col("b1").as(s"b1$n"), col("b2").as(s"b2$n"))
+        val t1 = side("a").join(side("b"),
+          col("b1a") === col("b1b") && col("vec_a") < col("vec_b"))
+        val t2 = side("a").join(side("b"),
+          col("b2a") === col("b2b") && col("vec_a") < col("vec_b") &&
+            col("b1a") =!= col("b1b"))
+        t1.unionByName(t2)
+          .withColumn("c", expr("long_dot(qa, qb) / (sqrt(na) * sqrt(nb))"))
+          .filter(col("c") >= 0.4)
+          .select(col("vec_a"), col("vec_b"), expr("round(c, 6)").as("cosine"))
+          .orderBy(col("vec_a"), col("vec_b"))
+      },
+      Some {
+        val p = SimilarityQueries.Planes
+        val mask = (1L << p) - 1
+        s"""WITH q AS (SELECT vec_id, ${quantizeD("embedding")} AS qe FROM embeddings),
+           |n AS (SELECT vec_id, qe, ${dotD("qe", "qe")} AS nrm,
+           |    ${SimilarityQueries.lshKeyD("qe", 2 * p)} AS k2 FROM q),
+           |b AS (SELECT vec_id, qe, nrm, k2 & $mask AS b1, k2 >> $p AS b2 FROM n),
+           |pr AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+           |    ${dotD("x.qe", "y.qe")} / (sqrt(x.nrm) * sqrt(y.nrm)) AS c
+           |  FROM b x JOIN b y ON x.vec_id < y.vec_id
+           |    AND (x.b1 = y.b1 OR x.b2 = y.b2))
+           |SELECT vec_a, vec_b, round(c, 6) AS cosine FROM pr
+           |WHERE c >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
+      }
     )
   )
 }

@@ -64,8 +64,10 @@ object SimilarityQueries {
       s"(s2, j) -> s2 + (((i * 37 + j * 101) % 19) - 9) * element_at($qe, j)) > 0, " +
       s"shiftleft(cast(1 as bigint), i), cast(0 as bigint)))"
 
-  private[analytics] def lshKeyD(qe: String): String =
-    s"list_reduce(list_prepend(CAST(0 AS BIGINT), generate_series(0, ${Planes - 1})), (acc, i) -> acc + " +
+  private[analytics] def lshKeyD(qe: String): String = lshKeyD(qe, Planes)
+
+  private[analytics] def lshKeyD(qe: String, planes: Int): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), generate_series(0, ${planes - 1})), (acc, i) -> acc + " +
       s"CASE WHEN CAST(list_sum(list_transform(generate_series(1, len($qe)), " +
       s"j -> (((i * 37 + j * 101) % 19) - 9) * $qe[j])) AS BIGINT) > 0 " +
       s"THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)"
