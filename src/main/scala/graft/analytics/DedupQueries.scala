@@ -536,12 +536,15 @@ object DedupQueries {
         graft.functions.VectorExpressions.register(s)
         val p = SimilarityQueries.Planes
         val mask = (1L << p) - 1
+        // persist: four consumers (two join sides × two tables) would each
+        // re-run the scan + 64-lane quantization + 2·Planes key otherwise
         val q = Tables.spread(emb(s, d), "vec_id")
           .select(col("vec_id"), expr(quantizeS("embedding")).as("qe"))
           .withColumn("nrm", expr("long_dot(qe, qe)"))
           .withColumn("k2", expr(s"hyperplane_key(qe, ${2 * p})"))
           .withColumn("b1", expr(s"k2 & $mask"))
           .withColumn("b2", expr(s"shiftright(k2, $p)"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         def side(n: String) = q.select(col("vec_id").as(s"vec_$n"),
           col("qe").as(s"q$n"), col("nrm").as(s"n$n"),
           col("b1").as(s"b1$n"), col("b2").as(s"b2$n"))

@@ -34,7 +34,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "simhash32(array(1L,2L,3L,255L))",
         "shingle3_hash(array(1L,2L,3L,4L,5L))",
         "minhash16(array(10L,20L,30L))",
-        "hyperplane_key6(array(1L,-2L,3L,-4L,5L,-6L))")
+        "hyperplane_key6(array(1L,-2L,3L,-4L,5L,-6L))",
+        "hyperplane_key(array(1L,-2L,3L,-4L,5L,-6L), 10)")
       graft.functions.VectorExpressions.register(base)
       exprs.foreach { e =>
         assert(s.sql(s"SELECT $e v").head() === base.sql(s"SELECT $e v").head(),

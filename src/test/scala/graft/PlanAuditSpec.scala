@@ -127,6 +127,23 @@ class PlanAuditSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("multi-table embedding LSH: both tables are bucket equi-joins over one cached projection") {
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("dedup_embedding_lsh_multi")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"table join degenerated to all-pairs in:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"expected the four join sides to read the cached projection in:\n$p")
+    spark.catalog.clearCache()
+  }
+
+  test("simhash: candidate generation stays a band equi-join") {
+    val p = plan("dedup_simhash")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"band join degenerated to all-pairs in:\n$p")
+  }
+
   test("compaction backlog: 1-row aggregate joins as broadcast, never cartesian") {
     val p = plan("tl_compaction_backlog")
     assert(p.contains("BroadcastNestedLoopJoin"),
