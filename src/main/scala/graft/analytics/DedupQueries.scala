@@ -573,6 +573,63 @@ object DedupQueries {
            |SELECT vec_a, vec_b, round(c, 6) AS cosine FROM pr
            |WHERE c >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
       }
+    ),
+
+    // ----- LSH recall quantification: single vs two-table, vs ground truth --
+    // The pair-level recall evaluation the LSH-dedup contract is stated in:
+    // of all true near-dup pairs (exact all-pairs cosine >= 0.4 — an EVAL
+    // query, so the O(n^2) ground truth is intentional and sample-sized at
+    // production scale), what fraction collides in one LSH table, and what
+    // fraction in either of two? One pass over the exact pair set computes
+    // both flags — the table memberships are cheap bit comparisons riding
+    // the same join. Production deployments push recall up with L tables /
+    // banding; this query measures exactly how much each table buys.
+    "dedup_embedding_lsh_recall" -> QuerySpec(
+      (s, d) => {
+        graft.functions.VectorExpressions.register(s)
+        val p = SimilarityQueries.Planes
+        val mask = (1L << p) - 1
+        val q = Tables.spread(emb(s, d), "vec_id")
+          .select(col("vec_id"), expr(quantizeS("embedding")).as("qe"))
+          .withColumn("nrm", expr("long_dot(qe, qe)"))
+          .withColumn("k2", expr(s"hyperplane_key(qe, ${2 * p})"))
+          .withColumn("b1", expr(s"k2 & $mask"))
+          .withColumn("b2", expr(s"shiftright(k2, $p)"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        def side(n: String) = q.select(col("vec_id").as(s"vec_$n"),
+          col("qe").as(s"q$n"), col("nrm").as(s"n$n"),
+          col("b1").as(s"b1$n"), col("b2").as(s"b2$n"))
+        side("a").join(side("b"), col("vec_a") < col("vec_b"))
+          .withColumn("c", expr("long_dot(qa, qb) / (sqrt(na) * sqrt(nb))"))
+          .filter(col("c") >= 0.4)
+          .agg(
+            count(lit(1)).as("n_true_pairs"),
+            sum(when(col("b1a") === col("b1b"), 1L).otherwise(0L)).as("n_table1"),
+            sum(when(col("b1a") === col("b1b") || col("b2a") === col("b2b"), 1L)
+              .otherwise(0L)).as("n_two_tables"))
+          .select(col("n_true_pairs"), col("n_table1"), col("n_two_tables"),
+            expr("floor(n_table1 / n_true_pairs * 1e6 + 0.5) / 1e6").as("recall_1"),
+            expr("floor(n_two_tables / n_true_pairs * 1e6 + 0.5) / 1e6").as("recall_2"))
+      },
+      Some {
+        val p = SimilarityQueries.Planes
+        val mask = (1L << p) - 1
+        s"""WITH q AS (SELECT vec_id, ${quantizeD("embedding")} AS qe FROM embeddings),
+           |n AS (SELECT vec_id, qe, ${dotD("qe", "qe")} AS nrm,
+           |    ${SimilarityQueries.lshKeyD("qe", 2 * p)} AS k2 FROM q),
+           |b AS (SELECT vec_id, qe, nrm, k2 & $mask AS b1, k2 >> $p AS b2 FROM n),
+           |pr AS (SELECT x.b1 AS b1a, y.b1 AS b1b, x.b2 AS b2a, y.b2 AS b2b,
+           |    ${dotD("x.qe", "y.qe")} / (sqrt(x.nrm) * sqrt(y.nrm)) AS c
+           |  FROM b x JOIN b y ON x.vec_id < y.vec_id)
+           |SELECT COUNT(*) AS n_true_pairs,
+           |  CAST(SUM(CASE WHEN b1a = b1b THEN 1 ELSE 0 END) AS BIGINT) AS n_table1,
+           |  CAST(SUM(CASE WHEN b1a = b1b OR b2a = b2b THEN 1 ELSE 0 END) AS BIGINT) AS n_two_tables,
+           |  floor(CAST(SUM(CASE WHEN b1a = b1b THEN 1 ELSE 0 END) AS BIGINT)
+           |    / COUNT(*) * 1e6 + 0.5) / 1e6 AS recall_1,
+           |  floor(CAST(SUM(CASE WHEN b1a = b1b OR b2a = b2b THEN 1 ELSE 0 END) AS BIGINT)
+           |    / COUNT(*) * 1e6 + 0.5) / 1e6 AS recall_2
+           |FROM pr WHERE c >= 0.4""".stripMargin
+      }
     )
   )
 }

@@ -1,0 +1,125 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming form of the embedding near-dup pipeline: the batch
+  * hyperplane-LSH operator (`dedup_embedding_lsh`) re-expressed over an
+  * unbounded vector stream. At 100 TB embeddings arrive continuously from
+  * an encoding fleet, not as a one-shot table; the same blocking design
+  * carries over — the stream is keyed by the LSH bucket, so state and
+  * shuffle are per-bucket, and pair generation is bounded by bucket
+  * occupancy (FIFO-capped), never all-pairs.
+  *
+  * Vectors are quantized to round(x*1e6) BIGINTs exactly like the batch
+  * queries, so a pair's cosine is the same integer arithmetic whether it
+  * is found on the stream or in a backfill batch — the parity the spec
+  * asserts.
+  */
+object EmbeddingStream {
+
+  /** One embedded item (the streaming row). */
+  final case class VecEvent(vecId: Long, embedding: Seq[Float], eventTime: Timestamp)
+
+  /** A near-duplicate sighting on the stream: `vecB` arrived after `vecA`
+    * and landed in the same hyperplane bucket with cosine >= the threshold
+    * (rounded to 6 decimals like the batch output).
+    */
+  final case class VecNearDup(vecA: Long, vecB: Long, cosine: Double)
+
+  /** Per-bucket state: member ids, stride-`dim` flattened quantized
+    * vectors, and per-member integer norms. Primitive-only Seqs (tighter
+    * state encoding) and public (the state-encoder's deserializer cannot
+    * call a private constructor).
+    */
+  final case class VecBucketState(ids: Seq[Long], vecsFlat: Seq[Long], norms: Seq[Long])
+
+  /** Streaming hyperplane-LSH near-dup detection. Each vector hashes to a
+    * 2^planes-bucket key (`hyperplane_key`, the same native expression and
+    * weight family as batch); the stream is keyed by the bucket, and a
+    * bucket's state holds its most recent `bucketCap` members — FIFO
+    * eviction bounds the store at `buckets x cap x dim` longs regardless
+    * of stream age, the streaming analog of the batch bucket-occupancy
+    * contract (`SimilarityQueries.planesFor` scales `planes` to hold
+    * occupancy constant as the fleet grows). An arriving vector is scored
+    * against its bucket's members by exact integer dot product and emits a
+    * pair per cosine >= `cosThreshold`. Re-sent vecIds are ignored
+    * (idempotent replay inside the cap window).
+    */
+  def nearDupPairs(
+      vecs: Dataset[VecEvent],
+      planes: Int = graft.analytics.SimilarityQueries.DefaultPlanes,
+      cosThreshold: Double = 0.4,
+      bucketCap: Int = 50): Dataset[VecNearDup] = {
+    val spark = vecs.sparkSession
+    graft.functions.VectorExpressions.register(spark)
+    import spark.implicits._
+    val keyed = vecs.toDF()
+      .withColumn("qe", expr(graft.functions.TextFunctions.quantizeS("embedding")))
+      .withColumn("nrm", expr("long_dot(qe, qe)"))
+      .withColumn("bucket", expr(s"hyperplane_key(qe, $planes)"))
+      .select(col("bucket"), col("vecId"), col("qe"), col("nrm"))
+      .as[(Long, Long, Seq[Long], Long)]
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Long, it: Iterator[(Long, Long, Seq[Long], Long)],
+         state: GroupState[VecBucketState]) => {
+          var ids = state.getOption.map(_.ids.toVector).getOrElse(Vector.empty[Long])
+          var flat = state.getOption.map(_.vecsFlat.toVector).getOrElse(Vector.empty[Long])
+          var norms = state.getOption.map(_.norms.toVector).getOrElse(Vector.empty[Long])
+          val out = Seq.newBuilder[VecNearDup]
+          it.foreach { case (_, id, qe, nrm) =>
+            if (!ids.contains(id)) {
+              val dim = qe.length
+              var i = 0
+              while (i < ids.length) {
+                val off = i * dim
+                var dot = 0L
+                var j = 0
+                while (j < dim) { dot += flat(off + j) * qe(j); j += 1 }
+                val c = dot / (math.sqrt(norms(i).toDouble) * math.sqrt(nrm.toDouble))
+                if (c >= cosThreshold) {
+                  // same 6-decimal rounding as the batch round(c, 6)
+                  val r = BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+                  out += VecNearDup(math.min(ids(i), id), math.max(ids(i), id), r)
+                }
+                i += 1
+              }
+              ids = ids :+ id
+              flat = flat ++ qe
+              norms = norms :+ nrm
+              if (ids.length > bucketCap) { // FIFO eviction bounds state
+                ids = ids.drop(1)
+                flat = flat.drop(dim)
+                norms = norms.drop(1)
+              }
+            }
+          }
+          state.update(VecBucketState(ids, flat, norms))
+          out.result().iterator
+        })
+  }
+
+  /** Event-time windowed embedding-fleet health: vectors per window and
+    * mean/min quantized norm — the drift signal an encoding fleet is
+    * monitored by (a norm collapse means the encoder degenerated).
+    */
+  def windowedNormStats(
+      vecs: Dataset[VecEvent],
+      windowLen: String = "1 hour",
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    val spark = vecs.sparkSession
+    graft.functions.VectorExpressions.register(spark)
+    vecs.toDF()
+      .withColumn("qe", expr(graft.functions.TextFunctions.quantizeS("embedding")))
+      .withColumn("nrm", expr("long_dot(qe, qe)"))
+      .withWatermark("eventTime", watermarkDelay)
+      .groupBy(window(col("eventTime"), windowLen))
+      .agg(count(lit(1)).as("n_vecs"),
+        avg(sqrt(col("nrm"))).as("avg_norm"),
+        min(sqrt(col("nrm"))).as("min_norm"))
+  }
+}
