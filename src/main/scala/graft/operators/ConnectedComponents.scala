@@ -26,9 +26,16 @@ object ConnectedComponents {
   def components(edges: DataFrame, src: String, dst: String, maxIter: Int = 20,
                  localSolveEdges: Long = 4000000L): DataFrame = {
     // no distinct: duplicate edges change neither union-find nor a
-    // neighbor-min, and deduping them costs a full shuffle of the edge list
-    val und = edges.select(col(src).as("a"), col(dst).as("b"))
-      .union(edges.select(col(dst).as("a"), col(src).as("b")))
+    // neighbor-min, and deduping them costs a full shuffle of the edge
+    // list. Symmetrize via explode, NOT union of two selects: a union
+    // evaluates the upstream pair pipeline (for near-dup graphs, the whole
+    // LSH candidate + verify join) once per branch when this persist
+    // materializes — explode reads it once.
+    val und = edges
+      .select(explode(array(
+        struct(col(src).as("a"), col(dst).as("b")),
+        struct(col(dst).as("a"), col(src).as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nEdges = und.count()
     val out =
