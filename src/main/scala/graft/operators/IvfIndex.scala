@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persistent IVF (inverted-file) ANN index: build once, probe many.
+  *
+  * `sim_ivf_topk` demonstrates the IVF *query shape* end-to-end, but it
+  * re-derives centroids and cell assignments on every run. A 100 TB
+  * similarity deployment amortizes that: [[build]] trains coarse centroids
+  * (deterministic Lloyd iterations over exact integer arithmetic) and
+  * writes the corpus PARTITIONED BY CELL, so [[probe]] reads only the
+  * `nProbe / nCells` fraction of the index files — Spark's partition
+  * pruning is the "inverted file" seek, verified in the spec via the scan's
+  * partition filters.
+  *
+  * Layout under `indexPath`:
+  *   - `centroids/` — (cell, ce: array<bigint>) — tiny, broadcast at probe
+  *   - `vectors/cell=N/…` — (vec_id, qe, nrm) Hive-partitioned by cell
+  *
+  * Determinism: quantized round(x*1e6) BIGINT vectors; init centroids are
+  * the `nCells` smallest vec_ids; every argmin breaks ties on cell id —
+  * rebuilt indexes are bit-identical, the same contract as the query
+  * registry.
+  */
+object IvfIndex {
+
+  private def quantized(emb: DataFrame): DataFrame = {
+    graft.functions.VectorExpressions.register(emb.sparkSession)
+    graft.Tables.spread(emb, "vec_id")
+      .select(col("vec_id"),
+        expr(graft.functions.TextFunctions.quantizeS("embedding")).as("qe"))
+      .withColumn("nrm", expr("long_dot(qe, qe)"))
+  }
+
+  /** Assign every vector to its nearest centroid (exact integer L2²,
+    * ties on cell id) — map-side-combined argmin, the sim_ivf_topk shape.
+    */
+  private def assign(vecs: DataFrame, cent: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cent))
+      .withColumn("dist", expr("long_l2(qe, ce)"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("qe")).as("qe"), first(col("nrm")).as("nrm"),
+        min(struct(col("dist"), col("cell"))).as("m"))
+      .select(col("vec_id"), col("qe"), col("nrm"), col("m.cell").as("cell"))
+
+  /** Per-dimension integer mean of each cell's members — posexplode +
+    * groupBy(cell, dim), so no row ever holds a whole cell.
+    */
+  private def means(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cell"), posexplode(col("qe")).as(Seq("j", "v")))
+      .groupBy(col("cell"), col("j"))
+      .agg(expr("cast(round(sum(v) / count(1)) as bigint)").as("cj"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("cj")))),
+        x => x.getField("cj")).as("ce"))
+
+  /** Train `nCells` coarse centroids with `iters` Lloyd rounds and write
+    * the index. Init = the `nCells` smallest vec_ids (deterministic);
+    * empty cells keep their previous centroid.
+    */
+  def build(emb: DataFrame, indexPath: String, nCells: Int = 16, iters: Int = 2): Unit = {
+    val vecs = quantized(emb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // deterministic init: TakeOrderedAndProject keeps the nCells smallest
+    // vec_ids; the row_number window then runs over nCells rows only
+    var cent = vecs.orderBy(col("vec_id")).limit(nCells)
+      .withColumn("cell",
+        (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("int"))
+      .select(col("cell"), col("qe").as("ce"))
+    for (_ <- 1 to iters) {
+      val updated = means(assign(vecs, cent))
+      // empty cells (no member) fall back to the previous centroid so the
+      // cell count never shrinks between rounds
+      cent = cent.select(col("cell"), col("ce").as("prev"))
+        .join(updated, Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("ce"), col("prev")).as("ce"))
+    }
+    cent.coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
+    val centLoaded = cent.sparkSession.read.parquet(s"$indexPath/centroids")
+    assign(vecs, centLoaded)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexPath/vectors")
+    vecs.unpersist(blocking = false)
+  }
+
+  /** Probe the index: each query ranks cells against the (broadcast-sized)
+    * centroid table, and ONLY the union of the top-`nProbe` cells is read
+    * from the partitioned store — the `isin` filter prunes at the file
+    * level, so a probe touches ~`nProbe/nCells` of the index bytes no
+    * matter how large the corpus. Returns (q_id, vec_id, cell, cosine, rn)
+    * top-`k` rows per query.
+    */
+  def probe(spark: SparkSession, indexPath: String, queries: DataFrame,
+      k: Int = 5, nProbe: Int = 2): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val cent = spark.read.parquet(s"$indexPath/centroids")
+    val q = quantized(queries)
+      .select(col("vec_id").as("q_id"), col("qe").as("qa"), col("nrm").as("na"))
+    val wp = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("cell"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("dist", expr("long_l2(qa, ce)"))
+      .withColumn("prn", row_number().over(wp))
+      .filter(col("prn") <= nProbe)
+      .select(col("q_id"), col("qa"), col("na"), col("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the probed cell set is queries x nProbe ids — metadata-scale by
+    // construction, and as literals it reaches the scan as a partition
+    // filter (the file-level seek a native IVF does with its inverted file)
+    val cells = probes.select(col("cell").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val idx = spark.read.parquet(s"$indexPath/vectors")
+      .filter(col("cell").isin(cells: _*))
+    val wr = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("vec_id"))
+    broadcast(probes)
+      .join(idx, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("c", expr("long_dot(qa, qe) / (sqrt(na) * sqrt(nrm))"))
+      .withColumn("rn", row_number().over(wr))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"), col("cell"),
+        expr("round(c, 6)").as("cosine"), col("rn"))
+  }
+}
