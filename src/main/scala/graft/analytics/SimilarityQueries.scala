@@ -149,6 +149,53 @@ object SimilarityQueries {
              |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin)
     ),
 
+    // ----- multi-probe LSH ANN: probe the bucket + its hamming-1 ring ------
+    // The standard recall lever that does NOT grow the corpus-side work
+    // (multi-probe LSH): a near neighbor that one hyperplane pushed into an
+    // adjacent bucket is recovered by ALSO probing every key at hamming
+    // distance 1 from the query's own — Planes+1 probe keys per query,
+    // exploded on the (broadcast) query side only. The corpus is hashed
+    // and shuffled exactly once, the join stays an equi-join on the bucket
+    // key, and since a corpus vector sits in one fixed bucket it can match
+    // at most one probe key — no pair dedup needed. Candidate mass is
+    // (Planes+1)x one bucket's occupancy: linear, not another table.
+    "sim_lsh_multiprobe" -> QuerySpec(
+      (s, d) => {
+        graft.functions.VectorExpressions.register(s)
+        val n = Tables.spread(emb(s, d), "vec_id")
+          .select(col("vec_id"), expr(quantizeS("embedding")).as("qe"))
+          .withColumn("nrm", expr("long_dot(qe, qe)"))
+          .withColumn("bucket", expr(s"hyperplane_key(qe, $Planes)"))
+        val queries = n.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("qe").as("qa"),
+            col("nrm").as("na"), col("bucket").as("qb"))
+          .withColumn("probe", explode(expr(
+            s"concat(array(qb), transform(sequence(0, ${Planes - 1}), " +
+              "i -> qb ^ shiftleft(cast(1 as bigint), i)))")))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("c").desc, col("vec_id"))
+        broadcast(queries)
+          .join(n, col("probe") === col("bucket") && col("vec_id") =!= col("q_id"))
+          .withColumn("c", expr("long_dot(qa, qe) / (sqrt(na) * sqrt(nrm))"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("q_id"), col("vec_id"), col("bucket"),
+            expr("round(c, 6)").as("cosine"), col("rn"))
+          .orderBy(col("q_id"), col("rn"))
+      },
+      Some(s"""$OracleQ,
+             |bk AS (SELECT vec_id, qe, nrm, ${lshKeyD("qe")} AS bucket FROM n),
+             |p AS (SELECT a.vec_id AS q_id, b.vec_id AS vec_id, b.bucket,
+             |    ${dotD("a.qe", "b.qe")} / (sqrt(a.nrm) * sqrt(b.nrm)) AS c
+             |  FROM bk a JOIN bk b
+             |    ON a.vec_id < 5 AND b.vec_id <> a.vec_id
+             |    AND bit_count(xor(a.bucket, b.bucket)) <= 1),
+             |r AS (SELECT q_id, vec_id, bucket, c,
+             |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rn FROM p)
+             |SELECT q_id, vec_id, bucket, round(c, 6) AS cosine, rn FROM r
+             |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin)
+    ),
+
     // ----- ANN quality measurement: recall@5 of LSH vs exact ground truth ---
     // The evaluation loop every ANN deployment runs: for each query, compare
     // the LSH top-k against the brute-force top-k and report the overlap
