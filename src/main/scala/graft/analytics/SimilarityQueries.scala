@@ -57,13 +57,9 @@ object SimilarityQueries {
     math.min(math.max(needed, DefaultPlanes), 24)
   }
 
-  /** Deterministic integer hyperplane weights: w(i,j) = ((i*37+j*101)%19)-9. */
-  private def lshKeyS(qe: String): String =
-    s"aggregate(sequence(0, ${Planes - 1}), cast(0 as bigint), (acc, i) -> acc + " +
-      s"if(aggregate(sequence(1, size($qe)), cast(0 as bigint), " +
-      s"(s2, j) -> s2 + (((i * 37 + j * 101) % 19) - 9) * element_at($qe, j)) > 0, " +
-      s"shiftleft(cast(1 as bigint), i), cast(0 as bigint)))"
-
+  /** DuckDB fold for the deterministic integer hyperplane key, weights
+    * w(i,j) = ((i*37+j*101)%19)-9 — the oracle twin of `hyperplane_key`.
+    */
   private[analytics] def lshKeyD(qe: String): String = lshKeyD(qe, Planes)
 
   private[analytics] def lshKeyD(qe: String, planes: Int): String =
