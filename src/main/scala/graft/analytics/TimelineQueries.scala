@@ -220,12 +220,15 @@ object TimelineQueries {
             count(lit(1)).as("n_files"),
             sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
               .cast("double").as("total_size"),
-            // floor-truncation, not round: round(double, n) ties resolve
-            // differently in Spark (decimal-string HALF_UP) vs DuckDB
-            // (binary half-away); floor of identical doubles always agrees
-            expr("floor(percentile(o_totalprice, 0.1) * 100) / 100").as("p10"),
-            expr("floor(percentile(o_totalprice, 0.5) * 100) / 100").as("p50"),
-            expr("floor(percentile(o_totalprice, 0.9) * 100) / 100").as("p90"))
+            // DISC percentiles, not interpolated: percentile_disc returns an
+            // actual data value, so there is no interpolation arithmetic to
+            // diverge by 1 ulp between engines on large groups (the 32x probe
+            // caught exactly that with the interpolated form at a 57k-row
+            // month), and both engines share the rank convention (verified
+            // across odd/even/57504-row groups)
+            expr("percentile_disc(0.1) WITHIN GROUP (ORDER BY o_totalprice)").as("p10"),
+            expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("p50"),
+            expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)").as("p90"))
         parts
           .withColumn("avg_size", expr(
             "cast(sum(cast(total_size as decimal(18,2))) over () as double) / count(*) over ()"))
@@ -238,9 +241,9 @@ object TimelineQueries {
              |  SELECT date_trunc('month', o_orderdate) AS part_month,
              |    COUNT(*) AS n_files,
              |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_size,
-             |    floor(quantile_cont(o_totalprice, 0.1) * 100) / 100 AS p10,
-             |    floor(quantile_cont(o_totalprice, 0.5) * 100) / 100 AS p50,
-             |    floor(quantile_cont(o_totalprice, 0.9) * 100) / 100 AS p90
+             |    CAST(quantile_disc(o_totalprice, 0.1) AS DOUBLE) AS p10,
+             |    CAST(quantile_disc(o_totalprice, 0.5) AS DOUBLE) AS p50,
+             |    CAST(quantile_disc(o_totalprice, 0.9) AS DOUBLE) AS p90
              |  FROM orders GROUP BY 1)
              |SELECT part_month, n_files, total_size, p10, p50, p90,
              |  round(total_size / (CAST(SUM(CAST(total_size AS DECIMAL(18,2))) OVER () AS DOUBLE)
