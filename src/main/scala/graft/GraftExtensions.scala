@@ -44,6 +44,7 @@ object GraftExtensions {
     ("simhash32", 1, es => LongArraySimHash(es(0))),
     ("shingle3_hash", 1, es => Shingle3Hash(es(0))),
     ("minhash16", 1, es => MinHash16(es(0))),
+    ("max_elem_count", 1, es => LongArrayMaxCount(es(0))),
     ("hyperplane_key", 2, es => HyperplaneKey(es(0), es(1))),
     ("hyperplane_key6", 1,
       es => HyperplaneKey(es(0), org.apache.spark.sql.catalyst.expressions.Literal(6))),

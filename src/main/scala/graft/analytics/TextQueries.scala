@@ -86,21 +86,31 @@ object TextQueries {
     // so at 100 TB the cost is one map-side-combined shuffle of hashes.
     "txt_repetition" -> QuerySpec(
       (s, d) => {
+        graft.functions.VectorExpressions.register(s)
+        // persist the token-hash projection: the consuming select references
+        // `th` four times (size, max_elem_count, twice under the trigram
+        // arithmetic), and project collapsing re-inlines the tokenize->hash
+        // HOF lineage into EACH reference — measured ~4x this query's warm
+        // wall. Behind the cache, `th` is an attribute read once per row,
+        // and the whole body is per-row native compute: shingle3_hash for
+        // the trigram signal, max_elem_count for the top-token count
+        // (instead of an explode + two aggregations shuffling every token
+        // of every document twice to learn one scalar per doc).
         val base = docs(s, d)
           .withColumn("t", expr(tokensS("text")))
           .withColumn("th", expr(tokenHashesS("t")))
           .select(col("doc_id"), col("th"))
-        val perDoc = base.select(col("doc_id"),
-          expr("cast(size(th) as bigint)").as("n_tokens"),
-          // docs too short to have trigrams are not "repetitive" (frac 0)
-          expr(s"if(size(th) < 3, cast(0.0 as double), " +
-            s"floor((1 - size(array_distinct(${shingleHashesS("th")})) / " +
-            s"size(${shingleHashesS("th")})) * 1e6 + 0.5) / 1e6)")
-            .as("dup_trigram_frac"))
-        val top = base.select(col("doc_id"), explode(col("th")).as("h"))
-          .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("n"))
-          .groupBy(col("doc_id")).agg(max(col("n")).as("top_n"))
-        perDoc.join(top, "doc_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        base
+          .withColumn("tri", expr("shingle3_hash(th)"))
+          .select(col("doc_id"),
+            expr("cast(size(th) as bigint)").as("n_tokens"),
+            // docs too short to have trigrams are not "repetitive" (frac 0)
+            expr("if(size(th) < 3, cast(0.0 as double), " +
+              "floor((1 - size(array_distinct(tri)) / size(tri)) * 1e6 + 0.5) / 1e6)")
+              .as("dup_trigram_frac"),
+            expr("max_elem_count(th)").as("top_n"))
+          .filter(col("n_tokens") > 0) // oracle's unnest-join drops empty docs
           .withColumn("top_token_frac", expr("floor(top_n / n_tokens * 1e6 + 0.5) / 1e6"))
           .withColumn("repetitive", expr("top_token_frac > 0.2 OR dup_trigram_frac > 0.2"))
           .select(col("doc_id"), col("n_tokens"), col("top_token_frac"),

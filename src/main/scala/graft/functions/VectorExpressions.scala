@@ -243,6 +243,43 @@ case class MinHash16(child: Expression) extends LongArrayToArray {
     copy(child = newChild)
 }
 
+/** Maximum multiplicity of any element in a BIGINT array (the top-token
+  * count of a token-hash array) — one O(n) hash-count pass per row. The
+  * declarative form is an explode + two aggregations: at corpus scale that
+  * shuffles every token of every document twice to learn a per-document
+  * scalar, where this computes it before the row ever leaves its scan
+  * stage. Returns 0 for an empty array.
+  */
+case class LongArrayMaxCount(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "max_elem_count"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType match { case ArrayType(LongType, _) => true; case _ => false })
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an ARRAY<BIGINT> argument")
+
+  override protected def nullSafeEval(a: Any): Any = {
+    // primitive sort + run scan: no per-element boxing (a hash count maps
+    // every Long through autoboxing), O(n log n) on a scratch array
+    val x = a.asInstanceOf[ArrayData].toLongArray()
+    if (x.isEmpty) return 0L
+    java.util.Arrays.sort(x)
+    var best = 1L
+    var run = 1L
+    var i = 1
+    while (i < x.length) {
+      if (x(i) == x(i - 1)) { run += 1; if (run > best) best = run }
+      else run = 1
+      i += 1
+    }
+    best
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** N-plane random-hyperplane LSH bucket of a quantized vector, weights
   * w(i,j) = ((i*37 + j*101) % 19) - 9 (1-based j) — identical to
   * [[graft.analytics.SimilarityQueries]]'s oracle form.
@@ -334,6 +371,8 @@ object VectorExpressions {
     reg.createOrReplaceTempFunction("simhash32", es => LongArraySimHash(es(0)), "built-in")
     reg.createOrReplaceTempFunction("shingle3_hash", es => Shingle3Hash(es(0)), "built-in")
     reg.createOrReplaceTempFunction("minhash16", es => MinHash16(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("max_elem_count",
+      es => LongArrayMaxCount(es(0)), "built-in")
     reg.createOrReplaceTempFunction("hyperplane_key",
       es => HyperplaneKey(es(0), es(1)), "built-in")
     // fixed-6 convenience alias (the historical name; same expression)
