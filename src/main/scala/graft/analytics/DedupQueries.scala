@@ -124,6 +124,31 @@ object DedupQueries {
       .filter(col("j") >= 0.5)
   }
 
+  /** The two-table LSH projection (doc_id, qe, nrm, k2, b1, b2): ONE native
+    * `hyperplane_key(qe, 2·Planes)` evaluation yields both tables' bucket
+    * keys (low Planes bits = table 1, high bits = table 2 — the hyperplane
+    * family is indexed by plane number, so disjoint bit ranges are
+    * independent tables). Persisted: four consumers (two join sides x two
+    * tables) would each re-run the scan + quantization + key otherwise.
+    * Shared by dedup_embedding_lsh_multi and dedup_embedding_lsh_recall.
+    */
+  private def twoTableProjection(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val p = SimilarityQueries.Planes
+    Tables.spread(emb(s, d), "vec_id")
+      .select(col("vec_id"), expr(quantizeS("embedding")).as("qe"))
+      .withColumn("nrm", expr("long_dot(qe, qe)"))
+      .withColumn("k2", expr(s"hyperplane_key(qe, ${2 * p})"))
+      .withColumn("b1", expr(s"k2 & ${(1L << p) - 1}"))
+      .withColumn("b2", expr(s"shiftright(k2, $p)"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** One self-join side of the two-table projection, columns suffixed. */
+  private def twoTableSide(q: DataFrame, n: String): DataFrame =
+    q.select(col("vec_id").as(s"vec_$n"), col("qe").as(s"q$n"),
+      col("nrm").as(s"n$n"), col("b1").as(s"b1$n"), col("b2").as(s"b2$n"))
+
   val all: Map[String, QuerySpec] = Map(
 
     // ----- exact dedup: full-text hash groupBy, corpus summary --------------
@@ -533,21 +558,8 @@ object DedupQueries {
     // table 1 that table 2 keeps together).
     "dedup_embedding_lsh_multi" -> QuerySpec(
       (s, d) => {
-        graft.functions.VectorExpressions.register(s)
-        val p = SimilarityQueries.Planes
-        val mask = (1L << p) - 1
-        // persist: four consumers (two join sides × two tables) would each
-        // re-run the scan + 64-lane quantization + 2·Planes key otherwise
-        val q = Tables.spread(emb(s, d), "vec_id")
-          .select(col("vec_id"), expr(quantizeS("embedding")).as("qe"))
-          .withColumn("nrm", expr("long_dot(qe, qe)"))
-          .withColumn("k2", expr(s"hyperplane_key(qe, ${2 * p})"))
-          .withColumn("b1", expr(s"k2 & $mask"))
-          .withColumn("b2", expr(s"shiftright(k2, $p)"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        def side(n: String) = q.select(col("vec_id").as(s"vec_$n"),
-          col("qe").as(s"q$n"), col("nrm").as(s"n$n"),
-          col("b1").as(s"b1$n"), col("b2").as(s"b2$n"))
+        val q = twoTableProjection(s, d)
+        def side(n: String) = twoTableSide(q, n)
         val t1 = side("a").join(side("b"),
           col("b1a") === col("b1b") && col("vec_a") < col("vec_b"))
         val t2 = side("a").join(side("b"),
@@ -586,19 +598,8 @@ object DedupQueries {
     // banding; this query measures exactly how much each table buys.
     "dedup_embedding_lsh_recall" -> QuerySpec(
       (s, d) => {
-        graft.functions.VectorExpressions.register(s)
-        val p = SimilarityQueries.Planes
-        val mask = (1L << p) - 1
-        val q = Tables.spread(emb(s, d), "vec_id")
-          .select(col("vec_id"), expr(quantizeS("embedding")).as("qe"))
-          .withColumn("nrm", expr("long_dot(qe, qe)"))
-          .withColumn("k2", expr(s"hyperplane_key(qe, ${2 * p})"))
-          .withColumn("b1", expr(s"k2 & $mask"))
-          .withColumn("b2", expr(s"shiftright(k2, $p)"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        def side(n: String) = q.select(col("vec_id").as(s"vec_$n"),
-          col("qe").as(s"q$n"), col("nrm").as(s"n$n"),
-          col("b1").as(s"b1$n"), col("b2").as(s"b2$n"))
+        val q = twoTableProjection(s, d)
+        def side(n: String) = twoTableSide(q, n)
         side("a").join(side("b"), col("vec_a") < col("vec_b"))
           .withColumn("c", expr("long_dot(qa, qb) / (sqrt(na) * sqrt(nb))"))
           .filter(col("c") >= 0.4)

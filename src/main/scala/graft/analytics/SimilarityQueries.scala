@@ -41,8 +41,21 @@ object SimilarityQueries {
     * gives the corpus-scaled choice.
     */
   val DefaultPlanes = 6
-  val Planes: Int =
-    sys.env.get("SPARK_GRAFT_LSH_PLANES").map(_.trim.toInt).getOrElse(DefaultPlanes)
+  val Planes: Int = sys.env.get("SPARK_GRAFT_LSH_PLANES") match {
+    case None => DefaultPlanes
+    case Some(raw) =>
+      // fail loudly, naming the knob: a bad value would otherwise surface
+      // as an ExceptionInInitializerError (parse) or an analysis error from
+      // hyperplane_key (range) that never mentions the env var. Upper
+      // bound 24 keeps 2*Planes (the multi-table key) within the
+      // expression's 62-bit limit with room to spare.
+      val p = scala.util.Try(raw.trim.toInt).getOrElse(
+        throw new IllegalArgumentException(
+          s"SPARK_GRAFT_LSH_PLANES must be an integer in 1..24, got: '$raw'"))
+      if (p < 1 || p > 24) throw new IllegalArgumentException(
+        s"SPARK_GRAFT_LSH_PLANES must be in 1..24, got: $p")
+      p
+  }
 
   /** Corpus-scaled plane count: the smallest key space that keeps expected
     * bucket occupancy at or under `targetOccupancy` for a uniform corpus —

@@ -306,8 +306,12 @@ case class HyperplaneKey(child: Expression, planes: Expression) extends BinaryEx
     if (!childOk || !planesOk)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires (ARRAY<BIGINT>, foldable integer planes) arguments")
-    else {
-      val p = planes.eval().asInstanceOf[Number].longValue()
+    else planes.eval() match {
+      case null => // a foldable typed NULL passes the checks above
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName planes must not be null")
+      case v =>
+      val p = v.asInstanceOf[Number].longValue()
       if (p >= 1 && p <= 62)
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(

@@ -182,13 +182,18 @@ object ConnectedComponents {
     }
     // converged edge set = {(member, component-min)}; roots carry no edge.
     // On the hybrid path the labels come from union-find over the
-    // contracted graph instead (same components by construction).
+    // contracted graph instead (same components by construction). The
+    // min-aggregate is the one-row-per-vertex contract guard: if maxIter
+    // exhausts before star convergence, a vertex can still carry edges to
+    // several candidate labels — emit its smallest (best-known) label
+    // rather than duplicate rows.
     val resolved = localResult.getOrElse(
       edges.select(col("a").as("id"), col("b").as("lbl")))
     val (labels, _) = snapshot(
       und.select(col("a").as("id")).distinct()
         .join(resolved, Seq("id"), "left")
-        .select(col("id"), coalesce(col("lbl"), col("id")).as("lbl")))
+        .groupBy(col("id"))
+        .agg(min(coalesce(col("lbl"), col("id"))).as("lbl")))
     labels.count() // materialize before the caller unpersists the edge cache
     edgesRdd.unpersist(blocking = false)
     (labels, rounds)

@@ -51,7 +51,10 @@ object EmbeddingStream {
     */
   def nearDupPairs(
       vecs: Dataset[VecEvent],
-      planes: Int = graft.analytics.SimilarityQueries.DefaultPlanes,
+      // the SESSION plane count, not the fixed default: the batch twin
+      // buckets with SimilarityQueries.Planes, and stream/batch pair
+      // parity must survive an SPARK_GRAFT_LSH_PLANES override
+      planes: Int = graft.analytics.SimilarityQueries.Planes,
       cosThreshold: Double = 0.4,
       bucketCap: Int = 50): Dataset[VecNearDup] = {
     val spark = vecs.sparkSession
