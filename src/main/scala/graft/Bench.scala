@@ -31,6 +31,7 @@ object Bench {
     val warmups = sys.env.get("SPARK_GRAFT_WARMUP").map(_.toInt).getOrElse(1)
     for (_ <- 1 to warmups) selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      CacheTracker.releaseAll()
     }
     // Timed passes: min over SPARK_GRAFT_RUNS (default 2) full executions
     // per query. GC/JIT/scheduler noise on an unchanged binary swings single
@@ -46,6 +47,10 @@ object Bench {
         val ok = try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage.take(200)}"); false }
         val dt = (System.nanoTime() - t0) / 1e9
+        // outside the timed window: each query's persisted projections are
+        // dead once its action finishes — holding them across the sweep
+        // only adds memory pressure to later queries
+        CacheTracker.releaseAll()
         if (sys.env.contains("SPARK_GRAFT_VERBOSE")) System.err.println(f"[bench] $name%-28s $dt%8.2f s${if (ok) "" else " (FAILED)"}")
         name -> dt
       }.toMap

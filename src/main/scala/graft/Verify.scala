@@ -37,6 +37,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // drop projections the query builder persisted, now that the
+      // consuming action is done — a full sweep would otherwise hold
+      // dozens of dead caches at once
+      CacheTracker.releaseAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

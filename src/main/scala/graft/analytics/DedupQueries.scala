@@ -27,7 +27,8 @@ object DedupQueries {
   private def emb(s: SparkSession, d: String) = Tables.t(s, d, "embeddings")
 
   /** Skew guards (see the minhash/jaccard query docs): max docs per LSH band
-    * bucket, and max document frequency for a shingle to stay in the
+    * bucket before the bucket switches from all-pairs to bounded-star
+    * emission, and max document frequency for a shingle to stay in the
     * n-gram-Jaccard universe.
     */
   val BandBucketCap = 50
@@ -60,14 +61,21 @@ object DedupQueries {
   private val MinhashPairsCte =
     s"""$ShinglesCte,
        |sig AS (SELECT doc_id, hs, ${minhashSigD("hs")} AS sig FROM sh),
-       |bands AS (SELECT doc_id, b, k FROM (
-       |    SELECT doc_id, b,
-       |      array_to_string(sig[$RowsPerBand * b + 1 : $RowsPerBand * b + $RowsPerBand], '_') AS k
-       |    FROM sig CROSS JOIN (SELECT unnest(generate_series(0, ${Bands - 1})) AS b) bb) z
-       |  QUALIFY COUNT(*) OVER (PARTITION BY b, k) <= $BandBucketCap),
-       |pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |  FROM bands x JOIN bands y
-       |    ON x.b = y.b AND x.k = y.k AND x.doc_id < y.doc_id),
+       |bands_all AS (SELECT doc_id, b,
+       |    array_to_string(sig[$RowsPerBand * b + 1 : $RowsPerBand * b + $RowsPerBand], '_') AS k
+       |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, ${Bands - 1})) AS b) bb),
+       |bsz AS (SELECT b, k, COUNT(*) AS bs, MIN(doc_id) AS rep
+       |  FROM bands_all GROUP BY b, k),
+       |bands AS (SELECT a.doc_id, a.b, a.k FROM bands_all a
+       |  JOIN bsz s ON a.b = s.b AND a.k = s.k AND s.bs <= $BandBucketCap),
+       |star AS (SELECT s.rep AS doc_a, a.doc_id AS doc_b FROM bands_all a
+       |  JOIN bsz s ON a.b = s.b AND a.k = s.k AND s.bs > $BandBucketCap
+       |  WHERE a.doc_id <> s.rep),
+       |pairs AS (SELECT DISTINCT doc_a, doc_b FROM (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |    FROM bands x JOIN bands y
+       |    ON x.b = y.b AND x.k = y.k AND x.doc_id < y.doc_id
+       |  UNION ALL SELECT doc_a, doc_b FROM star) u),
        |v AS (SELECT p.doc_a, p.doc_b,
        |    len(list_filter(a.hs, h -> list_contains(b.hs, h))) /
        |    len(list_distinct(list_concat(a.hs, b.hs))) AS j
@@ -80,9 +88,9 @@ object DedupQueries {
     * dedup_filtered_corpus without a second tokenization pass.
     */
   private[graft] def shingleProjection(s: SparkSession, d: String): DataFrame =
-    withShingles(docs(s, d).select("doc_id", "text"))
+    graft.CacheTracker.track(withShingles(docs(s, d).select("doc_id", "text"))
       .select(col("doc_id"), col("hs"), size(col("t")).as("n_tok"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Verified near-dup pairs (doc_a < doc_b, j >= 0.5) from the MinHash+LSH
     * pipeline — see the dedup_minhash_lsh docs for the skew guards.
@@ -96,26 +104,39 @@ object DedupQueries {
     */
   private[graft] def minhashPairsFrom(sh: DataFrame): DataFrame = {
     val sig = sh.withColumn("sig", expr("minhash16(hs)"))
-    val bands0 = sig.selectExpr("doc_id",
+    // persist: four consumers read the band table (bucket stats, both
+    // self-join sides, the hot-bucket star), and without it each re-derives
+    // minhash16 + the band explode from sh
+    val bands0 = graft.CacheTracker.track(sig.selectExpr("doc_id",
       s"explode(transform(sequence(0, ${Bands - 1}), b -> named_struct(" +
         s"'b', b, 'k', array_join(slice(sig, b * $RowsPerBand + 1, $RowsPerBand), '_')))) AS bk")
       .select(col("doc_id"), col("bk.b").as("b"), col("bk.k").as("k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // bucket-size cap as an anti-join against the (tiny) over-cap bucket
     // set instead of a count window — same rows kept, but no shuffle-sort
-    // of the full band table (see the DF-cap note in dedup_span); the
-    // signature lineage below the explode reads from the persisted sh
-    val hotBuckets = bands0.groupBy(col("b"), col("k"))
-      .agg(count(lit(1)).as("bs"))
-      .filter(col("bs") > BandBucketCap).select(col("b"), col("k"))
-    // persist: both self-join sides read the capped band table, and without
-    // it each side re-derives minhash16 + the band explode from sh
-    val bands = bands0.join(hotBuckets, Seq("b", "k"), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // of the full band table (see the DF-cap note in dedup_span). The
+    // over-cap buckets are NOT dropped wholesale: a >cap bucket is exactly
+    // what a 50+-way-duplicated boilerplate clique produces, and silently
+    // losing it loses the single most common real-world dup shape. Instead
+    // each hot bucket emits a bounded STAR — every member paired with the
+    // bucket's min doc_id — O(bucket) rows instead of the O(bucket^2)
+    // self-join, and connected components still merges the whole clique
+    // through the shared representative (the verify join below scores star
+    // pairs like any other candidate, so false-collision buckets of
+    // genuinely unrelated docs still die at the j >= 0.5 filter).
+    val bstats = bands0.groupBy(col("b"), col("k"))
+      .agg(count(lit(1)).as("bs"), min(col("doc_id")).as("rep"))
+      .filter(col("bs") > BandBucketCap)
+    val bands = bands0.join(bstats.select(col("b"), col("k")), Seq("b", "k"), "left_anti")
+    val star = bands0.join(bstats.select(col("b"), col("k"), col("rep")), Seq("b", "k"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
     val pairs = bands.as("x")
       .join(bands.as("y"),
         col("x.b") === col("y.b") && col("x.k") === col("y.k") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .unionByName(star)
       .distinct()
     pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
@@ -134,14 +155,14 @@ object DedupQueries {
     */
   private def twoTableProjection(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorExpressions.register(s)
-    val p = SimilarityQueries.Planes
-    Tables.spread(emb(s, d), "vec_id")
+    val p = SimilarityQueries.resolvePlanes(s, d)
+    graft.CacheTracker.track(Tables.spread(emb(s, d), "vec_id")
       .select(col("vec_id"), expr(quantizeS("embedding")).as("qe"))
       .withColumn("nrm", expr("long_dot(qe, qe)"))
       .withColumn("k2", expr(s"hyperplane_key(qe, ${2 * p})"))
       .withColumn("b1", expr(s"k2 & ${(1L << p) - 1}"))
       .withColumn("b2", expr(s"shiftright(k2, $p)"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
   /** One self-join side of the two-table projection, columns suffixed. */
@@ -149,7 +170,10 @@ object DedupQueries {
     q.select(col("vec_id").as(s"vec_$n"), col("qe").as(s"q$n"),
       col("nrm").as(s"n$n"), col("b1").as(s"b1$n"), col("b2").as(s"b2$n"))
 
-  val all: Map[String, QuerySpec] = Map(
+  // def, not val: the embedding-LSH oracle strings interpolate the resolved
+  // plane count (see SimilarityQueries.resolvePlanes), so they must render
+  // on access, never freeze at object init
+  def all: Map[String, QuerySpec] = Map(
 
     // ----- exact dedup: full-text hash groupBy, corpus summary --------------
     "dedup_exact" -> QuerySpec(
@@ -189,10 +213,11 @@ object DedupQueries {
     // Skew guards for 100 TB: (1) the shingle projection is persisted — its
     // lineage (tokenize -> hash -> shingle) is the dominant CPU cost and the
     // plan references it three times (bands + both verify joins); (2) band
-    // buckets larger than BandBucketCap docs are dropped before the
-    // self-join — a degenerate bucket (boilerplate band key shared by k docs)
-    // would emit k^2 candidate pairs, and true near-dups still collide in
-    // one of the other 15 bands.
+    // buckets larger than BandBucketCap docs switch from the all-pairs
+    // self-join to bounded-star emission — a degenerate bucket (boilerplate
+    // band key shared by k docs) would emit k^2 candidate pairs, while the
+    // star keeps k-1 rep-to-member pairs, so a 50+-way dup clique still
+    // clusters instead of silently vanishing (see minhashPairsFrom).
     "dedup_minhash_lsh" -> QuerySpec(
       (s, d) => {
         minhashPairs(s, d)
@@ -283,9 +308,10 @@ object DedupQueries {
     // the deterministic doc_id % 20 == 0 slice of `documents`.
     "dedup_contamination" -> QuerySpec(
       (s, d) => {
-        val sh = withShingles(docs(s, d).select("doc_id", "text"))
-          .select("doc_id", "hs")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val sh = graft.CacheTracker.track(
+          withShingles(docs(s, d).select("doc_id", "text"))
+            .select("doc_id", "hs")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val bench = sh.filter(col("doc_id") % 20 === 0)
           .select(explode(col("hs")).as("h")).distinct()
         val train = sh.filter(col("doc_id") % 20 =!= 0)
@@ -383,8 +409,8 @@ object DedupQueries {
         val e0 = sh.select(col("doc_id"), explode(col("hs")).as("h"))
         val hot = e0.groupBy(col("h")).agg(count(lit(1)).as("df"))
           .filter(col("df") > ShingleDfCap).select(col("h"))
-        val e = e0.join(hot, Seq("h"), "left_anti")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val e = graft.CacheTracker.track(e0.join(hot, Seq("h"), "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val shared = e.as("x")
           .join(e.as("y"), col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
           .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -440,8 +466,8 @@ object DedupQueries {
         // still sort-free on the big side, if the hot set is ever large)
         val hot = pc0.groupBy(col("h")).agg(count(lit(1)).as("df"))
           .filter(col("df") > ShingleDfCap).select(col("h"))
-        val pc = pc0.join(hot, Seq("h"), "left_anti")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val pc = graft.CacheTracker.track(pc0.join(hot, Seq("h"), "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val m = pc.as("x")
           .join(pc.as("y"), col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
@@ -517,10 +543,11 @@ object DedupQueries {
     "dedup_embedding_lsh" -> QuerySpec(
       (s, d) => {
         graft.functions.VectorExpressions.register(s)
+        val p = SimilarityQueries.resolvePlanes(s, d)
         val q = Tables.spread(emb(s, d), "vec_id")
           .select(col("vec_id"), expr(quantizeS("embedding")).as("qe"))
           .withColumn("nrm", expr("long_dot(qe, qe)"))
-          .withColumn("bucket", expr(s"hyperplane_key(qe, ${SimilarityQueries.Planes})"))
+          .withColumn("bucket", expr(s"hyperplane_key(qe, $p)"))
         val a = q.select(col("bucket"), col("vec_id").as("vec_a"),
           col("qe").as("qa"), col("nrm").as("na"))
         val b = q.select(col("bucket"), col("vec_id").as("vec_b"),

@@ -34,27 +34,57 @@ object SimilarityQueries {
     * LSH consumer (sim_lsh_ann / sim_lsh_recall / sim_knn_classify /
     * dedup_embedding_lsh): candidate generation is an equi-join on the
     * bucket key, so pair mass is quadratic in bucket occupancy and a fixed
-    * key space turns quadratic at scale. Any fixed value is deterministic
-    * (the oracle SQL is generated from the same constant), so the default
-    * stays 6 for the sf-scale gates and a deployment raises it with the
-    * corpus — `SPARK_GRAFT_LSH_PLANES` overrides per run, [[planesFor]]
-    * gives the corpus-scaled choice.
+    * key space turns quadratic at scale. Resolution order:
+    * `SPARK_GRAFT_LSH_PLANES` when set (validated once at init), else the
+    * corpus-scaled [[planesFor]] of the embeddings table actually queried —
+    * every LSH query fn calls [[resolvePlanes]] at build time, so an
+    * unconfigured deployment NEVER runs a fixed 64-bucket key space on a
+    * 100x corpus. The resolved value is deterministic per (env, corpus
+    * size), and the oracle SQL reads the same resolved constant ([[Planes]])
+    * because the registry re-renders oracle strings after the queries run.
+    * At the driver's sf0.01/sf0.1 gates the corpus clamps to
+    * [[DefaultPlanes]], so resolution changes nothing there.
     */
   val DefaultPlanes = 6
-  val Planes: Int = sys.env.get("SPARK_GRAFT_LSH_PLANES") match {
-    case None => DefaultPlanes
-    case Some(raw) =>
-      // fail loudly, naming the knob: a bad value would otherwise surface
-      // as an ExceptionInInitializerError (parse) or an analysis error from
-      // hyperplane_key (range) that never mentions the env var. Upper
-      // bound 24 keeps 2*Planes (the multi-table key) within the
-      // expression's 62-bit limit with room to spare.
-      val p = scala.util.Try(raw.trim.toInt).getOrElse(
-        throw new IllegalArgumentException(
-          s"SPARK_GRAFT_LSH_PLANES must be an integer in 1..24, got: '$raw'"))
-      if (p < 1 || p > 24) throw new IllegalArgumentException(
-        s"SPARK_GRAFT_LSH_PLANES must be in 1..24, got: $p")
-      p
+
+  /** Validated env override. Fail loudly, naming the knob: a bad value
+    * would otherwise surface as an ExceptionInInitializerError (parse) or
+    * an analysis error from hyperplane_key (range) that never mentions the
+    * env var. Upper bound 24 keeps 2*Planes (the multi-table key) within
+    * the expression's 62-bit limit with room to spare.
+    */
+  private val EnvPlanes: Option[Int] = sys.env.get("SPARK_GRAFT_LSH_PLANES").map { raw =>
+    val p = scala.util.Try(raw.trim.toInt).getOrElse(
+      throw new IllegalArgumentException(
+        s"SPARK_GRAFT_LSH_PLANES must be an integer in 1..24, got: '$raw'"))
+    if (p < 1 || p > 24) throw new IllegalArgumentException(
+      s"SPARK_GRAFT_LSH_PLANES must be in 1..24, got: $p")
+    p
+  }
+
+  /** The session's current resolved plane count: env override, else the
+    * last [[resolvePlanes]] result (DefaultPlanes before any LSH query has
+    * touched a corpus). Oracle SQL renders from this, so Spark plan and
+    * oracle always see the same constant — Verify/Bench run the queries
+    * first and render oracle strings after ([[graft.SparkEntry.registry]]
+    * is a def, so the strings are built on access, not frozen at init).
+    */
+  @volatile private var sessionPlanes: Int = EnvPlanes.getOrElse(DefaultPlanes)
+  def Planes: Int = sessionPlanes
+
+  private val planesByDir = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  /** Resolve the live plane count for a corpus dir: env override wins;
+    * otherwise [[planesFor]] of the embeddings row count, memoized per dir
+    * (one count() per dir per session). Every LSH consumer calls this at
+    * query-build time.
+    */
+  private[graft] def resolvePlanes(s: SparkSession, d: String): Int = {
+    val p = EnvPlanes.getOrElse(
+      planesByDir.computeIfAbsent(d,
+        _ => Integer.valueOf(planesFor(emb(s, d).count()))).intValue())
+    sessionPlanes = p
+    p
   }
 
   /** Corpus-scaled plane count: the smallest key space that keeps expected
@@ -62,9 +92,11 @@ object SimilarityQueries {
     * ceil(log2(n / target)) — clamped to [DefaultPlanes, 24]. Occupancy is
     * what bounds per-bucket rerank cost AND candidate-pair mass, so holding
     * it constant keeps LSH linear in corpus size: 2^k more vectors, k more
-    * planes, same per-bucket work.
+    * planes, same per-bucket work. Target 128 reproduces the measured
+    * sweet spot (SURVEY §2.10: 64x corpus = 128k vectors -> 10 planes,
+    * kNN 69 -> 11.6 s) while still clamping to DefaultPlanes below 8k rows.
     */
-  def planesFor(corpusRows: Long, targetOccupancy: Long = 1024L): Int = {
+  def planesFor(corpusRows: Long, targetOccupancy: Long = 128L): Int = {
     val needed = 64 - java.lang.Long.numberOfLeadingZeros(
       math.max(corpusRows / math.max(targetOccupancy, 1L), 1L) - 1L)
     math.min(math.max(needed, DefaultPlanes), 24)
@@ -93,7 +125,10 @@ object SimilarityQueries {
   /** A 1..dim series for per-lane list_transforms in the oracle SQL. */
   private val LaneSeries = "generate_series(1, (SELECT d FROM dim))"
 
-  val all: Map[String, QuerySpec] = Map(
+  // def, not val: oracle strings interpolate the resolved plane count, so
+  // they must render on access (after query fns resolved it), never freeze
+  // at object init
+  def all: Map[String, QuerySpec] = Map(
 
     // ----- brute-force exact cosine top-k (baseline) ------------------------
     "sim_cosine_topk" -> QuerySpec(
@@ -128,10 +163,11 @@ object SimilarityQueries {
     "sim_lsh_ann" -> QuerySpec(
       (s, d) => {
         graft.functions.VectorExpressions.register(s)
+        val p = resolvePlanes(s, d)
         val n = Tables.spread(emb(s, d), "vec_id")
           .select(col("vec_id"), expr(quantizeS("embedding")).as("qe"))
           .withColumn("nrm", expr("long_dot(qe, qe)"))
-          .withColumn("bucket", expr(s"hyperplane_key(qe, $Planes)"))
+          .withColumn("bucket", expr(s"hyperplane_key(qe, $p)"))
         val queries = n.filter(col("vec_id") < 5)
           .select(col("vec_id").as("q_id"), col("qe").as("qa"),
             col("nrm").as("na"), col("bucket").as("qb"))
@@ -171,15 +207,16 @@ object SimilarityQueries {
     "sim_lsh_multiprobe" -> QuerySpec(
       (s, d) => {
         graft.functions.VectorExpressions.register(s)
+        val p = resolvePlanes(s, d)
         val n = Tables.spread(emb(s, d), "vec_id")
           .select(col("vec_id"), expr(quantizeS("embedding")).as("qe"))
           .withColumn("nrm", expr("long_dot(qe, qe)"))
-          .withColumn("bucket", expr(s"hyperplane_key(qe, $Planes)"))
+          .withColumn("bucket", expr(s"hyperplane_key(qe, $p)"))
         val queries = n.filter(col("vec_id") < 5)
           .select(col("vec_id").as("q_id"), col("qe").as("qa"),
             col("nrm").as("na"), col("bucket").as("qb"))
           .withColumn("probe", explode(expr(
-            s"concat(array(qb), transform(sequence(0, ${Planes - 1}), " +
+            s"concat(array(qb), transform(sequence(0, ${p - 1}), " +
               "i -> qb ^ shiftleft(cast(1 as bigint), i)))")))
         val w = Window.partitionBy(col("q_id"))
           .orderBy(col("c").desc, col("vec_id"))
@@ -208,19 +245,22 @@ object SimilarityQueries {
     // ----- ANN quality measurement: recall@5 of LSH vs exact ground truth ---
     // The evaluation loop every ANN deployment runs: for each query, compare
     // the LSH top-k against the brute-force top-k and report the overlap
-    // fraction. Ground truth is exact over the full corpus (fine for a small
-    // probe set of queries — the query side broadcasts); at 100 TB the same
-    // query runs over a sampled partition of the corpus. The shared
-    // quantized projection is persisted: both branches reference it and its
-    // lineage is the full corpus scan.
+    // fraction — for BOTH the plain single-bucket probe and the hamming-1
+    // multi-probe (sim_lsh_multiprobe), so the recall the extra probes buy
+    // is a measured number, not a claim. Ground truth is exact over the full
+    // corpus (fine for a small probe set of queries — the query side
+    // broadcasts); at 100 TB the same query runs over a sampled partition of
+    // the corpus. The shared quantized projection is persisted: all three
+    // branches reference it and its lineage is the full corpus scan.
     "sim_lsh_recall" -> QuerySpec(
       (s, d) => {
         graft.functions.VectorExpressions.register(s)
-        val n = Tables.spread(emb(s, d), "vec_id")
+        val p = resolvePlanes(s, d)
+        val n = graft.CacheTracker.track(Tables.spread(emb(s, d), "vec_id")
           .select(col("vec_id"), expr(quantizeS("embedding")).as("qe"))
           .withColumn("nrm", expr("long_dot(qe, qe)"))
-          .withColumn("bucket", expr(s"hyperplane_key(qe, $Planes)"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .withColumn("bucket", expr(s"hyperplane_key(qe, $p)"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val queries = n.filter(col("vec_id") < 5)
           .select(col("vec_id").as("q_id"), col("qe").as("qa"),
             col("nrm").as("na"), col("bucket").as("qb"))
@@ -234,10 +274,22 @@ object SimilarityQueries {
         val exact = top5(broadcast(queries).join(n, col("vec_id") =!= col("q_id")))
         val lsh = top5(broadcast(queries)
           .join(n, col("qb") === col("bucket") && col("vec_id") =!= col("q_id")))
+        // the multiprobe candidate set: query bucket + its hamming-1 ring,
+        // exploded on the broadcast query side only (same shape as
+        // sim_lsh_multiprobe — a corpus vector matches at most one probe)
+        val mq = queries.withColumn("probe", explode(expr(
+          s"concat(array(qb), transform(sequence(0, ${p - 1}), " +
+            "i -> qb ^ shiftleft(cast(1 as bigint), i)))")))
+        val multi = top5(broadcast(mq)
+          .join(n, col("probe") === col("bucket") && col("vec_id") =!= col("q_id")))
         exact.join(lsh.withColumn("hit", lit(1)), Seq("q_id", "vec_id"), "left")
+          .join(multi.withColumn("hit_m", lit(1)), Seq("q_id", "vec_id"), "left")
           .groupBy(col("q_id"))
-          .agg(count(col("hit")).as("n_hits"))
+          .agg(count(col("hit")).as("n_hits"), count(col("hit_m")).as("n_hits_multi"))
           .withColumn("recall", expr("floor(n_hits / 5 * 1e6 + 0.5) / 1e6"))
+          .withColumn("recall_multi", expr("floor(n_hits_multi / 5 * 1e6 + 0.5) / 1e6"))
+          .select(col("q_id"), col("n_hits"), col("recall"),
+            col("n_hits_multi"), col("recall_multi"))
           .orderBy(col("q_id"))
       },
       Some(s"""$OracleQ,
@@ -252,10 +304,21 @@ object SimilarityQueries {
              |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
              |      ORDER BY ${dotD("a.qe", "b.qe")} / (sqrt(a.nrm) * sqrt(b.nrm)) DESC, b.vec_id) AS rn
              |  FROM bk a JOIN bk b ON a.vec_id < 5 AND a.bucket = b.bucket AND b.vec_id <> a.vec_id) z
+             |  WHERE rn <= 5),
+             |ms AS (SELECT q_id, vec_id FROM (
+             |  SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+             |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+             |      ORDER BY ${dotD("a.qe", "b.qe")} / (sqrt(a.nrm) * sqrt(b.nrm)) DESC, b.vec_id) AS rn
+             |  FROM bk a JOIN bk b ON a.vec_id < 5 AND b.vec_id <> a.vec_id
+             |    AND bit_count(xor(a.bucket, b.bucket)) <= 1) z
              |  WHERE rn <= 5)
              |SELECT ex.q_id, COUNT(ls.vec_id) AS n_hits,
-             |  floor(COUNT(ls.vec_id) / 5 * 1e6 + 0.5) / 1e6 AS recall
-             |FROM ex LEFT JOIN ls ON ex.q_id = ls.q_id AND ex.vec_id = ls.vec_id
+             |  floor(COUNT(ls.vec_id) / 5 * 1e6 + 0.5) / 1e6 AS recall,
+             |  COUNT(ms.vec_id) AS n_hits_multi,
+             |  floor(COUNT(ms.vec_id) / 5 * 1e6 + 0.5) / 1e6 AS recall_multi
+             |FROM ex
+             |LEFT JOIN ls ON ex.q_id = ls.q_id AND ex.vec_id = ls.vec_id
+             |LEFT JOIN ms ON ex.q_id = ms.q_id AND ex.vec_id = ms.vec_id
              |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin)
     ),
 
@@ -271,10 +334,11 @@ object SimilarityQueries {
       (s, d) => {
         graft.functions.VectorExpressions.register(s)
         graft.functions.SketchAggregators.register(s)
+        val p = resolvePlanes(s, d)
         val bk = Tables.spread(emb(s, d), "vec_id")
           .select(col("vec_id"), col("label"), expr(quantizeS("embedding")).as("qe"))
           .withColumn("nrm", expr("long_dot(qe, qe)"))
-          .withColumn("bucket", expr(s"hyperplane_key(qe, $Planes)"))
+          .withColumn("bucket", expr(s"hyperplane_key(qe, $p)"))
         // top-7 neighbors via the bounded mergeable aggregate, NOT a
         // row_number window: the candidate set is quadratic in bucket
         // occupancy, and a window would shuffle-sort all of it — the
@@ -321,10 +385,10 @@ object SimilarityQueries {
         // persist: three consumers (centroid build, cell assignment, query
         // probes) each re-run the parquet scan + 64-lane quantization
         // otherwise — the dominant cost of the whole query
-        val n = Tables.spread(emb(s, d), "vec_id")
+        val n = graft.CacheTracker.track(Tables.spread(emb(s, d), "vec_id")
           .select(col("vec_id"), col("label"), expr(quantizeS("embedding")).as("qe"))
           .withColumn("nrm", expr("long_dot(qe, qe)"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         // centroid per label: per-dimension mean via posexplode + groupBy —
         // partial aggregation does the heavy lifting map-side and no row ever
         // holds more than one (label, dim) sum, so a hot label can't OOM an
@@ -341,6 +405,7 @@ object SimilarityQueries {
           .agg(transform(array_sort(collect_list(struct(col("j"), col("cj")))),
             x => x.getField("cj")).as("ce"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        graft.CacheTracker.track(cent)
         // assign every vector to its nearest centroid (exact integer L2^2).
         // argmin as min(struct(dist, c_id)) under groupBy rather than a
         // per-vector window: partial aggregation combines map-side, so the
@@ -401,6 +466,119 @@ object SimilarityQueries {
              |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rn FROM res)
              |SELECT q_id, vec_id, cell, round(c, 6) AS cosine, rn FROM r
              |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin)
+    ),
+
+    // ----- IVF quality measurement: recall@5 vs exact at nProbe 1/2/4 -------
+    // The recall contract sim_lsh_recall states for the LSH family, stated
+    // for IVF: of the exact top-5 neighbors, what fraction survives when the
+    // query probes only its 1 / 2 / 4 nearest cells? One candidate pass
+    // carries the probe rank (prn), so the three nProbe tiers are windows
+    // over prn-filtered slices of the SAME join output — the corpus is
+    // scanned, assigned, and joined once, not three times. Ground truth is
+    // exact all-pairs over the probe queries — an EVAL query (O(Q*N) with
+    // Q=5 broadcast queries; sample-sized in production like the other
+    // recall evals). The nProbe lever this documents: recall climbs with
+    // probed cells while scan cost stays ~nProbe/nCells of the corpus.
+    "sim_ivf_recall" -> QuerySpec(
+      (s, d) => {
+        graft.functions.VectorExpressions.register(s)
+        val n = graft.CacheTracker.track(Tables.spread(emb(s, d), "vec_id")
+          .select(col("vec_id"), col("label"), expr(quantizeS("embedding")).as("qe"))
+          .withColumn("nrm", expr("long_dot(qe, qe)"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val cent = n
+          .select(col("label"), posexplode(col("qe")).as(Seq("j", "v")))
+          .groupBy(col("label").as("c_id"), col("j"))
+          .agg(expr("cast(round(sum(v) / count(1)) as bigint)").as("cj"))
+          .groupBy(col("c_id"))
+          .agg(transform(array_sort(collect_list(struct(col("j"), col("cj")))),
+            x => x.getField("cj")).as("ce"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        graft.CacheTracker.track(cent)
+        val l2 = "long_l2(%s, %s)"
+        val assigned = n.crossJoin(broadcast(cent))
+          .withColumn("dist", expr(l2.format("qe", "ce")))
+          .groupBy(col("vec_id"))
+          .agg(first(col("qe")).as("qe"), first(col("nrm")).as("nrm"),
+            min(struct(col("dist"), col("c_id"))).as("m"))
+          .select(col("vec_id"), col("qe"), col("nrm"), col("m.c_id").as("cell"))
+        val wp = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("c_id"))
+        val probes = n.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("qe").as("qa"), col("nrm").as("na"))
+          .crossJoin(broadcast(cent))
+          .withColumn("dist", expr(l2.format("qa", "ce")))
+          .withColumn("prn", row_number().over(wp))
+          .filter(col("prn") <= 4)
+          .select(col("q_id"), col("qa"), col("na"), col("prn"), col("c_id").as("cell"))
+        // one candidate pass, reused by all three nProbe tiers
+        val cand = graft.CacheTracker.track(broadcast(probes)
+          .join(assigned, Seq("cell"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("c", expr("long_dot(qa, qe) / (sqrt(na) * sqrt(nrm))"))
+          .select(col("q_id"), col("vec_id"), col("prn"), col("c"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val wr = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("vec_id"))
+        val tops = Seq(1, 2, 4).map { np =>
+          cand.filter(col("prn") <= np)
+            .withColumn("rn", row_number().over(wr))
+            .filter(col("rn") <= 5)
+            .select(col("q_id"), col("vec_id"), lit(np).as("n_probe"))
+        }.reduce(_ unionByName _)
+        val we = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("vec_id"))
+        val exact = broadcast(n.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("q_id"), col("qe").as("qa"), col("nrm").as("na")))
+          .join(n.select(col("vec_id"), col("qe"), col("nrm")),
+            col("vec_id") =!= col("q_id"))
+          .withColumn("c", expr("long_dot(qa, qe) / (sqrt(na) * sqrt(nrm))"))
+          .withColumn("rn", row_number().over(we))
+          .filter(col("rn") <= 5)
+          .select(col("q_id"), col("vec_id"))
+          .withColumn("n_probe", explode(expr("array(1, 2, 4)")))
+        exact.join(tops.withColumn("hit", lit(1)), Seq("q_id", "vec_id", "n_probe"), "left")
+          .groupBy(col("q_id"), col("n_probe"))
+          .agg(count(col("hit")).as("n_hits"))
+          .withColumn("recall", expr("floor(n_hits / 5 * 1e6 + 0.5) / 1e6"))
+          .orderBy(col("q_id"), col("n_probe"))
+      },
+      Some(s"""$OracleQ,
+             |cent AS (SELECT label AS c_id,
+             |    list_transform($LaneSeries, j -> CAST(round(
+             |      CAST(list_sum(list_transform(list(qe), v -> v[j])) AS BIGINT) / COUNT(*)) AS BIGINT)) AS ce
+             |  FROM q GROUP BY label),
+             |ad AS (SELECT n.vec_id, n.qe, n.nrm, c.c_id,
+             |    CAST(list_sum(list_transform($LaneSeries,
+             |      j -> (n.qe[j] - c.ce[j]) * (n.qe[j] - c.ce[j]))) AS BIGINT) AS dist
+             |  FROM n CROSS JOIN cent c),
+             |assigned AS (SELECT vec_id, qe, nrm, c_id AS cell FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c_id) AS arn FROM ad) z
+             |  WHERE arn = 1),
+             |pd AS (SELECT n.vec_id AS q_id, n.qe AS qa, n.nrm AS na, c.c_id,
+             |    CAST(list_sum(list_transform($LaneSeries,
+             |      j -> (n.qe[j] - c.ce[j]) * (n.qe[j] - c.ce[j]))) AS BIGINT) AS dist
+             |  FROM n CROSS JOIN cent c WHERE n.vec_id < 5),
+             |probes AS (SELECT q_id, qa, na, prn, c_id AS cell FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist, c_id) AS prn FROM pd) z
+             |  WHERE prn <= 4),
+             |cand AS (SELECT p.q_id, a.vec_id, p.prn,
+             |    ${dotD("p.qa", "a.qe")} / (sqrt(p.na) * sqrt(a.nrm)) AS c
+             |  FROM probes p JOIN assigned a ON p.cell = a.cell AND a.vec_id <> p.q_id),
+             |nps AS (SELECT unnest([1, 2, 4]) AS n_probe),
+             |topc AS (SELECT q_id, vec_id, n_probe FROM (
+             |  SELECT cd.q_id, cd.vec_id, np.n_probe,
+             |    ROW_NUMBER() OVER (PARTITION BY cd.q_id, np.n_probe
+             |      ORDER BY cd.c DESC, cd.vec_id) AS rn
+             |  FROM cand cd JOIN nps np ON cd.prn <= np.n_probe) z WHERE rn <= 5),
+             |ex AS (SELECT q_id, vec_id FROM (
+             |  SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+             |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+             |      ORDER BY ${dotD("a.qe", "b.qe")} / (sqrt(a.nrm) * sqrt(b.nrm)) DESC, b.vec_id) AS rn
+             |  FROM n a JOIN n b ON a.vec_id < 5 AND b.vec_id <> a.vec_id) z WHERE rn <= 5),
+             |exn AS (SELECT e.q_id, e.vec_id, np.n_probe FROM ex e CROSS JOIN nps np)
+             |SELECT exn.q_id, exn.n_probe, COUNT(t.vec_id) AS n_hits,
+             |  floor(COUNT(t.vec_id) / 5 * 1e6 + 0.5) / 1e6 AS recall
+             |FROM exn LEFT JOIN topc t ON exn.q_id = t.q_id
+             |  AND exn.vec_id = t.vec_id AND exn.n_probe = t.n_probe
+             |GROUP BY exn.q_id, exn.n_probe ORDER BY exn.q_id, exn.n_probe""".stripMargin)
     ),
 
     // ----- cluster quality: per-label centroid cohesion ---------------------

@@ -96,11 +96,11 @@ object TextQueries {
         // the trigram signal, max_elem_count for the top-token count
         // (instead of an explode + two aggregations shuffling every token
         // of every document twice to learn one scalar per doc).
-        val base = docs(s, d)
+        val base = graft.CacheTracker.track(docs(s, d)
           .withColumn("t", expr(tokensS("text")))
           .withColumn("th", expr(tokenHashesS("t")))
           .select(col("doc_id"), col("th"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         base
           .withColumn("tri", expr("shingle3_hash(th)"))
           .select(col("doc_id"),
@@ -335,11 +335,11 @@ object TextQueries {
         // persist: four consumers (totals x3 + the main join) read tf, and
         // its lineage is the corpus-sized explode; the cached table itself
         // is only vocabulary-sized
-        val tf = docs(s, d)
+        val tf = graft.CacheTracker.track(docs(s, d)
           .select(col("lang"), explode(expr(tokensS("text"))).as("w"))
           .groupBy(col("lang"), col("w"))
           .agg(count(lit(1)).as("tf_lang"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val perLang = tf.groupBy(col("lang")).agg(sum(col("tf_lang")).as("tokens_lang"))
         val perTerm = tf.groupBy(col("w")).agg(sum(col("tf_lang")).as("tf_all"))
         val totals = tf.agg(sum(col("tf_lang")).as("tokens_all"))

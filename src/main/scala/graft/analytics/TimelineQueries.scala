@@ -208,6 +208,68 @@ object TimelineQueries {
              |GROUP BY lc.last_compaction_ts""".stripMargin)
     ),
 
+    // ----- Compaction Backlog per FILE GROUP (§2.9, product granularity) ----
+    // The product monitors log-file build-up PER FILE GROUP (reference
+    // README §Compaction Backlog Monitoring), not globally: a compaction
+    // resets only the file groups it actually rewrote, so one hot file
+    // group's backlog can grow while the table's newest compaction is
+    // minutes old. Parses deltacommit/compaction metadata bodies (the same
+    // JSON path as tl_write_stats, plus fileId) into (file_group, instant)
+    // rows; backlog = deltacommits strictly after the group's last
+    // compaction (all of them if never compacted). Scale: per-group counts
+    // are map-side-combined on the file_group key and the compaction side
+    // is a broadcast — at a 100k-file-group table nothing shuffles but
+    // tiny aggregates.
+    "tl_compaction_backlog_fg" -> QuerySpec(
+      (s, _) => {
+        import s.implicits._
+        val schema = "map<string, array<struct<fileId: string, numWrites: bigint, totalWriteBytes: bigint, numDeletes: bigint>>>"
+        val rows = s.createDataset(TimelineFixture.fileGroupMetaRows)
+          .toDF("ts", "action", "meta")
+          .select(col("ts"), col("action"), explode(from_json(
+            get_json_object(col("meta"), "$.partitionToWriteStats"),
+            org.apache.spark.sql.types.DataType.fromDDL(schema)))
+            .as(Seq("part", "stats")))
+          .select(col("ts"), col("action"), col("part"),
+            explode(col("stats")).as("st"))
+          .select(col("ts"), col("action"), col("part"),
+            col("st.fileId").as("file_group"))
+        val lastComp = rows.filter(col("action") === "compaction")
+          .groupBy(col("file_group")).agg(max(col("ts")).as("last_compaction_ts"))
+        rows.filter(col("action") === "deltacommit")
+          .join(broadcast(lastComp), Seq("file_group"), "left")
+          .filter(col("last_compaction_ts").isNull ||
+            col("ts") > col("last_compaction_ts"))
+          .groupBy(col("part"), col("file_group"), col("last_compaction_ts"))
+          .agg(count(lit(1)).as("deltacommits_since_compaction"),
+            min(col("ts")).as("oldest_pending_ts"))
+          .select(col("part"), col("file_group"),
+            col("deltacommits_since_compaction"), col("oldest_pending_ts"),
+            col("last_compaction_ts"))
+          .orderBy(col("part"), col("file_group"))
+      },
+      Some(s"""WITH src AS (SELECT * FROM ${TimelineFixture.fileGroupMetaValuesSql}),
+             |kv AS (SELECT ts, action, meta,
+             |    unnest(json_keys(meta, '$$.partitionToWriteStats')) AS part FROM src),
+             |arr AS (SELECT ts, action, part,
+             |    json_extract(meta, '$$.partitionToWriteStats."' || part || '"') AS stats FROM kv),
+             |el AS (SELECT ts, action, part, stats,
+             |    unnest(generate_series(0, CAST(json_array_length(stats) AS INT) - 1)) AS i FROM arr),
+             |fg AS (SELECT ts, action, part,
+             |    json_extract_string(stats, '$$[' || i || '].fileId') AS file_group FROM el),
+             |lc AS (SELECT file_group, max(ts) AS last_compaction_ts
+             |  FROM fg WHERE action = 'compaction' GROUP BY file_group)
+             |SELECT f.part, f.file_group,
+             |  COUNT(*) AS deltacommits_since_compaction,
+             |  MIN(f.ts) AS oldest_pending_ts,
+             |  lc.last_compaction_ts
+             |FROM fg f LEFT JOIN lc ON f.file_group = lc.file_group
+             |WHERE f.action = 'deltacommit'
+             |  AND (lc.last_compaction_ts IS NULL OR f.ts > lc.last_compaction_ts)
+             |GROUP BY f.part, f.file_group, lc.last_compaction_ts
+             |ORDER BY f.part, f.file_group""".stripMargin)
+    ),
+
     // ----- Partition Insights (§2.9): size distribution, percentiles, skew --
     // orders-by-month stands in for per-partition file stats (o_totalprice =
     // file size); same query shape the product computes from commit metadata.

@@ -95,6 +95,37 @@ object TimelineFixture {
     .map { case (ts, a, j) => s"('$ts', '$a', '$j')" }
     .mkString("(VALUES\n  ", ",\n  ", ")\n  AS t(ts, action, meta)")
 
+  /** MOR-table commit metadata at FILE-GROUP granularity: each write stat
+    * carries the `fileId` it lands in, the way Hudi deltacommit/compaction
+    * metadata does (the product's Compaction Backlog Monitoring tracks
+    * "log-file build-up per file group", not a global count —
+    * /root/reference/README.md). Interleaved compactions reset individual
+    * file groups: fg-1 is compacted twice (backlog restarts at the later
+    * one), fg-2 once, fg-3 never (its backlog spans the whole timeline).
+    */
+  val fileGroupMetaRows: Seq[(String, String, String)] = Seq(
+    ("20240110010000001", "deltacommit",
+      """{"partitionToWriteStats":{"dt=2024-01-01":[{"fileId":"fg-1","numWrites":10,"totalWriteBytes":4000,"numDeletes":0},{"fileId":"fg-2","numWrites":12,"totalWriteBytes":5000,"numDeletes":0}]}}"""),
+    ("20240111010000002", "deltacommit",
+      """{"partitionToWriteStats":{"dt=2024-01-01":[{"fileId":"fg-1","numWrites":8,"totalWriteBytes":3200,"numDeletes":1}],"dt=2024-01-02":[{"fileId":"fg-3","numWrites":20,"totalWriteBytes":9000,"numDeletes":0}]}}"""),
+    ("20240112010000003", "compaction",
+      """{"partitionToWriteStats":{"dt=2024-01-01":[{"fileId":"fg-1","numWrites":18,"totalWriteBytes":7000,"numDeletes":0},{"fileId":"fg-2","numWrites":12,"totalWriteBytes":5000,"numDeletes":0}]}}"""),
+    ("20240113010000004", "deltacommit",
+      """{"partitionToWriteStats":{"dt=2024-01-01":[{"fileId":"fg-1","numWrites":5,"totalWriteBytes":2000,"numDeletes":0},{"fileId":"fg-2","numWrites":6,"totalWriteBytes":2400,"numDeletes":0}],"dt=2024-01-02":[{"fileId":"fg-3","numWrites":7,"totalWriteBytes":2800,"numDeletes":0}]}}"""),
+    ("20240114010000005", "deltacommit",
+      """{"partitionToWriteStats":{"dt=2024-01-01":[{"fileId":"fg-2","numWrites":9,"totalWriteBytes":3600,"numDeletes":2}],"dt=2024-01-02":[{"fileId":"fg-3","numWrites":11,"totalWriteBytes":4400,"numDeletes":0}]}}"""),
+    ("20240115010000006", "compaction",
+      """{"partitionToWriteStats":{"dt=2024-01-01":[{"fileId":"fg-1","numWrites":23,"totalWriteBytes":9000,"numDeletes":0}]}}"""),
+    ("20240116010000007", "deltacommit",
+      """{"partitionToWriteStats":{"dt=2024-01-01":[{"fileId":"fg-1","numWrites":4,"totalWriteBytes":1600,"numDeletes":0}],"dt=2024-01-02":[{"fileId":"fg-3","numWrites":6,"totalWriteBytes":2400,"numDeletes":1}]}}"""),
+    ("20240117010000008", "deltacommit",
+      """{"partitionToWriteStats":{"dt=2024-01-01":[{"fileId":"fg-2","numWrites":7,"totalWriteBytes":2800,"numDeletes":0}],"dt=2024-01-02":[{"fileId":"fg-3","numWrites":8,"totalWriteBytes":3200,"numDeletes":0}]}}""")
+  )
+
+  val fileGroupMetaValuesSql: String = fileGroupMetaRows
+    .map { case (ts, a, j) => s"('$ts', '$a', '$j')" }
+    .mkString("(VALUES\n  ", ",\n  ", ")\n  AS t(ts, action, meta)")
+
   /** Hudi table URIs for the tableId (UUIDv3) derivation fixture. */
   val tableUris: Seq[String] = Seq(
     "s3://lake-bucket/tables/db1/trips",

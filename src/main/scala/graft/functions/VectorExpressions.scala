@@ -290,6 +290,12 @@ case class LongArrayMaxCount(child: Expression)
   * 2^k times larger keeps constant occupancy (and linear pair mass) by
   * adding k planes. `planes` must be a foldable integer in 1..62, fixed at
   * plan time (it is a determinism contract with the oracle, never data).
+  *
+  * Input contract: the vector must have containsNull=false semantics (a
+  * null lane reads as 0 rather than erroring — quantize() never produces
+  * nulls) and at most ~21M lanes: the weight term (j+1)*101 is computed in
+  * 32-bit int in both the interpreted and codegen paths, so it wraps —
+  * consistently in both — beyond that, far above any real embedding dim.
   */
 case class HyperplaneKey(child: Expression, planes: Expression) extends BinaryExpression {
   override def left: Expression = child

@@ -22,9 +22,16 @@ import org.apache.spark.storage.StorageLevel
   */
 object ConnectedComponents {
 
+  /** Default local-solve threshold; `SPARK_GRAFT_CC_LOCAL_EDGES` overrides
+    * (0 forces the distributed star tier — the scale-probe knob, since at
+    * bench scale every near-dup graph otherwise resolves in the local tier).
+    */
+  val LocalSolveEdgesDefault: Long =
+    sys.env.get("SPARK_GRAFT_CC_LOCAL_EDGES").map(_.trim.toLong).getOrElse(4000000L)
+
   /** @return one row per vertex: (id, lbl) with lbl = min id of its component. */
   def components(edges: DataFrame, src: String, dst: String, maxIter: Int = 20,
-                 localSolveEdges: Long = 4000000L): DataFrame = {
+                 localSolveEdges: Long = LocalSolveEdgesDefault): DataFrame = {
     // no distinct: duplicate edges change neither union-find nor a
     // neighbor-min, and deduping them costs a full shuffle of the edge
     // list. Symmetrize via explode, NOT union of two selects: a union
@@ -41,6 +48,9 @@ object ConnectedComponents {
     val out =
       if (nEdges <= localSolveEdges) localSolve(und)
       else iterate(und, maxIter, localSolveEdges)
+    if (sys.env.contains("SPARK_GRAFT_VERBOSE"))
+      System.err.println(s"[cc] edges=$nEdges tier=" +
+        (if (nEdges <= localSolveEdges) "local" else "star"))
     und.unpersist(blocking = false)
     out
   }
@@ -196,6 +206,9 @@ object ConnectedComponents {
         .agg(min(coalesce(col("lbl"), col("id"))).as("lbl")))
     labels.count() // materialize before the caller unpersists the edge cache
     edgesRdd.unpersist(blocking = false)
+    if (sys.env.contains("SPARK_GRAFT_VERBOSE"))
+      System.err.println(s"[cc] star rounds=$rounds " +
+        s"handoff=${localResult.isDefined} converged=$converged")
     (labels, rounds)
   }
 }

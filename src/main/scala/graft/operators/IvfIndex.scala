@@ -21,8 +21,10 @@ import org.apache.spark.sql.functions._
   *
   * Determinism: quantized round(x*1e6) BIGINT vectors; init centroids are
   * the `nCells` smallest vec_ids; every argmin breaks ties on cell id —
-  * rebuilt indexes are bit-identical, the same contract as the query
-  * registry.
+  * rebuilt indexes have deterministic LOGICAL content (identical centroid
+  * rows and cell memberships, what `IvfIndexSpec` asserts); the parquet
+  * file layout and row order under `partitionBy` still vary with task
+  * parallelism, as for any distributed write.
   */
 object IvfIndex {
 

@@ -77,6 +77,14 @@ object EmbeddingStream {
           it.foreach { case (_, id, qe, nrm) =>
             if (!ids.contains(id)) {
               val dim = qe.length
+              // stride guard: the flattened state is only addressable when
+              // every stored vector shares the arriving dimension — a dim
+              // change (encoder migration) would silently misalign every
+              // offset and score garbage. Treat it as a new epoch: drop the
+              // old-dim members and let the bucket refill at the new dim.
+              if (ids.nonEmpty && flat.length != ids.length * dim) {
+                ids = Vector.empty; flat = Vector.empty; norms = Vector.empty
+              }
               var i = 0
               while (i < ids.length) {
                 val off = i * dim

@@ -66,7 +66,7 @@ class IvfIndexSpec extends AnyFunSuite {
       s"pruned-only: ${gotRows -- want}; reference-only: ${want -- gotRows}")
   }
 
-  test("rebuilding the index is bit-identical") {
+  test("rebuilding the index reproduces identical logical content") {
     val d1 = java.nio.file.Files.createTempDirectory("ivf_a").toString
     val d2 = java.nio.file.Files.createTempDirectory("ivf_b").toString
     IvfIndex.build(emb, d1, nCells = 4, iters = 2)

@@ -107,8 +107,10 @@ class VectorExpressionsSpec extends AnyFunSuite {
   test("planesFor holds bucket occupancy constant as the corpus grows") {
     import graft.analytics.SimilarityQueries.planesFor
     assert(planesFor(1000L) == 6) // small corpora keep the default
-    assert(planesFor(1024L * 1024) == 10)
-    assert(planesFor(1024L * 1024 * 32) == 15)
+    assert(planesFor(2000L) == 6) // the sf0.1 gate corpus stays at 6
+    assert(planesFor(128L * 1024) == 10) // 64x sf0.1 = the measured sweet spot
+    assert(planesFor(1024L * 1024) == 13)
+    assert(planesFor(1024L * 1024 * 32) == 18)
     // 2^k more rows => k more planes (constant occupancy), until the clamp
     assert(planesFor(Long.MaxValue) == 24)
   }
