@@ -16,13 +16,23 @@ import org.apache.spark.sql.Dataset
   */
 object CacheTracker {
   private val live = new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()
+  private val liveRdds =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
 
   /** Register a persisted Dataset for later release; returns it unchanged. */
   def track[T <: Dataset[_]](df: T): T = { live.add(df); df }
 
-  /** Unpersist every tracked Dataset and clear the registry. */
+  /** Register a persisted RDD (the connected-components lineage-cut
+    * snapshots — `spark.catalog.clearCache()` does NOT drop RDD-level
+    * persists, so untracked they would accumulate across a query sweep).
+    */
+  def trackRdd[T <: org.apache.spark.rdd.RDD[_]](rdd: T): T = { liveRdds.add(rdd); rdd }
+
+  /** Unpersist every tracked Dataset/RDD and clear the registry. */
   def releaseAll(): Unit = {
     var d = live.poll()
     while (d != null) { d.unpersist(blocking = false); d = live.poll() }
+    var r = liveRdds.poll()
+    while (r != null) { r.unpersist(blocking = false); r = liveRdds.poll() }
   }
 }

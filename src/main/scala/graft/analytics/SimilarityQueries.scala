@@ -81,8 +81,13 @@ object SimilarityQueries {
     */
   private[graft] def resolvePlanes(s: SparkSession, d: String): Int = {
     val p = EnvPlanes.getOrElse(
-      planesByDir.computeIfAbsent(d,
-        _ => Integer.valueOf(planesFor(emb(s, d).count()))).intValue())
+      planesByDir.computeIfAbsent(d, _ => {
+        val n = emb(s, d).count()
+        val r = planesFor(n)
+        if (sys.env.contains("SPARK_GRAFT_VERBOSE"))
+          System.err.println(s"[lsh] planes=$r corpus=$n dir=$d")
+        Integer.valueOf(r)
+      }).intValue())
     sessionPlanes = p
     p
   }

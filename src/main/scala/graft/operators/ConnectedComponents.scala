@@ -25,9 +25,18 @@ object ConnectedComponents {
   /** Default local-solve threshold; `SPARK_GRAFT_CC_LOCAL_EDGES` overrides
     * (0 forces the distributed star tier — the scale-probe knob, since at
     * bench scale every near-dup graph otherwise resolves in the local tier).
+    *
+    * 16M: measured on a 4.66M-edge near-dup graph (32x corpus), the local
+    * union-find task solves in 9.0 s where one star round + hand-off takes
+    * 15.1 s and full star convergence (2 rounds) 20.3 s — each distributed
+    * round carries ~5 s of fixed shuffle + plan cost regardless of size, so
+    * the crossover sits where union-find's single task stops fitting task
+    * memory, not where rounds get cheap. 16M edges is ~1-1.5 GB of
+    * union-find state — safe in any reasonable executor; beyond it the
+    * star tier (result-equal, spec- and probe-verified) takes over.
     */
   val LocalSolveEdgesDefault: Long =
-    sys.env.get("SPARK_GRAFT_CC_LOCAL_EDGES").map(_.trim.toLong).getOrElse(4000000L)
+    sys.env.get("SPARK_GRAFT_CC_LOCAL_EDGES").map(_.trim.toLong).getOrElse(16000000L)
 
   /** @return one row per vertex: (id, lbl) with lbl = min id of its component. */
   def components(edges: DataFrame, src: String, dst: String, maxIter: Int = 20,
@@ -73,7 +82,9 @@ object ConnectedComponents {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id", idType, nullable = false),
       org.apache.spark.sql.types.StructField("lbl", idType, nullable = false)))
-    val labeled = und.rdd.coalesce(1).mapPartitions { it =>
+    // tracked: the result RDD must outlive this call (the caller's action
+    // reads it), so release happens at the harness seam, not here
+    val labeled = graft.CacheTracker.trackRdd(und.rdd.coalesce(1).mapPartitions { it =>
       val parent = scala.collection.mutable.HashMap.empty[Any, Any]
       def find(x: Any): Any = {
         var r = x
@@ -94,7 +105,7 @@ object ConnectedComponents {
       // snapshot the key set: find()'s path compression updates the map
       val ks = parent.keys.toArray
       ks.iterator.map(k => Row(k, find(k)))
-    }.persist(StorageLevel.MEMORY_AND_DISK)
+    }.persist(StorageLevel.MEMORY_AND_DISK))
     labeled.count() // materialize before the caller unpersists the edge cache
     spark.createDataFrame(labeled, schema)
   }
@@ -199,11 +210,14 @@ object ConnectedComponents {
     // rather than duplicate rows.
     val resolved = localResult.getOrElse(
       edges.select(col("a").as("id"), col("b").as("lbl")))
-    val (labels, _) = snapshot(
+    val (labels, labelsRdd) = snapshot(
       und.select(col("a").as("id")).distinct()
         .join(resolved, Seq("id"), "left")
         .groupBy(col("id"))
         .agg(min(coalesce(col("lbl"), col("id"))).as("lbl")))
+    // the labels snapshot must outlive this call (the caller's action reads
+    // it) — release at the harness seam via the tracker
+    graft.CacheTracker.trackRdd(labelsRdd)
     labels.count() // materialize before the caller unpersists the edge cache
     edgesRdd.unpersist(blocking = false)
     if (sys.env.contains("SPARK_GRAFT_VERBOSE"))
