@@ -15,24 +15,42 @@ import org.apache.spark.sql.Dataset
   * the signature pipeline they are supposed to measure.
   */
 object CacheTracker {
-  private val live = new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()
-  private val liveRdds =
-    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
+  // WEAK references: a non-harness caller that never calls releaseAll must
+  // not leak — once its result is unreachable, Spark's ContextCleaner
+  // auto-unpersists on GC exactly as it would without the tracker, and the
+  // cleared entry is dropped at the next drain. Harnesses that do call
+  // releaseAll get the prompt, deterministic release.
+  private val live = new java.util.concurrent.ConcurrentLinkedQueue[
+    java.lang.ref.WeakReference[Dataset[_]]]()
+  private val liveRdds = new java.util.concurrent.ConcurrentLinkedQueue[
+    java.lang.ref.WeakReference[org.apache.spark.rdd.RDD[_]]]()
 
   /** Register a persisted Dataset for later release; returns it unchanged. */
-  def track[T <: Dataset[_]](df: T): T = { live.add(df); df }
+  def track[T <: Dataset[_]](df: T): T = {
+    live.add(new java.lang.ref.WeakReference[Dataset[_]](df)); df
+  }
 
   /** Register a persisted RDD (the connected-components lineage-cut
     * snapshots — `spark.catalog.clearCache()` does NOT drop RDD-level
     * persists, so untracked they would accumulate across a query sweep).
     */
-  def trackRdd[T <: org.apache.spark.rdd.RDD[_]](rdd: T): T = { liveRdds.add(rdd); rdd }
+  def trackRdd[T <: org.apache.spark.rdd.RDD[_]](rdd: T): T = {
+    liveRdds.add(new java.lang.ref.WeakReference[org.apache.spark.rdd.RDD[_]](rdd)); rdd
+  }
 
-  /** Unpersist every tracked Dataset/RDD and clear the registry. */
+  /** Unpersist every still-reachable tracked Dataset/RDD and clear the
+    * registry (GC-collected entries are simply dropped).
+    */
   def releaseAll(): Unit = {
     var d = live.poll()
-    while (d != null) { d.unpersist(blocking = false); d = live.poll() }
+    while (d != null) {
+      val ds = d.get(); if (ds != null) ds.unpersist(blocking = false)
+      d = live.poll()
+    }
     var r = liveRdds.poll()
-    while (r != null) { r.unpersist(blocking = false); r = liveRdds.poll() }
+    while (r != null) {
+      val rdd = r.get(); if (rdd != null) rdd.unpersist(blocking = false)
+      r = liveRdds.poll()
+    }
   }
 }

@@ -35,6 +35,11 @@ import org.apache.spark.sql.functions._
 object TimelineLakeBench {
 
   private def synthesize(root: String, nTables: Int, groups: Int): Long = {
+    // the f"202401${1 + g / 10}%02d..." instant template stays a valid
+    // 17-digit V9 instant only while the day field has 2 digits
+    require(groups <= 300,
+      s"SPARK_GRAFT_LAKE_GROUPS must be <= 300 (got $groups): larger values " +
+        "overflow the synthetic instant's 2-digit day field")
     var files = 0L
     (0 until nTables).foreach { t =>
       val db = s"db${t % 10}"
@@ -124,10 +129,13 @@ object TimelineLakeBench {
         .agg(count(lit(1)).as("n_files"),
           expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY age)").as("p50_age"),
           expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY age)").as("p90_age"))
+      // collect, don't count: under count() Catalyst prunes the percentile
+      // aggregates and the skew window entirely and the phase would time a
+      // listing + groupBy-count instead of the computation it names
       per.withColumn("avg_files",
           expr("cast(sum(n_files) over () as double) / count(*) over ()"))
         .withColumn("skew", expr("round(n_files / avg_files - 1, 6)"))
-        .count()
+        .collect().length
     }
     require(nInsightRows == nTables, s"insights rows $nInsightRows")
 

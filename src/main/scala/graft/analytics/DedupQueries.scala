@@ -124,9 +124,13 @@ object DedupQueries {
     // through the shared representative (the verify join below scores star
     // pairs like any other candidate, so false-collision buckets of
     // genuinely unrelated docs still die at the j >= 0.5 filter).
-    val bstats = bands0.groupBy(col("b"), col("k"))
+    // persist the (tiny) hot-bucket stats too: three consumers (both
+    // anti-join sides + the star join) would each re-run the full-band
+    // groupBy otherwise
+    val bstats = graft.CacheTracker.track(bands0.groupBy(col("b"), col("k"))
       .agg(count(lit(1)).as("bs"), min(col("doc_id")).as("rep"))
       .filter(col("bs") > BandBucketCap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val bands = bands0.join(bstats.select(col("b"), col("k")), Seq("b", "k"), "left_anti")
     val star = bands0.join(bstats.select(col("b"), col("k"), col("rep")), Seq("b", "k"))
       .filter(col("doc_id") =!= col("rep"))

@@ -68,9 +68,25 @@ object SimilarityQueries {
     * oracle always see the same constant — Verify/Bench run the queries
     * first and render oracle strings after ([[graft.SparkEntry.registry]]
     * is a def, so the strings are built on access, not frozen at init).
+    * CONTRACT: last-write-wins, so oracle parity holds for single-dir
+    * processes (what the driver runs); a session interleaving LSH queries
+    * over differently-sized corpora must pin `SPARK_GRAFT_LSH_PLANES` (or
+    * render `oracleSql` immediately after the dir of interest) — the
+    * QuerySpec oracle surface is one SQL string per query, so it can carry
+    * exactly one plane constant at a time.
     */
   @volatile private var sessionPlanes: Int = EnvPlanes.getOrElse(DefaultPlanes)
   def Planes: Int = sessionPlanes
+
+  /** RESTART-STABLE plane count: env override or the fixed default, never
+    * the mutable session-resolved value. Streaming consumers key persistent
+    * state by the bucket, so their plane count must not depend on which
+    * batch queries happened to run earlier in the session — a restarted
+    * stream would otherwise hash to different buckets and orphan its
+    * checkpointed state. Production streams over large fleets should pin
+    * `SPARK_GRAFT_LSH_PLANES` (or pass `planes` explicitly).
+    */
+  def pinnedPlanes: Int = EnvPlanes.getOrElse(DefaultPlanes)
 
   private val planesByDir = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 

@@ -35,8 +35,18 @@ object ConnectedComponents {
     * union-find state — safe in any reasonable executor; beyond it the
     * star tier (result-equal, spec- and probe-verified) takes over.
     */
-  val LocalSolveEdgesDefault: Long =
-    sys.env.get("SPARK_GRAFT_CC_LOCAL_EDGES").map(_.trim.toLong).getOrElse(16000000L)
+  val LocalSolveEdgesDefault: Long = sys.env.get("SPARK_GRAFT_CC_LOCAL_EDGES") match {
+    case None => 16000000L
+    case Some(raw) =>
+      // fail naming the knob: a raw .toLong here would surface as an
+      // ExceptionInInitializerError that never mentions the env var
+      val v = scala.util.Try(raw.trim.toLong).getOrElse(
+        throw new IllegalArgumentException(
+          s"SPARK_GRAFT_CC_LOCAL_EDGES must be a non-negative integer, got: '$raw'"))
+      if (v < 0) throw new IllegalArgumentException(
+        s"SPARK_GRAFT_CC_LOCAL_EDGES must be >= 0, got: $v")
+      v
+  }
 
   /** @return one row per vertex: (id, lbl) with lbl = min id of its component. */
   def components(edges: DataFrame, src: String, dst: String, maxIter: Int = 20,

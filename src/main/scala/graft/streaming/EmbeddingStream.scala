@@ -51,10 +51,12 @@ object EmbeddingStream {
     */
   def nearDupPairs(
       vecs: Dataset[VecEvent],
-      // the SESSION plane count, not the fixed default: the batch twin
-      // buckets with SimilarityQueries.Planes, and stream/batch pair
-      // parity must survive an SPARK_GRAFT_LSH_PLANES override
-      planes: Int = graft.analytics.SimilarityQueries.Planes,
+      // RESTART-STABLE default (env override or the fixed default — never
+      // the mutable session-resolved count): state is keyed by the bucket,
+      // so a restarted stream must hash identically or its checkpointed
+      // state is orphaned. Parity with batch still survives an
+      // SPARK_GRAFT_LSH_PLANES override, which pins both sides.
+      planes: Int = graft.analytics.SimilarityQueries.pinnedPlanes,
       cosThreshold: Double = 0.4,
       bucketCap: Int = 50): Dataset[VecNearDup] = {
     val spark = vecs.sparkSession

@@ -163,7 +163,7 @@ class ObjectStoreE2ESpec extends AnyFunSuite {
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination(120000)
+      assert(q.awaitTermination(120000), "streaming batch did not finish in 120s")
     }
     def completedTs(): Seq[String] =
       spark.read.parquet(outDir).select("ts").collect().map(_.getString(0)).sorted.toSeq
