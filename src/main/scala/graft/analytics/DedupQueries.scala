@@ -102,8 +102,26 @@ object DedupQueries {
     * projection, so callers needing both the pairs and the per-doc rows
     * (dedup_filtered_corpus) share one cache.
     */
-  private[graft] def minhashPairsFrom(sh: DataFrame): DataFrame = {
-    val sig = sh.withColumn("sig", expr("minhash16(hs)"))
+  private[graft] def minhashPairsFrom(sh: DataFrame): DataFrame =
+    minhashPairsFromSig(sh.withColumn("sig", expr("minhash16(hs)")))
+
+  /** Full per-doc signature rows (doc_id, hs, sig, n_tok) for a documents
+    * slice — the storage schema of [[graft.operators.MinHashIndex]]. The
+    * tokenize → hash → shingle → minhash lineage here is the dominant CPU
+    * cost of the minhash family; persisting these rows is what makes
+    * incremental dedup incremental.
+    */
+  private[graft] def signatureRows(docsDf: DataFrame): DataFrame =
+    withShingles(docsDf.select("doc_id", "text"))
+      .select(col("doc_id"), col("hs"), expr("minhash16(hs)").as("sig"),
+        size(col("t")).as("n_tok"))
+
+  /** [[minhashPairsFrom]] when the 16-lane minhash signature is already
+    * materialized (doc_id, hs, sig) — the incremental-index path, where the
+    * stored corpus side must NOT re-run minhash16 over its shingles.
+    */
+  private[graft] def minhashPairsFromSig(sig: DataFrame): DataFrame = {
+    val sh = sig
     // persist: four consumers read the band table (bucket stats, both
     // self-join sides, the hot-bucket star), and without it each re-derives
     // minhash16 + the band explode from sh
@@ -301,6 +319,40 @@ object DedupQueries {
              |  COUNT(*) FILTER (dr.doc_id IS NOT NULL) AS n_docs_dropped,
              |  CAST(SUM(n_tok) FILTER (dr.doc_id IS NULL) AS BIGINT) AS tokens_kept
              |FROM base LEFT JOIN drop_ids dr ON base.doc_id = dr.doc_id""".stripMargin)
+    ),
+
+    // ----- incremental dedup: new batch vs a persisted signature index -----
+    // The shape that actually runs at 100 TB: a corpus that size is never
+    // re-deduplicated from scratch when a new crawl arrives — its per-doc
+    // MinHash signatures live in a persisted index
+    // ([[graft.operators.MinHashIndex]]; signatures are a small fraction of
+    // corpus bytes), and only the NEW batch pays the tokenize → shingle →
+    // minhash CPU. Candidates are the same band equi-join / hot-bucket-star
+    // pipeline as dedup_minhash_lsh over (stored ∪ new) signatures, then
+    // pairs between two already-indexed docs are dropped (they were
+    // reported when their batch arrived). Here "existing" is the
+    // doc_id % 10 != 0 slice (indexed once, reused across runs — Bench
+    // therefore times the amortized incremental query, with the one-off
+    // build landing in the warmup pass) and the "new batch" is the
+    // doc_id % 10 == 0 slice; the oracle replays the full-corpus pipeline
+    // and keeps pairs touching a new doc, which is equivalent because
+    // stored ∪ new spans the whole corpus.
+    "dedup_incremental" -> QuerySpec(
+      (s, d) => {
+        graft.functions.VectorExpressions.register(s)
+        val idx = graft.operators.MinHashIndex.registryPath(s, d, "mod10")
+        graft.operators.MinHashIndex.ensureBuilt(
+          docs(s, d).filter(col("doc_id") % 10 =!= 0), idx)
+        graft.operators.MinHashIndex
+          .newPairs(docs(s, d).filter(col("doc_id") % 10 === 0), idx)
+          .select(col("doc_a"), col("doc_b"),
+            expr("floor(j * 1e6 + 0.5) / 1e6").as("jaccard"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""WITH $MinhashPairsCte
+             |SELECT doc_a, doc_b, floor(j * 1e6 + 0.5) / 1e6 AS jaccard FROM v
+             |WHERE j >= 0.5 AND (doc_a % 10 = 0 OR doc_b % 10 = 0)
+             |ORDER BY doc_a, doc_b""".stripMargin)
     ),
 
     // ----- benchmark decontamination: n-gram overlap vs a held-out set -----

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent MinHash signature index: tokenize a corpus once, dedup every
+  * later batch against it incrementally.
+  *
+  * `dedup_minhash_lsh` re-derives every document's signature on every run —
+  * fine for a one-shot sweep, wrong for the pipeline a 100 TB corpus
+  * actually runs: the corpus is deduplicated ONCE, and each arriving crawl
+  * batch must be checked against it (and against itself) without paying the
+  * tokenize → hash → shingle → minhash CPU for the 100 TB again. [[build]]
+  * persists the per-doc signature rows (doc_id, shingle-hash set `hs`,
+  * 16-lane minhash `sig`, token count `n_tok` — a small fraction of corpus
+  * bytes, and the ONLY thing dedup needs from a document); [[newPairs]]
+  * signatures just the new batch and runs the band equi-join / hot-bucket
+  * star / exact-Jaccard-verify pipeline over (stored ∪ new), keeping pairs
+  * that touch a new doc; [[append]] then folds the batch into the index for
+  * the next arrival.
+  *
+  * Scale shape: the stored side enters the band join straight from a
+  * columnar scan of the signature parquet (band keys are a cheap slice of
+  * the stored `sig` array — no re-tokenization, verified in the spec by
+  * plan inspection); candidate generation stays per-bucket (never
+  * all-pairs) with the same `BandBucketCap` star guard as the batch
+  * pipeline, so a new doc landing in a 50+-way boilerplate bucket pairs
+  * with the bucket's representative instead of exploding.
+  */
+object MinHashIndex {
+
+  /** Bump when the signature scheme changes ([[graft.functions.TextFunctions]]
+    * K / band layout / hash constants) — stale persisted signatures would
+    * otherwise silently join against incompatible new-batch signatures.
+    */
+  val FormatVersion = 1
+
+  private def sigDir(indexPath: String) = s"$indexPath/signatures"
+
+  /** Overwrite the index with `docs`' signatures. */
+  def build(docs: DataFrame, indexPath: String): Unit = write(docs, indexPath, SaveMode.Overwrite)
+
+  /** Fold a processed batch into the index (call after [[newPairs]] so the
+    * next batch dedups against this one too).
+    */
+  def append(docs: DataFrame, indexPath: String): Unit = write(docs, indexPath, SaveMode.Append)
+
+  private def write(docs: DataFrame, indexPath: String, mode: SaveMode): Unit = {
+    graft.functions.VectorExpressions.register(docs.sparkSession)
+    graft.analytics.DedupQueries.signatureRows(docs)
+      .write.mode(mode).parquet(sigDir(indexPath))
+  }
+
+  /** The stored signature rows (doc_id, hs, sig, n_tok). */
+  def signatures(spark: SparkSession, indexPath: String): DataFrame =
+    spark.read.parquet(sigDir(indexPath))
+
+  /** Whether a completed index exists at `indexPath` (parquet `_SUCCESS`
+    * marker — a killed build leaves no marker and is rebuilt).
+    */
+  def exists(spark: SparkSession, indexPath: String): Boolean = {
+    val p = new Path(sigDir(indexPath), "_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** [[build]] unless a completed index is already present. */
+  def ensureBuilt(docs: DataFrame, indexPath: String): Unit =
+    if (!exists(docs.sparkSession, indexPath)) build(docs, indexPath)
+
+  /** Verified near-dup pairs (doc_a < doc_b, exact Jaccard `j` >= 0.5)
+    * between the new batch and the indexed corpus, and within the new batch
+    * itself. Pairs of two already-indexed docs are excluded — they were
+    * reported when their own batch arrived. Cap/star semantics are computed
+    * over (stored ∪ new), exactly as a from-scratch run over the combined
+    * corpus would.
+    */
+  def newPairs(newDocs: DataFrame, indexPath: String): DataFrame = {
+    val spark = newDocs.sparkSession
+    graft.functions.VectorExpressions.register(spark)
+    // persisted: the new batch's signature rows feed the union AND the
+    // new-doc flag joins below, and their lineage is the whole signature
+    // CPU for the batch
+    val newSig = graft.CacheTracker.track(
+      graft.analytics.DedupQueries.signatureRows(newDocs)
+        .select("doc_id", "hs", "sig")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val stored = signatures(spark, indexPath).select("doc_id", "hs", "sig")
+    // persist the union: the pair pipeline reads it three times (band
+    // explode + both exact-verify sides), and each read would otherwise
+    // rescan + re-decode the signature parquet's hs arrays — the bulk of
+    // the stored bytes
+    val all = graft.CacheTracker.track(stored.unionByName(newSig)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val pairs = graft.analytics.DedupQueries.minhashPairsFromSig(all)
+    // keep pairs touching >= 1 new doc. The flag side is one row per
+    // new-batch doc — orders of magnitude under the verified pair count's
+    // doc universe at steady state, and the optimizer broadcasts it when
+    // small; a left join + null test keeps stored-stored pairs droppable
+    // without a second pass over the union.
+    val aFlag = newSig.select(col("doc_id").as("doc_a"), lit(true).as("a_new"))
+    val bFlag = newSig.select(col("doc_id").as("doc_b"), lit(true).as("b_new"))
+    pairs
+      .join(aFlag, Seq("doc_a"), "left")
+      .join(bFlag, Seq("doc_b"), "left")
+      .filter(coalesce(col("a_new"), lit(false)) || coalesce(col("b_new"), lit(false)))
+      .select(col("doc_a"), col("doc_b"), col("j"))
+  }
+
+  /** Deterministic per-corpus index location for registry queries: keyed by
+    * the documents table's (length, mtime) fingerprint + [[FormatVersion]],
+    * so a regenerated corpus or a changed signature scheme gets a fresh
+    * index instead of silently joining stale signatures. Lives under the
+    * JVM temp dir — a cache, not a deliverable.
+    */
+  def registryPath(spark: SparkSession, dir: String, tag: String): String = {
+    val p = new Path(s"$dir/documents.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sum = fs.getContentSummary(p)
+    val mtime = fs.getFileStatus(p).getModificationTime
+    val fp = s"$dir|v$FormatVersion|${sum.getLength}|$mtime|$tag"
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(fp.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    s"${System.getProperty("java.io.tmpdir")}/graft-minhash-index/$h"
+  }
+}

@@ -151,6 +151,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"unexpected cartesian in:\n$p")
   }
 
+  test("incremental dedup: stored∪new band join stays an equi-join over the index scan") {
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("dedup_incremental")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"incremental band join degenerated to all-pairs in:\n$p")
+    // the corpus side must arrive from the persisted signature store
+    assert(p.contains("signatures"), s"expected a signature-store scan in:\n$p")
+    spark.catalog.clearCache()
+  }
+
   test("aggregation pipeline runs inside whole-stage codegen") {
     // AQE annotates codegen spans only in the finalized plan: execute first
     val df = SparkEntry.queries("rel_agg_pricing_summary")(spark, dir)
