@@ -146,6 +146,30 @@ object SimilarityQueries {
   /** A 1..dim series for per-lane list_transforms in the oracle SQL. */
   private val LaneSeries = "generate_series(1, (SELECT d FROM dim))"
 
+  /** Exact integer L2² between two quantized lane lists (oracle twin of the
+    * native `long_l2`).
+    */
+  private def l2D(v: String, c: String): String =
+    s"CAST(list_sum(list_transform($LaneSeries, j -> ($v[j] - $c[j]) * ($v[j] - $c[j]))) AS BIGINT)"
+
+  /** One unrolled Lloyd round over the `old` CTE against centroids `prev`,
+    * producing centroid CTE `out`: assign every old vector to its nearest
+    * centroid (ties on cell — same ORDER BY dist, cell the engine's
+    * min(struct) argmin uses), then per-lane integer means with empty cells
+    * keeping their previous centroid. Mirrors `IvfIndex.build` exactly.
+    */
+  private def lloydRoundD(i: Int, prev: String, out: String): String =
+    s"""a$i AS (SELECT o.vec_id, o.qe, c.cell, ${l2D("o.qe", "c.ce")} AS dist
+       |  FROM old o CROSS JOIN $prev c),
+       |s$i AS (SELECT vec_id, qe, cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS arn FROM a$i) z
+       |  WHERE arn = 1),
+       |m$i AS (SELECT cell, list_transform($LaneSeries, j -> CAST(round(
+       |      CAST(list_sum(list_transform(list(qe), v -> v[j])) AS BIGINT) / COUNT(*)) AS BIGINT)) AS ce
+       |  FROM s$i GROUP BY cell),
+       |$out AS (SELECT p.cell, COALESCE(m$i.ce, p.ce) AS ce
+       |  FROM $prev p LEFT JOIN m$i ON p.cell = m$i.cell)""".stripMargin
+
   // def, not val: oracle strings interpolate the resolved plane count, so
   // they must render on access (after query fns resolved it), never freeze
   // at object init
@@ -600,6 +624,62 @@ object SimilarityQueries {
              |FROM exn LEFT JOIN topc t ON exn.q_id = t.q_id
              |  AND exn.vec_id = t.vec_id AND exn.n_probe = t.n_probe
              |GROUP BY exn.q_id, exn.n_probe ORDER BY exn.q_id, exn.n_probe""".stripMargin)
+    ),
+
+    // ----- incremental IVF: probe a built-once, appended-since index --------
+    // The maintenance path a persistent ANN deployment actually runs: train
+    // the coarse centroids ONCE on the initial corpus (here the
+    // vec_id % 10 != 0 slice; deterministic Lloyd, 16 cells x 2 rounds),
+    // then fold each arriving embedding batch (the % 10 == 0 slice) in by
+    // assigning it to its nearest FROZEN centroid and appending into that
+    // cell's partition — the stored corpus is never re-shuffled, re-trained,
+    // or rewritten. Probes hit the combined store through the same
+    // file-level partition pruning as a from-scratch index. The oracle
+    // replays both unrolled Lloyd rounds over the initial slice and then
+    // assigns ALL vectors to the final centroids — exactly what
+    // build(old) + append(new) persists — so this row hash-checks the whole
+    // persistent-index lifecycle (train, write, append, probe), not just
+    // the probe shape. The index build lands once per corpus fingerprint
+    // (tmp-dir cache); Bench therefore times the amortized probe, with the
+    // one-off build landing in the warmup pass.
+    "sim_ivf_incremental" -> QuerySpec(
+      (s, d) => {
+        graft.functions.VectorExpressions.register(s)
+        val idx = graft.operators.IvfIndex.registryPath(s, d, "mod10")
+        graft.operators.IvfIndex.ensure(s, idx) {
+          graft.operators.IvfIndex.build(
+            emb(s, d).filter(col("vec_id") % 10 =!= 0), idx, nCells = 16, iters = 2)
+          graft.operators.IvfIndex.append(
+            emb(s, d).filter(col("vec_id") % 10 === 0), idx)
+        }
+        graft.operators.IvfIndex
+          .probe(s, idx, emb(s, d).filter(col("vec_id") < 5), k = 5, nProbe = 2)
+          .orderBy(col("q_id"), col("rn"))
+      },
+      Some(s"""$OracleQ,
+             |old AS (SELECT vec_id, qe FROM n WHERE vec_id % 10 <> 0),
+             |c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, qe AS ce
+             |  FROM (SELECT vec_id, qe FROM old ORDER BY vec_id LIMIT 16) z),
+             |${lloydRoundD(1, "c0", "c1")},
+             |${lloydRoundD(2, "c1", "c2")},
+             |ad AS (SELECT n.vec_id, n.qe, n.nrm, c.cell, ${l2D("n.qe", "c.ce")} AS dist
+             |  FROM n CROSS JOIN c2 c),
+             |assigned AS (SELECT vec_id, qe, nrm, cell FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS arn FROM ad) z
+             |  WHERE arn = 1),
+             |pd AS (SELECT n.vec_id AS q_id, n.qe AS qa, n.nrm AS na, c.cell,
+             |    ${l2D("n.qe", "c.ce")} AS dist
+             |  FROM n CROSS JOIN c2 c WHERE n.vec_id < 5),
+             |probes AS (SELECT q_id, qa, na, cell FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist, cell) AS prn FROM pd) z
+             |  WHERE prn <= 2),
+             |res AS (SELECT p.q_id, a.vec_id, a.cell,
+             |    ${dotD("p.qa", "a.qe")} / (sqrt(p.na) * sqrt(a.nrm)) AS c
+             |  FROM probes p JOIN assigned a ON p.cell = a.cell AND a.vec_id <> p.q_id),
+             |r AS (SELECT q_id, vec_id, cell, c,
+             |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rn FROM res)
+             |SELECT q_id, vec_id, cell, round(c, 6) AS cosine, rn FROM r
+             |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin)
     ),
 
     // ----- cluster quality: per-label centroid cohesion ---------------------

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -85,6 +86,86 @@ object IvfIndex {
     assign(vecs, centLoaded)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$indexPath/vectors")
     vecs.unpersist(blocking = false)
+  }
+
+  /** Fold a new vector batch into an existing index WITHOUT retraining:
+    * each vector is assigned to its nearest STORED centroid and appended
+    * into that cell's partition directory. This is the maintenance path a
+    * 100 TB similarity deployment actually runs — the corpus trains
+    * centroids once, and each arriving embedding batch pays one
+    * assignment pass over itself (batch × nCells broadcast argmin), never
+    * a re-shuffle or rewrite of the stored corpus. Probes see appended
+    * vectors exactly as if they had been present at build time under the
+    * same centroids (spec-checked store-content equality).
+    *
+    * Frozen centroids drift as the corpus distribution moves; watch
+    * [[cellStats]] — when occupancy skew grows, [[build]] a fresh index.
+    */
+  def append(emb: DataFrame, indexPath: String): Unit = {
+    val spark = emb.sparkSession
+    val cent = spark.read.parquet(s"$indexPath/centroids")
+    assign(quantized(emb), cent)
+      .write.mode(SaveMode.Append).partitionBy("cell").parquet(s"$indexPath/vectors")
+  }
+
+  /** Which cell each of `emb`'s vectors lands in under the STORED
+    * centroids — (vec_id, cell). The routing decision [[append]] persists,
+    * exposed for inspection and for the spec's store≡assignment proof.
+    */
+  def assignTo(spark: SparkSession, indexPath: String, emb: DataFrame): DataFrame =
+    assign(quantized(emb), spark.read.parquet(s"$indexPath/centroids"))
+      .select(col("vec_id"), col("cell"))
+
+  /** Per-cell occupancy of the vector store — (cell, n, share). Reads only
+    * the partition column plus row counts, so it stays metadata-cheap at
+    * any corpus size. The drift monitor for [[append]]: a rising max share
+    * means frozen centroids no longer fit the corpus and the hot cell's
+    * probe cost is growing — time to rebuild.
+    */
+  def cellStats(spark: SparkSession, indexPath: String): DataFrame = {
+    val counts = spark.read.parquet(s"$indexPath/vectors")
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n"))).first().getLong(0).toDouble
+    counts.withColumn("share", col("n") / lit(total)).orderBy(col("cell"))
+  }
+
+  /** Whether `indexPath` holds a COMPLETE index (build + any appends all
+    * finished) — the explicit ready marker written by [[ensure]], not just
+    * parquet `_SUCCESS` (a crash between build and a required append would
+    * otherwise look complete).
+    */
+  def ready(spark: SparkSession, indexPath: String): Boolean = {
+    val p = new Path(indexPath, "_GRAFT_READY")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Run `buildF` (any build/append sequence) unless a ready index already
+    * exists; a partial previous attempt is wiped first so appends never
+    * stack on a half-written store.
+    */
+  def ensure(spark: SparkSession, indexPath: String)(buildF: => Unit): Unit =
+    if (!ready(spark, indexPath)) {
+      val root = new Path(indexPath)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(root)) fs.delete(root, true)
+      buildF
+      fs.create(new Path(root, "_GRAFT_READY"), true).close()
+    }
+
+  /** Deterministic per-corpus index location for registry queries: keyed by
+    * the embeddings table's (length, mtime) fingerprint, so a regenerated
+    * corpus gets a fresh index instead of probing stale vectors. Lives
+    * under the JVM temp dir — a cache, not a deliverable.
+    */
+  def registryPath(spark: SparkSession, dir: String, tag: String): String = {
+    val p = new Path(s"$dir/embeddings.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sum = fs.getContentSummary(p)
+    val mtime = fs.getFileStatus(p).getModificationTime
+    val fp = s"$dir|${sum.getLength}|$mtime|$tag"
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(fp.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    s"${System.getProperty("java.io.tmpdir")}/graft-ivf-index/$h"
   }
 
   /** Probe the index: each query ranks cells against the (broadcast-sized)

@@ -66,6 +66,83 @@ class IvfIndexSpec extends AnyFunSuite {
       s"pruned-only: ${gotRows -- want}; reference-only: ${want -- gotRows}")
   }
 
+  test("append routes new vectors to frozen centroids: store equals assignTo over the union") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_append").toString
+    val old = emb.filter(col("vec_id") % 10 =!= 0)
+    val fresh = emb.filter(col("vec_id") % 10 === 0)
+    IvfIndex.build(old, dir, nCells = 8, iters = 2)
+    val centBefore = spark.read.parquet(s"$dir/centroids")
+      .orderBy("cell").collect().map(_.toString).toSeq
+    IvfIndex.append(fresh, dir)
+    // centroids are untouched — append never retrains
+    val centAfter = spark.read.parquet(s"$dir/centroids")
+      .orderBy("cell").collect().map(_.toString).toSeq
+    assert(centAfter == centBefore)
+    // the store's (vec_id, cell) content is exactly the frozen-centroid
+    // assignment of the FULL corpus — i.e. probes see appended vectors as
+    // if they had been present at build time
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("cell").cast("long")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val stored = pairs(spark.read.parquet(s"$dir/vectors"))
+    val want = pairs(IvfIndex.assignTo(spark, dir, emb))
+    assert(stored.size == want.size)
+    assert(stored == want)
+  }
+
+  test("an appended duplicate vector is probe-visible at cosine 1") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_append_probe").toString
+    IvfIndex.build(emb.filter(col("vec_id") < 100), dir, nCells = 4, iters = 2)
+    // clone vector 3 under a fresh id and append it
+    val clone = emb.filter(col("vec_id") === 3)
+      .withColumn("vec_id", lit(100000L))
+    IvfIndex.append(clone, dir)
+    val top = IvfIndex.probe(spark, dir, emb.filter(col("vec_id") === 3), k = 1, nProbe = 1)
+      .collect()
+    assert(top.length == 1)
+    assert(top.head.getLong(1) == 100000L, s"got ${top.toSeq}")
+    assert(top.head.getDouble(3) == 1.0)
+  }
+
+  test("cellStats reports store occupancy and flags an appended hot cell") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_stats").toString
+    IvfIndex.build(emb.filter(col("vec_id") < 200), dir, nCells = 4, iters = 2)
+    val before = IvfIndex.cellStats(spark, dir).collect()
+      .map(r => r.get(0).toString.toLong -> r.getLong(1)).toMap
+    assert(before.values.sum == 200L)
+    // skew the corpus: 50 clones of vector 7 land in one cell
+    val clones = emb.filter(col("vec_id") === 7)
+      .crossJoin(spark.range(50).select((col("id") + 200000L).as("nid")))
+      .select(col("nid").as("vec_id"), col("embedding"))
+    IvfIndex.append(clones, dir)
+    val after = IvfIndex.cellStats(spark, dir).collect()
+      .map(r => (r.get(0).toString.toLong, r.getLong(1), r.getDouble(2)))
+    assert(after.map(_._2).sum == 250L)
+    // exactly one cell absorbed all 50 clones, and share reflects it
+    val grown = after.filter { case (c, n, _) => n == before(c) + 50 }
+    assert(grown.length == 1, s"got ${after.toSeq} vs $before")
+    assert(math.abs(grown.head._3 - grown.head._2.toDouble / 250.0) < 1e-12)
+  }
+
+  test("ensure builds once, wipes partial attempts, and is idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_ensure").toString + "/idx"
+    val old = emb.filter(col("vec_id") % 10 =!= 0)
+    assert(!IvfIndex.ready(spark, dir))
+    // a partial attempt (build without the marker) must be wiped and redone
+    IvfIndex.build(old.filter(col("vec_id") < 50), dir, nCells = 4, iters = 1)
+    var runs = 0
+    IvfIndex.ensure(spark, dir) {
+      runs += 1
+      IvfIndex.build(old, dir, nCells = 8, iters = 2)
+      IvfIndex.append(emb.filter(col("vec_id") % 10 === 0), dir)
+    }
+    assert(runs == 1 && IvfIndex.ready(spark, dir))
+    assert(spark.read.parquet(s"$dir/vectors").count() == emb.count())
+    // second ensure is a no-op
+    IvfIndex.ensure(spark, dir) { runs += 1 }
+    assert(runs == 1)
+  }
+
   test("rebuilding the index reproduces identical logical content") {
     val d1 = java.nio.file.Files.createTempDirectory("ivf_a").toString
     val d2 = java.nio.file.Files.createTempDirectory("ivf_b").toString
