@@ -167,6 +167,64 @@ object DedupQueries {
       .filter(col("j") >= 0.5)
   }
 
+  /** [[minhashPairsFromSig]] restricted to pairs touching at least one doc
+    * in `newIds` — the incremental-index path, computed ASYMMETRICALLY so
+    * the restriction is pushed into candidate generation instead of applied
+    * after it. Semantics are identical to running the symmetric pipeline
+    * over `sig` and keeping new-touching pairs (what `MinHashIndexSpec`
+    * asserts), but the cost profile is the incremental one a 100 TB corpus
+    * needs: the under-cap self-join becomes newBands × bands (bucket-local,
+    * linear in the NEW batch's band memberships, not the corpus's), the
+    * exact-Jaccard verify only ever scores new-touching candidates, and the
+    * only full-corpus passes left are the columnar signature scan feeding
+    * the band explode and the map-side-combined bucket-size count — both
+    * O(corpus) with tiny constants, vs the O(Σ bucket²) pair mass the
+    * symmetric run pays. Bucket sizes, hot-bucket reps, and star semantics
+    * are still computed over the WHOLE union, exactly as from-scratch.
+    */
+  private[graft] def minhashPairsTouchingFromSig(sig: DataFrame, newIds: DataFrame): DataFrame = {
+    val bands0 = graft.CacheTracker.track(sig.selectExpr("doc_id",
+      s"explode(transform(sequence(0, ${Bands - 1}), b -> named_struct(" +
+        s"'b', b, 'k', array_join(slice(sig, b * $RowsPerBand + 1, $RowsPerBand), '_')))) AS bk")
+      .select(col("doc_id"), col("bk.b").as("b"), col("bk.k").as("k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val bstats = graft.CacheTracker.track(bands0.groupBy(col("b"), col("k"))
+      .agg(count(lit(1)).as("bs"), min(col("doc_id")).as("rep"))
+      .filter(col("bs") > BandBucketCap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val bands = bands0.join(bstats.select(col("b"), col("k")), Seq("b", "k"), "left_anti")
+    // the new-batch id set: steady-state small next to the corpus, so it
+    // broadcasts — membership tests never shuffle the band table
+    val nid = newIds.select(col("doc_id")).distinct()
+    val newBands = bands.join(broadcast(nid), Seq("doc_id"))
+    // asymmetric under-cap candidates: every pair with >= 1 new member is
+    // seen with its new member on the x side (new-new pairs twice, once per
+    // orientation); least/greatest + distinct collapses to doc_a < doc_b
+    val underCap = newBands.as("x")
+      .join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.k") === col("y.k") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+    // hot-bucket stars restricted to new-touching: a new member pairs with
+    // the bucket's rep; a NEW rep pulls in the whole bucket (as the
+    // symmetric run would — the rep is the min doc over stored ∪ new)
+    val star = bands0.join(bstats.select(col("b"), col("k"), col("rep")), Seq("b", "k"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+      .join(broadcast(nid.select(col("doc_id").as("doc_b"), lit(true).as("m_new"))),
+        Seq("doc_b"), "left")
+      .join(broadcast(nid.select(col("doc_id").as("doc_a"), lit(true).as("r_new"))),
+        Seq("doc_a"), "left")
+      .filter(coalesce(col("m_new"), lit(false)) || coalesce(col("r_new"), lit(false)))
+      .select(col("doc_a"), col("doc_b"))
+    underCap.unionByName(star).distinct()
+      .join(sig.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
+      .withColumn("j", expr("size(array_intersect(ha, hb)) / size(array_union(ha, hb))"))
+      .filter(col("j") >= 0.5)
+  }
+
   /** The two-table LSH projection (doc_id, qe, nrm, k2, b1, b2): ONE native
     * `hyperplane_key(qe, 2·Planes)` evaluation yields both tables' bucket
     * keys (low Planes bits = table 1, high bits = table 2 — the hyperplane
@@ -327,10 +385,10 @@ object DedupQueries {
     // MinHash signatures live in a persisted index
     // ([[graft.operators.MinHashIndex]]; signatures are a small fraction of
     // corpus bytes), and only the NEW batch pays the tokenize → shingle →
-    // minhash CPU. Candidates are the same band equi-join / hot-bucket-star
-    // pipeline as dedup_minhash_lsh over (stored ∪ new) signatures, then
-    // pairs between two already-indexed docs are dropped (they were
-    // reported when their batch arrived). Here "existing" is the
+    // minhash CPU. Candidates come from the ASYMMETRIC band pipeline
+    // ([[minhashPairsTouchingFromSig]]): new-side band memberships join the
+    // (stored ∪ new) buckets, so stored-stored pairs — reported when their
+    // own batch arrived — are never generated. Here "existing" is the
     // doc_id % 10 != 0 slice (indexed once, reused across runs — Bench
     // therefore times the amortized incremental query, with the one-off
     // build landing in the warmup pass) and the "new batch" is the

@@ -86,24 +86,21 @@ object MinHashIndex {
         .select("doc_id", "hs", "sig")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val stored = signatures(spark, indexPath).select("doc_id", "hs", "sig")
-    // persist the union: the pair pipeline reads it three times (band
-    // explode + both exact-verify sides), and each read would otherwise
-    // rescan + re-decode the signature parquet's hs arrays — the bulk of
-    // the stored bytes
-    val all = graft.CacheTracker.track(stored.unionByName(newSig)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val pairs = graft.analytics.DedupQueries.minhashPairsFromSig(all)
-    // keep pairs touching >= 1 new doc. The flag side is one row per
-    // new-batch doc — orders of magnitude under the verified pair count's
-    // doc universe at steady state, and the optimizer broadcasts it when
-    // small; a left join + null test keeps stored-stored pairs droppable
-    // without a second pass over the union.
-    val aFlag = newSig.select(col("doc_id").as("doc_a"), lit(true).as("a_new"))
-    val bFlag = newSig.select(col("doc_id").as("doc_b"), lit(true).as("b_new"))
-    pairs
-      .join(aFlag, Seq("doc_a"), "left")
-      .join(bFlag, Seq("doc_b"), "left")
-      .filter(coalesce(col("a_new"), lit(false)) || coalesce(col("b_new"), lit(false)))
+    // the union is deliberately NOT persisted: its stored side is a bare
+    // columnar scan, so each consumer's column pruning reaches the parquet
+    // reader — the band explode reads only (doc_id, sig), 16 small longs,
+    // and only the two Jaccard-verify sides ever decode the fat hs arrays.
+    // A persist here would materialize hs for every consumer (measured
+    // ~1.5x the whole query at 32x)
+    val all = stored.unionByName(newSig)
+    // asymmetric candidate generation: the new-touching restriction is
+    // pushed INTO the band join (new-side memberships × bucket) instead of
+    // filtering the symmetric pipeline's output, so stored×stored
+    // candidates are never generated, let alone Jaccard-verified — the
+    // difference between "incremental" meaning less CPU and meaning the
+    // same CPU plus a filter
+    graft.analytics.DedupQueries
+      .minhashPairsTouchingFromSig(all, newSig.select("doc_id"))
       .select(col("doc_a"), col("doc_b"), col("j"))
   }
 
