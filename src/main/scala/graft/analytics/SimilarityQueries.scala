@@ -170,6 +170,151 @@ object SimilarityQueries {
        |$out AS (SELECT p.cell, COALESCE(m$i.ce, p.ce) AS ce
        |  FROM $prev p LEFT JOIN m$i ON p.cell = m$i.cell)""".stripMargin
 
+  /** Product-quantization geometry: [[PqM]] subspaces × [[PqK]] codebook
+    * centroids per subspace. A 64-dim float vector (256 bytes) encodes to
+    * PqM small codes — the compression that lets a 100 TB embedding corpus
+    * keep its WHOLE index hot: the scan side of a PQ search reads 4 codes
+    * per vector instead of 64 floats (~64× fewer bytes), and scoring is
+    * additive lookups into a per-query table, no multiplies on the corpus
+    * side. K=16 keeps the unrolled two-round Lloyd oracle tractable; real
+    * deployments use K=256 (one byte per code) — same shapes, bigger
+    * constants.
+    */
+  private val PqM = 4
+  private val PqK = 16
+
+  /** 1..sd series for per-sublane list_transforms ([[PqM]]-way slices). */
+  private val SubLaneSeries = "generate_series(1, (SELECT sd FROM sdim))"
+
+  /** Exact integer L2² between two sub-vector lane lists. */
+  private def l2SubD(v: String, c: String): String =
+    s"CAST(list_sum(list_transform($SubLaneSeries, j -> ($v[j] - $c[j]) * ($v[j] - $c[j]))) AS BIGINT)"
+
+  /** One unrolled joint Lloyd round over ALL subspaces at once: the `train`
+    * CTE carries (vec_id, m, sqe) rows, so one assignment / one mean pass
+    * trains all [[PqM]] codebooks — the oracle twin of the engine's joint
+    * groupBy(m, cell) training.
+    */
+  private def pqRoundD(i: Int, prev: String, out: String): String =
+    s"""pa$i AS (SELECT t.vec_id, t.m, t.sqe, c.cell, ${l2SubD("t.sqe", "c.ce")} AS dist
+       |  FROM train t JOIN $prev c ON t.m = c.m),
+       |ps$i AS (SELECT vec_id, m, sqe, cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, cell) AS arn FROM pa$i) z
+       |  WHERE arn = 1),
+       |pm$i AS (SELECT m, cell, list_transform($SubLaneSeries, j -> CAST(round(
+       |      CAST(list_sum(list_transform(list(sqe), v -> v[j])) AS BIGINT) / COUNT(*)) AS BIGINT)) AS ce
+       |  FROM ps$i GROUP BY m, cell),
+       |$out AS (SELECT p.m, p.cell, COALESCE(u.ce, p.ce) AS ce
+       |  FROM $prev p LEFT JOIN pm$i u ON p.m = u.m AND p.cell = u.cell)""".stripMargin
+
+  /** Shared oracle CTE chain for the PQ family: subspace slices → two joint
+    * Lloyd rounds over the `vec_id % 4 = 0` training sample → codes for the
+    * whole corpus → per-query ADC lookup tables → ranked approximate dots
+    * (`pqr`). Every quantity is an exact integer until the final recall
+    * division, so ranking is engine-order independent.
+    */
+  private def pqCteD(nq: Int): String =
+    s"""sdim AS (SELECT (SELECT d FROM dim) // $PqM AS sd),
+       |ms AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
+       |sub AS (SELECT vec_id, m,
+       |    list_slice(qe, m * (SELECT sd FROM sdim) + 1, (m + 1) * (SELECT sd FROM sdim)) AS sqe
+       |  FROM n CROSS JOIN ms),
+       |train AS (SELECT * FROM sub WHERE vec_id % 4 = 0),
+       |ids0 AS (SELECT vec_id FROM n WHERE vec_id % 4 = 0 ORDER BY vec_id LIMIT $PqK),
+       |c0 AS (SELECT t.m, CAST(ROW_NUMBER() OVER (PARTITION BY t.m ORDER BY t.vec_id) - 1 AS INT) AS cell, t.sqe AS ce
+       |  FROM train t JOIN ids0 i ON t.vec_id = i.vec_id),
+       |${pqRoundD(1, "c0", "c1")},
+       |${pqRoundD(2, "c1", "c2")},
+       |ca AS (SELECT s.vec_id, s.m, c.cell, ${l2SubD("s.sqe", "c.ce")} AS dist
+       |  FROM sub s JOIN c2 c ON s.m = c.m),
+       |codes AS (SELECT vec_id, m, cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, cell) AS arn FROM ca) z
+       |  WHERE arn = 1),
+       |lut AS (SELECT s.vec_id AS q_id, s.m, c.cell,
+       |    CAST(list_sum(list_transform($SubLaneSeries, j -> s.sqe[j] * c.ce[j])) AS BIGINT) AS pd
+       |  FROM sub s JOIN c2 c ON s.m = c.m WHERE s.vec_id < $nq),
+       |sc AS (SELECT l.q_id, k.vec_id, CAST(SUM(l.pd) AS BIGINT) AS adot
+       |  FROM codes k JOIN lut l ON k.m = l.m AND k.cell = l.cell
+       |  WHERE k.vec_id <> l.q_id GROUP BY l.q_id, k.vec_id),
+       |pqr AS (SELECT q_id, vec_id, adot,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adot DESC, vec_id) AS rn FROM sc)""".stripMargin
+
+  /** Assign every (vec_id, m) sub-vector to its nearest codebook centroid —
+    * the [[IvfIndex]] argmin shape with the subspace id joined through:
+    * map-side-combined min(struct), ties on cell, one pass for all
+    * subspaces.
+    */
+  private def pqAssign(v: org.apache.spark.sql.DataFrame,
+      cent: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    v.join(broadcast(cent), Seq("m"))
+      .withColumn("dist", expr("long_l2(sqe, ce)"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(first(col("sqe")).as("sqe"), min(struct(col("dist"), col("cell"))).as("mn"))
+      .select(col("vec_id"), col("m"), col("sqe"), col("mn.cell").as("cell"))
+
+  /** Slice the corpus into per-subspace rows and train the codebooks.
+    * Returns (sub, cent), both persisted: `sub` (vec_id, m, sqe) feeds
+    * training, corpus encoding, and the query LUTs; `cent` (m, cell, ce) is
+    * PqM×PqK rows whose lineage is two full Lloyd rounds. Training runs on
+    * the deterministic `vec_id % 4 = 0` quarter — the scale pattern: a
+    * codebook needs a sample, never the corpus (at 100 TB you train on a
+    * few million vectors and ENCODE everything).
+    */
+  private def pqTrained(s: SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    graft.functions.VectorExpressions.register(s)
+    val n = Tables.spread(emb(s, d), "vec_id")
+      .select(col("vec_id"), expr(quantizeS("embedding")).as("qe"))
+    val sub = graft.CacheTracker.track(n
+      .select(col("vec_id"), explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("qe"))
+      .select(col("vec_id"), col("m"),
+        expr(s"slice(qe, m * (size(qe) div $PqM) + 1, size(qe) div $PqM)").as("sqe"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val train = sub.filter(col("vec_id") % 4 === 0)
+    val ids0 = n.filter(col("vec_id") % 4 === 0)
+      .select("vec_id").orderBy(col("vec_id")).limit(PqK)
+    var cent = train.join(ids0, "vec_id")
+      .withColumn("cell", (row_number().over(
+        Window.partitionBy(col("m")).orderBy(col("vec_id"))) - 1).cast("int"))
+      .select(col("m"), col("cell"), col("sqe").as("ce"))
+    for (_ <- 1 to 2) {
+      val upd = pqAssign(train, cent)
+        .select(col("m"), col("cell"), posexplode(col("sqe")).as(Seq("j", "v")))
+        .groupBy(col("m"), col("cell"), col("j"))
+        .agg(expr("cast(round(sum(v) / count(1)) as bigint)").as("cj"))
+        .groupBy(col("m"), col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("j"), col("cj")))),
+          x => x.getField("cj")).as("ce"))
+      cent = cent.select(col("m"), col("cell"), col("ce").as("prev"))
+        .join(upd, Seq("m", "cell"), "left")
+        .select(col("m"), col("cell"), coalesce(col("ce"), col("prev")).as("ce"))
+    }
+    (sub, graft.CacheTracker.track(
+      cent.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
+  }
+
+  /** ADC (asymmetric distance computation) scores: encode the corpus as
+    * (vec_id, m, cell) codes, build each probe query's (m, cell) → partial
+    * dot lookup table against the FULL-PRECISION query sub-vectors, and sum
+    * the PqM lookups per (query, vector). The corpus side of the join
+    * carries only codes — at 100 TB the scan reads PqM small ints per
+    * vector and the broadcast LUT replaces every multiply with an add — and
+    * the groupBy partial-aggregates map-side, so Q×N×PqM never crosses a
+    * shuffle un-combined.
+    */
+  private def pqScores(sub: org.apache.spark.sql.DataFrame,
+      cent: org.apache.spark.sql.DataFrame, nq: Int = 5): org.apache.spark.sql.DataFrame = {
+    val codes = pqAssign(sub, cent).select(col("vec_id"), col("m"), col("cell"))
+    val lut = sub.filter(col("vec_id") < nq)
+      .join(broadcast(cent), Seq("m"))
+      .withColumn("pd", expr("long_dot(sqe, ce)"))
+      .select(col("vec_id").as("q_id"), col("m"), col("cell"), col("pd"))
+    codes.join(broadcast(lut), Seq("m", "cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("pd")).as("adot"))
+  }
+
   // def, not val: oracle strings interpolate the resolved plane count, so
   // they must render on access (after query fns resolved it), never freeze
   // at object init
@@ -680,6 +825,117 @@ object SimilarityQueries {
              |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rn FROM res)
              |SELECT q_id, vec_id, cell, round(c, 6) AS cosine, rn FROM r
              |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin)
+    ),
+
+    // ----- product quantization: compressed-domain ANN ----------------------
+    // THE 100 TB ANN memory lever: vectors encode to PqM codebook codes
+    // (~64x fewer bytes than the float vectors), and search scans CODES,
+    // scoring each vector with PqM additive lookups into a per-query table
+    // built once against the full-precision query (asymmetric distance
+    // computation). Codebooks train on the deterministic vec_id % 4 = 0
+    // quarter — a sample, as at scale — via two joint Lloyd rounds over all
+    // subspaces at once (one assignment + one mean pass per round,
+    // subspace id carried as a key). The oracle replays the whole
+    // lifecycle: slicing, both training rounds, corpus encoding, LUTs, and
+    // the ranked approximate dots — every quantity an exact integer, so
+    // this row hash-checks PQ end-to-end, not just the scan shape. Output
+    // ranks by approximate dot product (the compressed-domain score);
+    // sim_pq_recall quantifies what that approximation costs.
+    "sim_pq_topk" -> QuerySpec(
+      (s, d) => {
+        val (sub, cent) = pqTrained(s, d)
+        val w = Window.partitionBy(col("q_id")).orderBy(col("adot").desc, col("vec_id"))
+        pqScores(sub, cent)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("q_id"), col("vec_id"), col("adot").as("approx_dot"), col("rn"))
+          .orderBy(col("q_id"), col("rn"))
+      },
+      Some(s"""$OracleQ,
+             |${pqCteD(5)}
+             |SELECT q_id, vec_id, adot AS approx_dot, rn FROM pqr
+             |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin)
+    ),
+
+    // ----- PQ quality: recall@5, pure-ADC and shortlist+rerank --------------
+    // The recall contract for the PQ family, same two-tier shape as
+    // sim_lsh_recall: of the exact top-5 neighbors, what fraction does (a)
+    // the pure compressed-domain top-5 keep, and (b) the PRODUCTION design —
+    // ADC shortlist of 50, then exact rerank of just those 50 full vectors —
+    // keep? (a) is the floor a 16-bit code buys; (b) is the standard
+    // two-stage deployment, where the corpus scan still reads only codes
+    // and exact math touches 50 vectors per query. Ground truth is exact
+    // all-pairs over the 5 probe queries — an EVAL query, sample-sized in
+    // production. Levers documented: PqK/PqM buy floor recall with bytes;
+    // the shortlist depth buys rerank recall with 50 full-vector reads.
+    "sim_pq_recall" -> QuerySpec(
+      (s, d) => {
+        graft.functions.VectorExpressions.register(s)
+        val (sub, cent) = pqTrained(s, d)
+        // two consumers (direct top-5 + shortlist) over Q×N tiny rows
+        val scores = graft.CacheTracker.track(pqScores(sub, cent, nq = 20)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("adot").desc, col("vec_id"))
+        val ranked = scores.withColumn("rn", row_number().over(w))
+        val pq5 = ranked.filter(col("rn") <= 5).select(col("q_id"), col("vec_id"))
+        val n = graft.CacheTracker.track(Tables.spread(emb(s, d), "vec_id")
+          .select(col("vec_id"), expr(quantizeS("embedding")).as("qe"))
+          .withColumn("nrm", expr("long_dot(qe, qe)"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val queries = broadcast(n.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("qe").as("qa"), col("nrm").as("na")))
+        // exact rerank of the 50-deep ADC shortlist: 50 full-vector reads
+        // per query, never a corpus pass
+        val wr = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("vec_id"))
+        val rr5 = ranked.filter(col("rn") <= 50)
+          .select(col("q_id"), col("vec_id"))
+          .join(n.select(col("vec_id"), col("qe"), col("nrm")), "vec_id")
+          .join(queries, "q_id")
+          .withColumn("c", expr("long_dot(qa, qe) / (sqrt(na) * sqrt(nrm))"))
+          .withColumn("rn2", row_number().over(wr))
+          .filter(col("rn2") <= 5)
+          .select(col("q_id"), col("vec_id"))
+        val we = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("vec_id"))
+        val exact = queries
+          .join(n.select(col("vec_id"), col("qe"), col("nrm")),
+            col("vec_id") =!= col("q_id"))
+          .withColumn("c", expr("long_dot(qa, qe) / (sqrt(na) * sqrt(nrm))"))
+          .withColumn("rn", row_number().over(we))
+          .filter(col("rn") <= 5)
+          .select(col("q_id"), col("vec_id"))
+        exact
+          .join(pq5.withColumn("hit", lit(1)), Seq("q_id", "vec_id"), "left")
+          .join(rr5.withColumn("hit_rr", lit(1)), Seq("q_id", "vec_id"), "left")
+          .groupBy(col("q_id"))
+          .agg(count(col("hit")).as("n_hits"), count(col("hit_rr")).as("n_hits_rr"))
+          .withColumn("recall", expr("floor(n_hits / 5 * 1e6 + 0.5) / 1e6"))
+          .withColumn("recall_rr", expr("floor(n_hits_rr / 5 * 1e6 + 0.5) / 1e6"))
+          .select(col("q_id"), col("n_hits"), col("recall"),
+            col("n_hits_rr"), col("recall_rr"))
+          .orderBy(col("q_id"))
+      },
+      Some(s"""$OracleQ,
+             |${pqCteD(20)},
+             |pq5 AS (SELECT q_id, vec_id FROM pqr WHERE rn <= 5),
+             |sh50 AS (SELECT q_id, vec_id FROM pqr WHERE rn <= 50),
+             |rr5 AS (SELECT q_id, vec_id FROM (
+             |  SELECT s.q_id, s.vec_id,
+             |    ROW_NUMBER() OVER (PARTITION BY s.q_id
+             |      ORDER BY ${dotD("qv.qe", "bv.qe")} / (sqrt(qv.nrm) * sqrt(bv.nrm)) DESC, s.vec_id) AS rn2
+             |  FROM sh50 s JOIN n bv ON s.vec_id = bv.vec_id
+             |  JOIN n qv ON s.q_id = qv.vec_id) z WHERE rn2 <= 5),
+             |ex AS (SELECT q_id, vec_id FROM (
+             |  SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+             |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+             |      ORDER BY ${dotD("a.qe", "b.qe")} / (sqrt(a.nrm) * sqrt(b.nrm)) DESC, b.vec_id) AS rn
+             |  FROM n a JOIN n b ON a.vec_id < 20 AND b.vec_id <> a.vec_id) z WHERE rn <= 5)
+             |SELECT ex.q_id, CAST(COUNT(p.vec_id) AS BIGINT) AS n_hits,
+             |  floor(COUNT(p.vec_id) / 5 * 1e6 + 0.5) / 1e6 AS recall,
+             |  CAST(COUNT(r.vec_id) AS BIGINT) AS n_hits_rr,
+             |  floor(COUNT(r.vec_id) / 5 * 1e6 + 0.5) / 1e6 AS recall_rr
+             |FROM ex LEFT JOIN pq5 p ON ex.q_id = p.q_id AND ex.vec_id = p.vec_id
+             |LEFT JOIN rr5 r ON ex.q_id = r.q_id AND ex.vec_id = r.vec_id
+             |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin)
     ),
 
     // ----- cluster quality: per-label centroid cohesion ---------------------
