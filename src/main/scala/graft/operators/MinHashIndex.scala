@@ -46,6 +46,24 @@ object MinHashIndex {
     */
   def append(docs: DataFrame, indexPath: String): Unit = write(docs, indexPath, SaveMode.Append)
 
+  /** [[append]] for at-least-once callers (streaming `foreachBatch`): the
+    * batch's signatures land under their own `batch_id=N` partition via
+    * dynamic partition overwrite, so a REPLAYED batch rewrites exactly its
+    * own partition instead of double-inserting signatures. An index driven
+    * through this method must use it for EVERY write including the first
+    * (mixing flat [[build]] output and partitioned batches under one root
+    * would give partition discovery conflicting directory depths).
+    */
+  def appendBatch(docs: DataFrame, indexPath: String, batchId: Long): Unit = {
+    graft.functions.VectorExpressions.register(docs.sparkSession)
+    graft.analytics.DedupQueries.signatureRows(docs)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(sigDir(indexPath))
+  }
+
   private def write(docs: DataFrame, indexPath: String, mode: SaveMode): Unit = {
     graft.functions.VectorExpressions.register(docs.sparkSession)
     graft.analytics.DedupQueries.signatureRows(docs)
@@ -56,12 +74,23 @@ object MinHashIndex {
   def signatures(spark: SparkSession, indexPath: String): DataFrame =
     spark.read.parquet(sigDir(indexPath))
 
-  /** Whether a completed index exists at `indexPath` (parquet `_SUCCESS`
-    * marker — a killed build leaves no marker and is rebuilt).
+  /** Whether a usable index exists at `indexPath`. Flat [[build]] output is
+    * complete iff the root `_SUCCESS` marker exists (a killed build leaves
+    * no marker and is rebuilt). [[appendBatch]]'s dynamic partition
+    * overwrite commits per-partition and writes NO root marker, so the
+    * partitioned form counts as existing when any `batch_id=` partition
+    * holds data files — a partially written batch is safe to treat as
+    * present because its replay overwrites exactly that partition, and
+    * same-doc_id stale rows can never pair with themselves in [[newPairs]].
     */
   def exists(spark: SparkSession, indexPath: String): Boolean = {
-    val p = new Path(sigDir(indexPath), "_SUCCESS")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    val dir = new Path(sigDir(indexPath))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(dir, "_SUCCESS"))) true
+    else fs.exists(dir) && fs.listStatus(dir).exists { st =>
+      st.isDirectory && st.getPath.getName.startsWith("batch_id=") &&
+        fs.listStatus(st.getPath).exists(f => f.getPath.getName.endsWith(".parquet"))
+    }
   }
 
   /** [[build]] unless a completed index is already present. */

@@ -181,6 +181,88 @@ object DocumentStream {
       .start()
   }
 
+  /** Continuous crawl ingestion against the PERSISTENT MinHash signature
+    * index ([[graft.operators.MinHashIndex]]): each micro-batch is
+    * near-dup-checked against the ENTIRE indexed corpus at exact-Jaccard
+    * precision, duplicates are dropped, and the survivors land in the lake
+    * AND fold into the index for the next batch. This is the missing
+    * horizon tier between [[dedupExact]] (exact matches, watermark-bounded
+    * history) and [[nearDupPairs]] (near-dups, per-bucket FIFO-capped
+    * in-memory history): here the dedup state IS the signature store, so
+    * the horizon is the full corpus history and survives restarts with no
+    * state-store migration — a new query against the same index resumes
+    * exactly.
+    *
+    * Drop policy (deterministic): a batch doc that near-dups a STORED doc
+    * is dropped (the corpus keeps its first sighting); for in-batch pairs
+    * the smaller doc_id survives. Exactly-once: the lake write partitions
+    * by `batch_id` with dynamic overwrite ([[landBatch]]) and the index
+    * write does the same ([[graft.operators.MinHashIndex.appendBatch]]),
+    * so a replayed batch rewrites its own partitions bit-for-bit instead
+    * of duplicating rows.
+    */
+  def ingestContinuous(
+      docs: Dataset[DocEvent],
+      indexPath: String,
+      lakePath: String,
+      checkpointDir: String,
+      minQuality: Double = 0.0): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[DocEvent], batchId: Long) =>
+        ingestBatch(batch.toDF(), batchId, indexPath, lakePath, minQuality)
+      }
+      .start()
+
+  /** The per-micro-batch body of [[ingestContinuous]] — exposed so dedup
+    * semantics and the replay path are directly testable without a running
+    * query.
+    */
+  def ingestBatch(batch: DataFrame, batchId: Long, indexPath: String,
+      lakePath: String, minQuality: Double = 0.0): Unit = {
+    import graft.operators.MinHashIndex
+    val spark = batch.sparkSession
+    val b = batch.select(col("docId").as("doc_id"), col("text"), col("eventTime"))
+    // first batch bootstraps the index: no stored side yet, so near-dup
+    // pairs are the in-batch symmetric pipeline over the batch's own
+    // signatures (minhashPairsTouchingFromSig with every doc "new" is
+    // exactly that)
+    val pairs =
+      if (MinHashIndex.exists(spark, indexPath)) MinHashIndex.newPairs(b, indexPath)
+      else {
+        graft.functions.VectorExpressions.register(spark)
+        val sig = graft.CacheTracker.track(
+          graft.analytics.DedupQueries.signatureRows(b)
+            .select("doc_id", "hs", "sig")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        graft.analytics.DedupQueries
+          .minhashPairsTouchingFromSig(sig, sig.select("doc_id"))
+          .select(col("doc_a"), col("doc_b"), col("j"))
+      }
+    // every pair touches >= 1 batch doc; drop the batch side of a
+    // batch-stored pair (keep the corpus's first sighting), the larger id
+    // of an in-batch pair. Stored-stored pairs cannot occur.
+    val bids = b.select(col("doc_id")).distinct()
+    val drops = pairs
+      .join(broadcast(bids.select(col("doc_id").as("doc_a"), lit(true).as("a_new"))),
+        Seq("doc_a"), "left")
+      .join(broadcast(bids.select(col("doc_id").as("doc_b"), lit(true).as("b_new"))),
+        Seq("doc_b"), "left")
+      .select(when(coalesce(col("a_new"), lit(false)) &&
+          !coalesce(col("b_new"), lit(false)), col("doc_a"))
+        .otherwise(col("doc_b")).as("doc_id"))
+      .distinct()
+    val survivors = b.join(drops, Seq("doc_id"), "left_anti")
+      .select(col("doc_id").as("docId"), col("text"), col("eventTime"))
+    landBatch(scoreCols(survivors), batchId, lakePath, minQuality)
+    MinHashIndex.appendBatch(
+      survivors.select(col("docId").as("doc_id"), col("text")), indexPath, batchId)
+    // a dedicated ingestion job owns its session: release the signature
+    // projections this batch persisted (they are weak-ref tracked, so a
+    // shared-session caller that skips this merely waits for GC)
+    graft.CacheTracker.releaseAll()
+  }
+
   /** The idempotent per-micro-batch landing [[toLake]] runs — exposed so the
     * replay path (same batchId twice) is directly testable.
     */
