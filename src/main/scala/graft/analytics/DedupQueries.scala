@@ -34,6 +34,13 @@ object DedupQueries {
   val BandBucketCap = 50
   val ShingleDfCap = 100
 
+  /** Absolute bound for the banded Levenshtein verify in
+    * dedup_edit_distance: per-candidate cost is O(len * cap), so the cap —
+    * not document length — bounds the verify work. 64 comfortably covers
+    * the 10%-relative match rule for the corpus's document lengths.
+    */
+  val EditDistanceCap = 64
+
   /** doc_id + distinct 3-gram shingle hashes (the dedup unit). The explicit
     * repartition spreads the per-doc signature computation: a small parquet
     * file arrives as ONE split (a 100 TB corpus has thousands), and the HOF
@@ -772,6 +779,142 @@ object DedupQueries {
            |    / COUNT(*) * 1e6 + 0.5) / 1e6 AS recall_2
            |FROM pr WHERE c >= 0.4""".stripMargin
       }
+    ),
+
+    // ----- SemDeDup: semantic dedup via k-means cells + in-cell cosine ------
+    // The cluster-then-compare semantic-dedup design (Abbas et al., "SemDeDup",
+    // arXiv:2303.09540): partition the embedding space into k cells, compare
+    // pairs ONLY within a cell, and for each above-threshold pair drop the
+    // member CLOSER to its cell centroid — keeping the outlier preserves
+    // diversity (the paper's keep-low-centroid-similarity rule). Differs
+    // from dedup_embedding_lsh in what it finds: LSH buckets catch
+    // near-identical vectors; semantic cells catch same-meaning
+    // neighborhoods, and the drop rule picks WHICH copy survives.
+    //
+    // Scale design: the cell count is the occupancy lever (SemDeDup runs
+    // 50k cells over 5B embeddings) — candidate mass is per-cell occupancy
+    // squared, never all-pairs; centroids build as per-dimension map-side
+    // partial aggregates (no whole-vector collect_list); assignment is a
+    // broadcast argmin (min(struct) under groupBy, combined map-side); the
+    // assigned projection is persisted once and feeds both sides of the
+    // in-cell equi-join. Same deterministic arithmetic as the IVF family:
+    // integer dots/norms, one IEEE division, round-6 cosines.
+    "dedup_semantic" -> QuerySpec(
+      (s, d) => {
+        graft.functions.VectorExpressions.register(s)
+        val n = graft.CacheTracker.track(Tables.spread(emb(s, d), "vec_id")
+          .select(col("vec_id"), col("label"), expr(quantizeS("embedding")).as("qe"))
+          .withColumn("nrm", expr("long_dot(qe, qe)"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        // per-label integer-mean centroids (coarse k-means, as sim_ivf_topk)
+        val cent = graft.CacheTracker.track(n
+          .select(col("label"), posexplode(col("qe")).as(Seq("j", "v")))
+          .groupBy(col("label").as("c_id"), col("j"))
+          .agg(expr("cast(round(sum(v) / count(1)) as bigint)").as("cj"))
+          .groupBy(col("c_id"))
+          .agg(transform(array_sort(collect_list(struct(col("j"), col("cj")))),
+            x => x.getField("cj")).as("ce"))
+          .withColumn("cnrm", expr("long_dot(ce, ce)"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        // nearest-cell assignment + cosine-to-centroid (the drop criterion)
+        val assigned = graft.CacheTracker.track(n
+          .crossJoin(broadcast(cent))
+          .withColumn("dist", expr("long_l2(qe, ce)"))
+          .groupBy(col("vec_id"))
+          .agg(first(col("qe")).as("qe"), first(col("nrm")).as("nrm"),
+            min(struct(col("dist"), col("c_id"))).as("m"))
+          .select(col("vec_id"), col("qe"), col("nrm"), col("m.c_id").as("cell"))
+          .join(broadcast(cent.select(col("c_id").as("cell"), col("ce"), col("cnrm"))),
+            Seq("cell"))
+          .withColumn("c2c",
+            expr("round(long_dot(qe, ce) / (sqrt(nrm) * sqrt(cnrm)), 6)"))
+          .select(col("cell"), col("vec_id"), col("qe"), col("nrm"), col("c2c"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val a = assigned.select(col("cell"), col("vec_id").as("vec_a"),
+          col("qe").as("qa"), col("nrm").as("na"), col("c2c").as("ca"))
+        val b = assigned.select(col("cell"), col("vec_id").as("vec_b"),
+          col("qe").as("qb"), col("nrm").as("nb"), col("c2c").as("cb"))
+        a.join(b, Seq("cell"))
+          .filter(col("vec_a") < col("vec_b"))
+          .withColumn("c", expr("long_dot(qa, qb) / (sqrt(na) * sqrt(nb))"))
+          .filter(col("c") >= 0.4)
+          // drop the member closer to the centroid; round-6 c2c compares
+          // identically in both engines, ties drop the larger id
+          .withColumn("drop_id", when(col("ca") > col("cb"), col("vec_a"))
+            .when(col("cb") > col("ca"), col("vec_b"))
+            .otherwise(greatest(col("vec_a"), col("vec_b"))))
+          .select(col("cell"), col("vec_a"), col("vec_b"),
+            expr("round(c, 6)").as("cosine"), col("drop_id"))
+          .orderBy(col("cell"), col("vec_a"), col("vec_b"))
+      },
+      Some(s"""WITH q AS (SELECT vec_id, label, ${quantizeD("embedding")} AS qe FROM embeddings),
+             |n AS (SELECT vec_id, label, qe, ${dotD("qe", "qe")} AS nrm FROM q),
+             |dim AS (SELECT max(len(qe)) AS d FROM q),
+             |cent AS (SELECT label AS c_id,
+             |    list_transform(generate_series(1, (SELECT d FROM dim)), j -> CAST(round(
+             |      CAST(list_sum(list_transform(list(qe), v -> v[j])) AS BIGINT) / COUNT(*)) AS BIGINT)) AS ce
+             |  FROM q GROUP BY label),
+             |nc AS (SELECT c_id, ce, ${dotD("ce", "ce")} AS cnrm FROM cent),
+             |ad AS (SELECT n.vec_id, n.qe, n.nrm, c.c_id, c.ce, c.cnrm,
+             |    CAST(list_sum(list_transform(generate_series(1, (SELECT d FROM dim)),
+             |      j -> (n.qe[j] - c.ce[j]) * (n.qe[j] - c.ce[j]))) AS BIGINT) AS dist
+             |  FROM n CROSS JOIN nc c),
+             |assigned AS (SELECT vec_id, qe, nrm, c_id AS cell,
+             |    round(${dotD("qe", "ce")} / (sqrt(nrm) * sqrt(cnrm)), 6) AS c2c
+             |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c_id) AS arn
+             |        FROM ad) z WHERE arn = 1),
+             |pairs AS (SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
+             |    a.c2c AS ca, b.c2c AS cb,
+             |    ${dotD("a.qe", "b.qe")} / (sqrt(a.nrm) * sqrt(b.nrm)) AS c
+             |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+             |SELECT cell, vec_a, vec_b, round(c, 6) AS cosine,
+             |  CASE WHEN ca > cb THEN vec_a WHEN cb > ca THEN vec_b
+             |       ELSE greatest(vec_a, vec_b) END AS drop_id
+             |FROM pairs WHERE c >= 0.4 ORDER BY cell, vec_a, vec_b""".stripMargin)
+    ),
+
+    // ----- edit-distance near-dup: blocked fuzzy matching -------------------
+    // Classic record-linkage dedup for the near-dup shapes token sets miss
+    // entirely: small in-place edits (typo fixes, renumbering, template
+    // variable substitution) that leave token-level Jaccard ~1 but matter
+    // when the MATCH RULE is "at most k character edits". Candidates come
+    // from the same first-10-token fingerprint blocking as
+    // dedup_prefix_groups (an equi-join — never all-pairs); verification is
+    // Spark's bounded Levenshtein, `levenshtein(a, b, cap)`, whose banded
+    // computation is O(len * cap) instead of the O(len^2) full matrix and
+    // returns -1 the moment the distance exceeds the cap — the verify cost
+    // per candidate is capped no matter how long the documents are. A pair
+    // matches when the bounded distance lands within 10% of the longer
+    // document (and within the absolute cap): all-integer outputs, so the
+    // hash contract is exact.
+    "dedup_edit_distance" -> QuerySpec(
+      (s, d) => {
+        val f = docs(s, d)
+          .withColumn("t", expr(tokensS("text")))
+          .select(col("doc_id"), col("text"), col("n_chars"),
+            md5(expr("array_join(slice(t, 1, 10), ' ')")).as("fp"))
+        val a = f.select(col("fp"), col("doc_id").as("doc_a"),
+          col("text").as("ta"), col("n_chars").as("la"))
+        val b = f.select(col("fp"), col("doc_id").as("doc_b"),
+          col("text").as("tb"), col("n_chars").as("lb"))
+        a.join(b, Seq("fp"))
+          .filter(col("doc_a") < col("doc_b"))
+          .withColumn("dist", expr(s"levenshtein(ta, tb, $EditDistanceCap)"))
+          .withColumn("max_chars", greatest(col("la"), col("lb")))
+          .filter(col("dist") >= 0 && col("dist") * 10 <= col("max_chars"))
+          .select(col("doc_a"), col("doc_b"), col("dist"), col("max_chars"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, text, n_chars, ${tokensD("text")} AS t FROM documents),
+             |f AS (SELECT doc_id, text, n_chars,
+             |    md5(array_to_string(t[1:10], ' ')) AS fp FROM toks),
+             |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |    levenshtein(a.text, b.text) AS dist,
+             |    greatest(a.n_chars, b.n_chars) AS max_chars
+             |  FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id)
+             |SELECT doc_a, doc_b, dist, max_chars FROM cand
+             |WHERE dist <= $EditDistanceCap AND dist * 10 <= max_chars
+             |ORDER BY doc_a, doc_b""".stripMargin)
     )
   )
 }

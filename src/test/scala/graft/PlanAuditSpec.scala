@@ -163,6 +163,21 @@ class PlanAuditSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("semantic dedup: centroids broadcast, pair generation is a cell equi-join") {
+    val p = plan("dedup_semantic")
+    // the vectors x centroids argmin may print as BroadcastNestedLoopJoin
+    // (a hinted crossJoin against the #labels-row centroid table); the
+    // in-cell pair join must stay an equi-join on the cell key
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian in:\n$p")
+    assert(p.contains("cell"), s"expected the cell equi-join key in:\n$p")
+  }
+
+  test("edit-distance dedup: candidates come from the fingerprint equi-join") {
+    val p = plan("dedup_edit_distance")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fingerprint block join degenerated to all-pairs in:\n$p")
+  }
+
   test("aggregation pipeline runs inside whole-stage codegen") {
     // AQE annotates codegen spans only in the finalized plan: execute first
     val df = SparkEntry.queries("rel_agg_pricing_summary")(spark, dir)
