@@ -41,6 +41,43 @@ object DedupQueries {
     */
   val EditDistanceCap = 64
 
+  /** Max docs per fingerprint block before dedup_edit_distance switches
+    * from all-pairs to bounded-star verification (the minhash
+    * [[BandBucketCap]] guard, applied to prefix blocking).
+    */
+  val EditBlockCap = 50
+
+  /** dedup_semantic occupancy target: above this per-cell occupancy, cells
+    * split into hyperplane sub-buckets so the in-cell pair join never goes
+    * quadratic in corpus growth (the cell count itself is the label
+    * cardinality — fixed, so occupancy is what a 100x corpus inflates).
+    */
+  val SemOccupancyTarget = 1024L
+
+  /** Resolved sub-plane count for dedup_semantic: the smallest sub-split
+    * keeping expected occupancy at or under [[SemOccupancyTarget]],
+    * memoized per dir; the oracle renders from the same session value
+    * (same last-write-wins contract as [[SimilarityQueries.Planes]]).
+    * 0 at the sf0.01/sf0.1 gates (occupancy 50/200).
+    */
+  @volatile private var semSub: Int = 0
+  private[analytics] def semSubPlanes: Int = semSub
+  private val semSubByDir = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  private[analytics] def resolveSemSub(s: SparkSession, d: String): Int = {
+    val v = semSubByDir.computeIfAbsent(d, _ => {
+      val e = emb(s, d)
+      val occ = e.count() / math.max(e.select("label").distinct().count(), 1L)
+      var p = 0
+      while (p < 16 && (occ >> p) > SemOccupancyTarget) p += 1
+      if (sys.env.contains("SPARK_GRAFT_VERBOSE"))
+        System.err.println(s"[semdedup] subPlanes=$p occupancy=$occ dir=$d")
+      Integer.valueOf(p)
+    }).intValue()
+    semSub = v
+    v
+  }
+
   /** doc_id + distinct 3-gram shingle hashes (the dedup unit). The explicit
     * repartition spreads the per-doc signature computation: a small parquet
     * file arrives as ONE split (a 100 TB corpus has thousands), and the HOF
@@ -799,9 +836,22 @@ object DedupQueries {
     // assigned projection is persisted once and feeds both sides of the
     // in-cell equi-join. Same deterministic arithmetic as the IVF family:
     // integer dots/norms, one IEEE division, round-6 cosines.
+    //
+    // The cell count here is the corpus's label cardinality — FIXED, so a
+    // 100x corpus would grow per-cell occupancy 100x and pair mass 10,000x,
+    // the exact shape the LSH family's planesFor fix killed. Same fix: when
+    // occupancy would exceed SemOccupancyTarget, each cell splits into
+    // 2^resolveSemSubPlanes hyperplane sub-buckets (the pair-join key
+    // becomes (cell, subkey)), resolved from the ACTUAL corpus at query
+    // build and rendered into the oracle from the same resolved constant.
+    // At the sf0.01/sf0.1 gates occupancy is far under target, so zero
+    // sub-planes — gates unchanged. The recall trade is the standard LSH
+    // one (an in-cell pair split by a sub-hyperplane is missed), the
+    // SemDeDup paper's own cluster-size-cap analog.
     "dedup_semantic" -> QuerySpec(
       (s, d) => {
         graft.functions.VectorExpressions.register(s)
+        val sub = resolveSemSub(s, d)
         val n = graft.CacheTracker.track(Tables.spread(emb(s, d), "vec_id")
           .select(col("vec_id"), col("label"), expr(quantizeS("embedding")).as("qe"))
           .withColumn("nrm", expr("long_dot(qe, qe)"))
@@ -828,13 +878,16 @@ object DedupQueries {
             Seq("cell"))
           .withColumn("c2c",
             expr("round(long_dot(qe, ce) / (sqrt(nrm) * sqrt(cnrm)), 6)"))
-          .select(col("cell"), col("vec_id"), col("qe"), col("nrm"), col("c2c"))
+          .withColumn("subkey",
+            if (sub > 0) expr(s"hyperplane_key(qe, $sub)") else lit(0L))
+          .select(col("cell"), col("subkey"), col("vec_id"), col("qe"),
+            col("nrm"), col("c2c"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-        val a = assigned.select(col("cell"), col("vec_id").as("vec_a"),
+        val a = assigned.select(col("cell"), col("subkey"), col("vec_id").as("vec_a"),
           col("qe").as("qa"), col("nrm").as("na"), col("c2c").as("ca"))
-        val b = assigned.select(col("cell"), col("vec_id").as("vec_b"),
+        val b = assigned.select(col("cell"), col("subkey"), col("vec_id").as("vec_b"),
           col("qe").as("qb"), col("nrm").as("nb"), col("c2c").as("cb"))
-        a.join(b, Seq("cell"))
+        a.join(b, Seq("cell", "subkey"))
           .filter(col("vec_a") < col("vec_b"))
           .withColumn("c", expr("long_dot(qa, qb) / (sqrt(na) * sqrt(nb))"))
           .filter(col("c") >= 0.4)
@@ -847,30 +900,36 @@ object DedupQueries {
             expr("round(c, 6)").as("cosine"), col("drop_id"))
           .orderBy(col("cell"), col("vec_a"), col("vec_b"))
       },
-      Some(s"""WITH q AS (SELECT vec_id, label, ${quantizeD("embedding")} AS qe FROM embeddings),
-             |n AS (SELECT vec_id, label, qe, ${dotD("qe", "qe")} AS nrm FROM q),
-             |dim AS (SELECT max(len(qe)) AS d FROM q),
-             |cent AS (SELECT label AS c_id,
-             |    list_transform(generate_series(1, (SELECT d FROM dim)), j -> CAST(round(
-             |      CAST(list_sum(list_transform(list(qe), v -> v[j])) AS BIGINT) / COUNT(*)) AS BIGINT)) AS ce
-             |  FROM q GROUP BY label),
-             |nc AS (SELECT c_id, ce, ${dotD("ce", "ce")} AS cnrm FROM cent),
-             |ad AS (SELECT n.vec_id, n.qe, n.nrm, c.c_id, c.ce, c.cnrm,
-             |    CAST(list_sum(list_transform(generate_series(1, (SELECT d FROM dim)),
-             |      j -> (n.qe[j] - c.ce[j]) * (n.qe[j] - c.ce[j]))) AS BIGINT) AS dist
-             |  FROM n CROSS JOIN nc c),
-             |assigned AS (SELECT vec_id, qe, nrm, c_id AS cell,
-             |    round(${dotD("qe", "ce")} / (sqrt(nrm) * sqrt(cnrm)), 6) AS c2c
-             |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c_id) AS arn
-             |        FROM ad) z WHERE arn = 1),
-             |pairs AS (SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
-             |    a.c2c AS ca, b.c2c AS cb,
-             |    ${dotD("a.qe", "b.qe")} / (sqrt(a.nrm) * sqrt(b.nrm)) AS c
-             |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id)
-             |SELECT cell, vec_a, vec_b, round(c, 6) AS cosine,
-             |  CASE WHEN ca > cb THEN vec_a WHEN cb > ca THEN vec_b
-             |       ELSE greatest(vec_a, vec_b) END AS drop_id
-             |FROM pairs WHERE c >= 0.4 ORDER BY cell, vec_a, vec_b""".stripMargin)
+      Some {
+        val sub = semSubPlanes
+        val subD = if (sub > 0) SimilarityQueries.lshKeyD("qe", sub)
+                   else "CAST(0 AS BIGINT)"
+        s"""WITH q AS (SELECT vec_id, label, ${quantizeD("embedding")} AS qe FROM embeddings),
+           |n AS (SELECT vec_id, label, qe, ${dotD("qe", "qe")} AS nrm FROM q),
+           |dim AS (SELECT max(len(qe)) AS d FROM q),
+           |cent AS (SELECT label AS c_id,
+           |    list_transform(generate_series(1, (SELECT d FROM dim)), j -> CAST(round(
+           |      CAST(list_sum(list_transform(list(qe), v -> v[j])) AS BIGINT) / COUNT(*)) AS BIGINT)) AS ce
+           |  FROM q GROUP BY label),
+           |nc AS (SELECT c_id, ce, ${dotD("ce", "ce")} AS cnrm FROM cent),
+           |ad AS (SELECT n.vec_id, n.qe, n.nrm, c.c_id, c.ce, c.cnrm,
+           |    CAST(list_sum(list_transform(generate_series(1, (SELECT d FROM dim)),
+           |      j -> (n.qe[j] - c.ce[j]) * (n.qe[j] - c.ce[j]))) AS BIGINT) AS dist
+           |  FROM n CROSS JOIN nc c),
+           |assigned AS (SELECT vec_id, qe, nrm, c_id AS cell, $subD AS subkey,
+           |    round(${dotD("qe", "ce")} / (sqrt(nrm) * sqrt(cnrm)), 6) AS c2c
+           |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c_id) AS arn
+           |        FROM ad) z WHERE arn = 1),
+           |pairs AS (SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
+           |    a.c2c AS ca, b.c2c AS cb,
+           |    ${dotD("a.qe", "b.qe")} / (sqrt(a.nrm) * sqrt(b.nrm)) AS c
+           |  FROM assigned a JOIN assigned b ON a.cell = b.cell
+           |    AND a.subkey = b.subkey AND a.vec_id < b.vec_id)
+           |SELECT cell, vec_a, vec_b, round(c, 6) AS cosine,
+           |  CASE WHEN ca > cb THEN vec_a WHEN cb > ca THEN vec_b
+           |       ELSE greatest(vec_a, vec_b) END AS drop_id
+           |FROM pairs WHERE c >= 0.4 ORDER BY cell, vec_a, vec_b""".stripMargin
+      }
     ),
 
     // ----- edit-distance near-dup: blocked fuzzy matching -------------------
@@ -887,18 +946,41 @@ object DedupQueries {
     // matches when the bounded distance lands within 10% of the longer
     // document (and within the absolute cap): all-integer outputs, so the
     // hash contract is exact.
+    //
+    // Hot-block guard, the same shape as the minhash band-bucket star: a
+    // fingerprint block of k near-identical docs (boilerplate sharing one
+    // opening) would emit k(k-1)/2 candidates — measured 127x wall blow-up
+    // on the 32x replicated corpus before the guard. Blocks over
+    // EditBlockCap switch to bounded-star emission (every member verified
+    // against the block's min doc only — O(block) Levenshteins), so the
+    // clique still surfaces through its representative while candidate
+    // mass stays linear; connected components over the pairs recovers the
+    // full group exactly as in the minhash family.
     "dedup_edit_distance" -> QuerySpec(
       (s, d) => {
-        val f = docs(s, d)
+        val f = graft.CacheTracker.track(docs(s, d)
           .withColumn("t", expr(tokensS("text")))
           .select(col("doc_id"), col("text"), col("n_chars"),
             md5(expr("array_join(slice(t, 1, 10), ' ')")).as("fp"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        // block stats are #blocks rows — broadcast to both branches
+        val stats = broadcast(f.groupBy(col("fp"))
+          .agg(count(lit(1)).as("bs"), min(col("doc_id")).as("rep")))
         val a = f.select(col("fp"), col("doc_id").as("doc_a"),
           col("text").as("ta"), col("n_chars").as("la"))
         val b = f.select(col("fp"), col("doc_id").as("doc_b"),
           col("text").as("tb"), col("n_chars").as("lb"))
-        a.join(b, Seq("fp"))
-          .filter(col("doc_a") < col("doc_b"))
+        val small = a.join(b, Seq("fp")).join(stats, Seq("fp"))
+          .filter(col("bs") <= EditBlockCap && col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"), col("ta"), col("tb"),
+            col("la"), col("lb"))
+        val hot = b.join(stats, Seq("fp"))
+          .filter(col("bs") > EditBlockCap && col("doc_b") =!= col("rep"))
+          .select(col("rep").as("doc_a"), col("doc_b"), col("tb"), col("lb"))
+          .join(a.select(col("doc_a"), col("ta"), col("la")), Seq("doc_a"))
+          .select(col("doc_a"), col("doc_b"), col("ta"), col("tb"),
+            col("la"), col("lb"))
+        small.unionByName(hot)
           .withColumn("dist", expr(s"levenshtein(ta, tb, $EditDistanceCap)"))
           .withColumn("max_chars", greatest(col("la"), col("lb")))
           .filter(col("dist") >= 0 && col("dist") * 10 <= col("max_chars"))
@@ -908,10 +990,19 @@ object DedupQueries {
       Some(s"""WITH toks AS (SELECT doc_id, text, n_chars, ${tokensD("text")} AS t FROM documents),
              |f AS (SELECT doc_id, text, n_chars,
              |    md5(array_to_string(t[1:10], ' ')) AS fp FROM toks),
-             |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             |    levenshtein(a.text, b.text) AS dist,
-             |    greatest(a.n_chars, b.n_chars) AS max_chars
-             |  FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id)
+             |bsz AS (SELECT fp, COUNT(*) AS bs, MIN(doc_id) AS rep FROM f GROUP BY fp),
+             |small AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |    a.text AS ta, b.text AS tb, a.n_chars AS la, b.n_chars AS lb
+             |  FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+             |  JOIN bsz s ON a.fp = s.fp AND s.bs <= $EditBlockCap),
+             |hot AS (SELECT s.rep AS doc_a, m.doc_id AS doc_b,
+             |    r.text AS ta, m.text AS tb, r.n_chars AS la, m.n_chars AS lb
+             |  FROM f m JOIN bsz s ON m.fp = s.fp AND s.bs > $EditBlockCap
+             |  JOIN f r ON r.doc_id = s.rep
+             |  WHERE m.doc_id <> s.rep),
+             |cand AS (SELECT doc_a, doc_b, levenshtein(ta, tb) AS dist,
+             |    greatest(la, lb) AS max_chars
+             |  FROM (SELECT * FROM small UNION ALL SELECT * FROM hot) u)
              |SELECT doc_a, doc_b, dist, max_chars FROM cand
              |WHERE dist <= $EditDistanceCap AND dist * 10 <= max_chars
              |ORDER BY doc_a, doc_b""".stripMargin)
