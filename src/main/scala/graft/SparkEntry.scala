@@ -18,6 +18,7 @@ object SparkEntry {
       analytics.DedupQueries.all ++
       analytics.SimilarityQueries.all ++
       analytics.MultimodalQueries.all ++
+      analytics.GraphQueries.all ++
       analytics.TimelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -100,9 +100,10 @@ object DedupQueries {
   private val OracleShingles = s"WITH $ShinglesCte"
 
   /** Oracle CTE body through the verified MinHash+LSH pairs `v(doc_a,
-    * doc_b, j)` — shared by dedup_minhash_lsh and dedup_clusters.
+    * doc_b, j)` — shared by dedup_minhash_lsh, dedup_clusters, and the
+    * near-dup-graph analytics in [[GraphQueries]].
     */
-  private val MinhashPairsCte =
+  private[analytics] val MinhashPairsCte =
     s"""$ShinglesCte,
        |sig AS (SELECT doc_id, hs, ${minhashSigD("hs")} AS sig FROM sh),
        |bands_all AS (SELECT doc_id, b,
@@ -160,6 +161,44 @@ object DedupQueries {
       .select(col("doc_id"), col("hs"), expr("minhash16(hs)").as("sig"),
         size(col("t")).as("n_tok"))
 
+  /** LSH candidate pairs from a banded table (doc_id, b, k) with the
+    * hot-bucket skew guard — shared by the minhash family and the
+    * perceptual-hash near-dup in [[MultimodalQueries]].
+    *
+    * Bucket-size cap as an anti-join against the (tiny) over-cap bucket
+    * set instead of a count window — same rows kept, but no shuffle-sort
+    * of the full band table (see the DF-cap note in dedup_span). The
+    * over-cap buckets are NOT dropped wholesale: a >cap bucket is exactly
+    * what a 50+-way-duplicated boilerplate clique produces, and silently
+    * losing it loses the single most common real-world dup shape. Instead
+    * each hot bucket emits a bounded STAR — every member paired with the
+    * bucket's min doc_id — O(bucket) rows instead of the O(bucket^2)
+    * self-join, and connected components still merges the whole clique
+    * through the shared representative (the caller's verify join scores
+    * star pairs like any other candidate, so false-collision buckets of
+    * genuinely unrelated docs still die at the similarity filter).
+    * The (tiny) hot-bucket stats persist too: three consumers (both
+    * anti-join sides + the star join) would each re-run the full-band
+    * groupBy otherwise.
+    */
+  private[analytics] def bandCandidates(bands0: DataFrame, cap: Int): DataFrame = {
+    val bstats = graft.CacheTracker.track(bands0.groupBy(col("b"), col("k"))
+      .agg(count(lit(1)).as("bs"), min(col("doc_id")).as("rep"))
+      .filter(col("bs") > cap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val bands = bands0.join(bstats.select(col("b"), col("k")), Seq("b", "k"), "left_anti")
+    val star = bands0.join(bstats.select(col("b"), col("k"), col("rep")), Seq("b", "k"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.k") === col("y.k") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .unionByName(star)
+      .distinct()
+  }
+
   /** [[minhashPairsFrom]] when the 16-lane minhash signature is already
     * materialized (doc_id, hs, sig) — the incremental-index path, where the
     * stored corpus side must NOT re-run minhash16 over its shingles.
@@ -174,36 +213,7 @@ object DedupQueries {
         s"'b', b, 'k', array_join(slice(sig, b * $RowsPerBand + 1, $RowsPerBand), '_')))) AS bk")
       .select(col("doc_id"), col("bk.b").as("b"), col("bk.k").as("k"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    // bucket-size cap as an anti-join against the (tiny) over-cap bucket
-    // set instead of a count window — same rows kept, but no shuffle-sort
-    // of the full band table (see the DF-cap note in dedup_span). The
-    // over-cap buckets are NOT dropped wholesale: a >cap bucket is exactly
-    // what a 50+-way-duplicated boilerplate clique produces, and silently
-    // losing it loses the single most common real-world dup shape. Instead
-    // each hot bucket emits a bounded STAR — every member paired with the
-    // bucket's min doc_id — O(bucket) rows instead of the O(bucket^2)
-    // self-join, and connected components still merges the whole clique
-    // through the shared representative (the verify join below scores star
-    // pairs like any other candidate, so false-collision buckets of
-    // genuinely unrelated docs still die at the j >= 0.5 filter).
-    // persist the (tiny) hot-bucket stats too: three consumers (both
-    // anti-join sides + the star join) would each re-run the full-band
-    // groupBy otherwise
-    val bstats = graft.CacheTracker.track(bands0.groupBy(col("b"), col("k"))
-      .agg(count(lit(1)).as("bs"), min(col("doc_id")).as("rep"))
-      .filter(col("bs") > BandBucketCap)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val bands = bands0.join(bstats.select(col("b"), col("k")), Seq("b", "k"), "left_anti")
-    val star = bands0.join(bstats.select(col("b"), col("k"), col("rep")), Seq("b", "k"))
-      .filter(col("doc_id") =!= col("rep"))
-      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
-    val pairs = bands.as("x")
-      .join(bands.as("y"),
-        col("x.b") === col("y.b") && col("x.k") === col("y.k") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .unionByName(star)
-      .distinct()
+    val pairs = bandCandidates(bands0, BandBucketCap)
     pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")

@@ -1,0 +1,186 @@
+package graft.analytics
+
+import graft.QuerySpec
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the verified near-duplicate graph (nodes = docs,
+  * edges = MinHash+LSH pairs with Jaccard >= 0.5 from
+  * [[DedupQueries.minhashPairs]]) — the dup-graph structure queries a
+  * curation pipeline runs after candidate generation: degree distribution
+  * (how duplicated is the corpus), per-node triangle counts / clustering
+  * coefficients (boilerplate cliques vs chain-shaped false positives), and
+  * PageRank centrality (pick the canonical representative of a dup
+  * neighborhood by structural importance rather than min-id).
+  *
+  * Scale design (100 TB):
+  *   - the edge list arrives from the LSH pipeline already skew-guarded
+  *     (band-bucket cap + star emission), so no degenerate clique inflates
+  *     these plans' inputs quadratically;
+  *   - triangle counting orients each edge from its lower-(degree, id)
+  *     endpoint to the higher one and enumerates wedges only at each
+  *     edge's SMALLER endpoint — the standard degree-ordered algorithm:
+  *     per-node wedge work is O(min-degree^2), so a celebrity node of
+  *     degree d costs O(d) oriented edges, never O(d^2) wedges. The result
+  *     set is identical to naive a<b<c enumeration (the oracle states the
+  *     naive form; `GraphQueriesSpec` pins the equivalence);
+  *   - PageRank runs a FIXED number of synchronous power iterations as
+  *     repeated (edge join ranks -> groupBy dst) shuffles on the node key —
+  *     Spark's shuffle partitioning handles any node count, the per-
+  *     iteration state is one (node, rank) row per node, and the adjacency
+  *     projection persists once for all iterations. Arithmetic is integer
+  *     fixed-point (rank mass scaled by 1e12, contributions via integer
+  *     division) so Spark and the unrolled-CTE DuckDB oracle agree
+  *     bit-for-bit — no floating-point drift across partitionings.
+  */
+object GraphQueries {
+
+  /** Fixed-point scale: total rank mass = 1e12. */
+  val Scale = 1000000000000L
+
+  /** Damping 0.85 split as integers: base share = 0.15 * Scale. */
+  val BaseMass = 150000000000L
+
+  /** Synchronous power iterations (fixed — both engines unroll the same). */
+  val PrIters = 8
+
+  /** Undirected near-dup edges (doc_a < doc_b), Jaccard-verified. */
+  private def edges(s: SparkSession, d: String): DataFrame =
+    DedupQueries.minhashPairs(s, d).select(col("doc_a"), col("doc_b"))
+
+  /** Oracle prefix: `v(doc_a, doc_b, j)` -> undirected edge list `e`. */
+  private val OracleEdges =
+    s"""WITH ${DedupQueries.MinhashPairsCte},
+       |e AS (SELECT doc_a, doc_b FROM v WHERE j >= 0.5)""".stripMargin
+
+  /** Symmetrized (src, dst) arcs — every undirected edge both ways. */
+  private def arcs(e: DataFrame): DataFrame =
+    e.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(e.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+
+  private def degrees(e: DataFrame): DataFrame =
+    arcs(e).groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+
+  val all: Map[String, QuerySpec] = Map(
+
+    // ----- degree distribution of the near-dup graph -----------------------
+    // Two map-side-combinable aggregations (node -> degree -> histogram);
+    // nothing materializes beyond one row per node then one per distinct
+    // degree. min_node pins values, not just counts.
+    "graph_degree_stats" -> QuerySpec(
+      (s, d) => {
+        degrees(edges(s, d))
+          .groupBy(col("degree"))
+          .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"))
+          .orderBy(col("degree"))
+      },
+      Some(s"""$OracleEdges,
+             |sym AS (SELECT doc_a AS node FROM e UNION ALL SELECT doc_b FROM e),
+             |deg AS (SELECT node, COUNT(*) AS degree FROM sym GROUP BY node)
+             |SELECT degree, COUNT(*) AS n_nodes, MIN(node) AS min_node
+             |FROM deg GROUP BY degree ORDER BY degree""".stripMargin)
+    ),
+
+    // ----- per-node triangles + clustering coefficient ---------------------
+    // Degree-ordered orientation (see object doc); the oracle enumerates
+    // the same triangles naively as a<b<c three-way self-join — identical
+    // result set, quadratic wedge cost only in the oracle.
+    "graph_triangles" -> QuerySpec(
+      (s, d) => {
+        val e = graft.CacheTracker.track(edges(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val deg = graft.CacheTracker.track(degrees(e)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val withDeg = e
+          .join(deg.select(col("node").as("doc_a"), col("degree").as("da")), "doc_a")
+          .join(deg.select(col("node").as("doc_b"), col("degree").as("db")), "doc_b")
+        // orient a->b iff (deg, id)(a) < (deg, id)(b)
+        val aFirst: Column = col("da") < col("db") ||
+          (col("da") === col("db") && col("doc_a") < col("doc_b"))
+        val dirE = graft.CacheTracker.track(withDeg.select(
+          when(aFirst, col("doc_a")).otherwise(col("doc_b")).as("src"),
+          when(aFirst, col("doc_b")).otherwise(col("doc_a")).as("dst"),
+          when(aFirst, col("db")).otherwise(col("da")).as("dstDeg"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        // wedges at the smaller endpoint, out-neighbors ordered v < w by
+        // (deg, id); the closing oriented edge is then exactly (v, w)
+        val d1 = dirE.select(col("src"), col("dst").as("v"), col("dstDeg").as("dv"))
+        val d2 = dirE.select(col("src"), col("dst").as("w"), col("dstDeg").as("dw"))
+        val wedges = d1.join(d2, Seq("src"))
+          .filter(col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w")))
+        val tri = wedges.join(dirE.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+        val tcnt = tri
+          .select(explode(array(col("src"), col("v"), col("w"))).as("node"))
+          .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+        deg.join(tcnt, Seq("node"), "left")
+          .select(col("node"), col("degree"),
+            coalesce(col("triangles"), lit(0L)).as("triangles"),
+            when(col("degree") >= 2, expr(
+              "floor(2 * coalesce(triangles, 0) / (degree * (degree - 1)) * 1e6 + 0.5) / 1e6"))
+              .otherwise(lit(0.0)).as("clust"))
+          .orderBy(col("node"))
+      },
+      Some(s"""$OracleEdges,
+             |tri AS (SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+             |  FROM e e1 JOIN e e2 ON e2.doc_a = e1.doc_b
+             |  JOIN e e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+             |tn AS (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+             |  UNION ALL SELECT c FROM tri),
+             |tcnt AS (SELECT node, COUNT(*) AS triangles FROM tn GROUP BY node),
+             |sym AS (SELECT doc_a AS node FROM e UNION ALL SELECT doc_b FROM e),
+             |deg AS (SELECT node, COUNT(*) AS degree FROM sym GROUP BY node)
+             |SELECT d.node, d.degree, COALESCE(t.triangles, 0) AS triangles,
+             |  CASE WHEN d.degree >= 2 THEN
+             |    floor(2 * COALESCE(t.triangles, 0) / (d.degree * (d.degree - 1)) * 1e6 + 0.5) / 1e6
+             |  ELSE 0.0 END AS clust
+             |FROM deg d LEFT JOIN tcnt t USING (node) ORDER BY node""".stripMargin)
+    ),
+
+    // ----- fixed-point PageRank over the near-dup graph --------------------
+    // All arithmetic is BIGINT: r0 = Scale/N; each iteration r' =
+    // BaseMass/N + (85 * sum(r_src div deg_src)) div 100 over incoming
+    // arcs. Every node of this graph has degree >= 1 (edge-derived), so no
+    // dangling-mass term. The oracle unrolls the same iterations as chained
+    // CTEs — integer ops make the comparison exact, not approximate.
+    "graph_pagerank" -> QuerySpec(
+      (s, d) => {
+        val e = edges(s, d)
+        val deg = graft.CacheTracker.track(degrees(e)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val adj = graft.CacheTracker.track(
+          arcs(e).join(deg.withColumnRenamed("node", "src"), "src")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val nRow = deg.agg(count(lit(1)).as("n"))
+        var ranks = deg.select(col("node"))
+          .crossJoin(broadcast(nRow))
+          .select(col("node"), expr(s"$Scale div n").as("r"))
+        for (_ <- 1 to PrIters) {
+          ranks = adj.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(col("dst"), expr("r div degree").as("c"))
+            .groupBy(col("dst")).agg(sum(col("c")).as("m"))
+            .crossJoin(broadcast(nRow))
+            .select(col("dst").as("node"),
+              expr(s"$BaseMass div n + (85 * m) div 100").as("r"))
+        }
+        ranks.select(col("node"), col("r").as("rank_e12")).orderBy(col("node"))
+      },
+      Some {
+        val iters = (1 to PrIters).map { i =>
+          s"""pr$i AS (SELECT a.dst AS node,
+             |  $BaseMass // n.n + (85 * CAST(SUM(p.r // a.degree) AS BIGINT)) // 100 AS r
+             |  FROM pr${i - 1} p JOIN adj a ON a.src = p.node CROSS JOIN n
+             |  GROUP BY a.dst, n.n)""".stripMargin
+        }.mkString(",\n")
+        s"""$OracleEdges,
+           |sym AS (SELECT doc_a AS src, doc_b AS dst FROM e
+           |  UNION ALL SELECT doc_b, doc_a FROM e),
+           |deg AS (SELECT src AS node, COUNT(*) AS degree FROM sym GROUP BY src),
+           |adj AS (SELECT s.src, s.dst, d.degree FROM sym s JOIN deg d ON d.node = s.src),
+           |n AS (SELECT COUNT(*) AS n FROM deg),
+           |pr0 AS (SELECT node, $Scale // n.n AS r FROM deg CROSS JOIN n),
+           |$iters
+           |SELECT node, r AS rank_e12 FROM pr$PrIters ORDER BY node""".stripMargin
+      }
+    )
+  )
+}

@@ -78,6 +78,70 @@ object MultimodalQueries {
              |  md5(substr(body, frame_idx * 64 + 1, 16)) AS frame_md5,
              |  octet_length(encode(substr(body, frame_idx * 64 + 1, 16))) AS frame_bytes
              |FROM f WHERE frame_idx % 2 = 0 ORDER BY doc_id, frame_idx""".stripMargin)
+    ),
+
+    // ----- perceptual-hash (dHash) near-dup over the binary payload --------
+    // The image-dedup shape: resample the payload to a fixed 8x8 "pixel"
+    // grid, hash the horizontal gradient signs (56 bits), then find
+    // near-dups by banded LSH on the hash — 4 x 14-bit bands guarantee any
+    // pair within hamming distance 3 shares a band (pigeonhole), and the
+    // exact bit_count verify keeps pairs at <= 6. Candidate generation
+    // reuses the minhash family's capped band join incl. the hot-bucket
+    // star ([[DedupQueries.bandCandidates]]), so a degenerate constant
+    // payload (the all-white-image case) emits O(bucket) star rows, never
+    // an O(bucket^2) self-join. The real decode path for genuine media
+    // bytes is [[graft.operators.Multimodal]]; the resample here IS the
+    // deterministic stand-in decode both engines can state.
+    "mm_phash_pairs" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val h = graft.CacheTracker.track(docs(s, d)
+          .withColumn("body", trim(col("text")))
+          .filter(length(col("body")) >= 2)
+          .withColumn("pix", expr("transform(sequence(0, 63), i -> " +
+            "ascii(substring(body, cast(1 + (cast(i as bigint) * (length(body) - 1)) div 63 as int), 1)))"))
+          .select(col("doc_id"), expr("aggregate(sequence(0, 55), cast(0 as bigint), (a, i) -> " +
+            "a + if(element_at(pix, cast((i div 7) * 8 + (i % 7) + 1 as int)) > " +
+            "element_at(pix, cast((i div 7) * 8 + (i % 7) + 2 as int)), " +
+            "shiftleft(cast(1 as bigint), i), cast(0 as bigint)))").as("h"))
+          .persist(MEMORY_AND_DISK))
+        val bands0 = h.select(col("doc_id"),
+          explode(expr("transform(sequence(0, 3), b -> " +
+            "named_struct('b', b, 'k', shiftright(h, 14 * b) & 16383))")).as("bk"))
+          .select(col("doc_id"), col("bk.b").as("b"), col("bk.k").as("k"))
+        DedupQueries.bandCandidates(bands0, DedupQueries.BandBucketCap)
+          .join(h.select(col("doc_id").as("doc_a"), col("h").as("ha")), "doc_a")
+          .join(h.select(col("doc_id").as("doc_b"), col("h").as("hb")), "doc_b")
+          .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+          .filter(col("hamming") <= 6)
+          .select(col("doc_a"), col("doc_b"), col("hamming"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""WITH b0 AS (SELECT doc_id, trim(text) AS body FROM documents
+             |  WHERE length(trim(text)) >= 2),
+             |p AS (SELECT doc_id, list_transform(generate_series(0, 63), i ->
+             |    ascii(substr(body, CAST(1 + (i::BIGINT * (length(body) - 1)) // 63 AS INT), 1))) AS pix
+             |  FROM b0),
+             |h AS (SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 55), i ->
+             |    CASE WHEN pix[(i // 7) * 8 + (i % 7) + 1] > pix[(i // 7) * 8 + (i % 7) + 2]
+             |    THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS h
+             |  FROM p),
+             |bands_all AS (SELECT doc_id, b, (h >> (14 * b)) & 16383 AS k
+             |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bb),
+             |bsz AS (SELECT b, k, COUNT(*) AS bs, MIN(doc_id) AS rep
+             |  FROM bands_all GROUP BY b, k),
+             |bands AS (SELECT a.doc_id, a.b, a.k FROM bands_all a
+             |  JOIN bsz s ON a.b = s.b AND a.k = s.k AND s.bs <= ${DedupQueries.BandBucketCap}),
+             |star AS (SELECT s.rep AS doc_a, a.doc_id AS doc_b FROM bands_all a
+             |  JOIN bsz s ON a.b = s.b AND a.k = s.k AND s.bs > ${DedupQueries.BandBucketCap}
+             |  WHERE a.doc_id <> s.rep),
+             |pairs AS (SELECT DISTINCT doc_a, doc_b FROM (
+             |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b FROM bands x JOIN bands y
+             |    ON x.b = y.b AND x.k = y.k AND x.doc_id < y.doc_id
+             |  UNION ALL SELECT doc_a, doc_b FROM star) u)
+             |SELECT p.doc_a, p.doc_b, bit_count(xor(a.h, b.h)) AS hamming
+             |FROM pairs p JOIN h a ON p.doc_a = a.doc_id JOIN h b ON p.doc_b = b.doc_id
+             |WHERE bit_count(xor(a.h, b.h)) <= 6 ORDER BY doc_a, doc_b""".stripMargin)
     )
   )
 }

@@ -546,6 +546,74 @@ object TextQueries {
              |  floor(lang_tokens / CAST(SUM(lang_tokens) OVER () AS BIGINT) * 1e6 + 0.5) / 1e6 AS actual_share,
              |  floor((1.0 / COUNT(*) OVER ()) / (lang_tokens / CAST(SUM(lang_tokens) OVER () AS BIGINT)) * 1e6 + 0.5) / 1e6 AS weight
              |FROM g ORDER BY lang""".stripMargin)
+    ),
+
+    // ----- unigram-LM cross-entropy: the perplexity-proxy quality filter ----
+    // The classic LM-based quality signal (KenLM-style filtering) reduced
+    // to a corpus-trained unigram model: per-token cost = ln(total/count)
+    // in fixed-point micro-nats, per-doc score = mean cost. Integer
+    // fixed-point (floor to BIGINT before the sum) keeps the doc sum an
+    // exact integer, so Spark's partition-order-dependent double summation
+    // never diverges from DuckDB's.
+    "txt_perplexity" -> QuerySpec(
+      (s, d) => perplexityFor(s, d, HotVocab),
+      Some(s"""WITH toks AS (SELECT doc_id, ${tokensD("text")} AS t FROM documents),
+             |tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+             |cnt AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+             |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM cnt),
+             |cost AS (SELECT w, CAST(floor(ln(CAST(total AS DOUBLE) / c) * 1e6) AS BIGINT) AS cm
+             |  FROM cnt CROSS JOIN tot)
+             |SELECT t.doc_id, COUNT(*) AS n_tok,
+             |  CAST(SUM(k.cm) AS BIGINT) // COUNT(*) AS xent_micro
+             |FROM tok t JOIN cost k USING (w)
+             |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin)
     )
   )
+
+  /** Hot-vocabulary size for [[perplexityFor]]'s skew-split token join:
+    * the top-K tokens by count broadcast (K bounds the broadcast build
+    * side); only the Zipf tail shuffle-joins. */
+  val HotVocab = 4096
+
+  /** txt_perplexity body, parameterized by the hot-vocab split size so
+    * `TextQueriesSpec` can force the tail path on the tiny test corpus.
+    *
+    * Scale design (100 TB): token->count lookup is THE canonical skewed
+    * join — a Zipfian vocabulary means a handful of stopwords own a large
+    * share of all token occurrences, so a plain shuffle join lands those
+    * keys on single reducers. The split sends the top-K head (tiny,
+    * bounded by K) as a broadcast hash join — no shuffle for most of the
+    * token mass — while the unbounded-cardinality-but-unskewed tail
+    * shuffle-joins normally. The two legs are disjoint by construction
+    * (anti-join on the head keys), and their union is exactly the plain
+    * join (`TextQueriesSpec` pins this).
+    */
+  private[analytics] def perplexityFor(
+      s: org.apache.spark.sql.SparkSession, d: String, hotK: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // (doc_id, token) occurrences: two consumers (vocab counts + the score
+    // join) — persist so tokenization runs once
+    val tok = graft.CacheTracker.track(
+      docs(s, d).select(col("doc_id"), explode(expr(tokensS("text"))).as("w"))
+        .persist(MEMORY_AND_DISK))
+    val cnt = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val tot = cnt.agg(sum(col("c")).as("total"))
+    // fixed-point per-token cost; three consumers (head topK, tail
+    // anti-join, and nothing else re-derives it) — persist
+    val cost = graft.CacheTracker.track(
+      cnt.crossJoin(broadcast(tot))
+        .select(col("w"), col("c"),
+          expr("cast(floor(ln(cast(total as double) / c) * 1e6) as bigint)").as("cm"))
+        .persist(MEMORY_AND_DISK))
+    val hot = cost.orderBy(col("c").desc, col("w").asc).limit(hotK)
+      .select(col("w"), col("cm"))
+    val cold = cost.join(hot.select(col("w")), Seq("w"), "left_anti")
+      .select(col("w"), col("cm"))
+    val scored = tok.join(broadcast(hot), Seq("w"))
+      .unionByName(tok.join(cold, Seq("w")))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("cm")).as("sc"))
+      .select(col("doc_id"), col("n_tok"), expr("sc div n_tok").as("xent_micro"))
+      .orderBy(col("doc_id"))
+  }
 }
