@@ -248,7 +248,11 @@ object EventQueries {
           .orderBy(col("ts"), col("event_id"))
         val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ev(s, d)
-          .withColumn("us", unix_micros(col("ts")))
+          // The driver's parquet carries `ts` as TIMESTAMP_NTZ (no zone);
+          // unix_micros only accepts TIMESTAMP. With the session timezone
+          // pinned to UTC the NTZ->TIMESTAMP cast is value-preserving and
+          // matches DuckDB's epoch_us over the same file.
+          .withColumn("us", unix_micros(col("ts").cast("timestamp")))
           .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
           .withColumn("new_session",
             when(col("gap_us").isNull || col("gap_us") > 1800L * 1000000L, 1L)
