@@ -14,7 +14,13 @@ import org.apache.spark.sql.functions._
   * neighborhood by structural importance rather than min-id).
   *
   * Scale design (100 TB):
-  *   - the edge list arrives from the LSH pipeline already skew-guarded
+  *   - the edge list is NOT re-derived per query: every query reads the
+  *     build-once [[graft.operators.DupGraph]] store (a two-column pruned
+  *     parquet scan; `GraphQueriesSpec` pins store ≡ recompute), so the
+  *     tokenize → minhash → band-join → verify pipeline — which dominates
+  *     any single graph query's cost and re-reads the whole corpus — runs
+  *     once per corpus, not once per query;
+  *   - the stored edges arrive from the LSH pipeline already skew-guarded
   *     (band-bucket cap + star emission), so no degenerate clique inflates
   *     these plans' inputs quadratically;
   *   - triangle counting orients each edge from its lower-(degree, id)
@@ -44,9 +50,16 @@ object GraphQueries {
   /** Synchronous power iterations (fixed — both engines unroll the same). */
   val PrIters = 8
 
-  /** Undirected near-dup edges (doc_a < doc_b), Jaccard-verified. */
-  private def edges(s: SparkSession, d: String): DataFrame =
-    DedupQueries.minhashPairs(s, d).select(col("doc_a"), col("doc_b"))
+  /** Undirected near-dup edges (doc_a < doc_b), Jaccard-verified — read
+    * from the persistent [[graft.operators.DupGraph]] store (built on first
+    * use per corpus), so each graph query's input is a 2-column parquet
+    * scan instead of the full LSH pipeline.
+    */
+  private def edges(s: SparkSession, d: String): DataFrame = {
+    val path = graft.operators.DupGraph.registryPath(s, d)
+    graft.operators.DupGraph.ensureBuilt(s, d, path)
+    graft.operators.DupGraph.edges(s, path).select(col("doc_a"), col("doc_b"))
+  }
 
   /** Oracle prefix: `v(doc_a, doc_b, j)` -> undirected edge list `e`. */
   private val OracleEdges =
@@ -87,8 +100,10 @@ object GraphQueries {
     // result set, quadratic wedge cost only in the oracle.
     "graph_triangles" -> QuerySpec(
       (s, d) => {
-        val e = graft.CacheTracker.track(edges(s, d)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        // e is a 2-column scan of the DupGraph store — cheap enough to read
+        // twice (degrees + the orientation join); persisting it would cost
+        // more than the second scan
+        val e = edges(s, d)
         val deg = graft.CacheTracker.track(degrees(e)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val withDeg = e
@@ -147,20 +162,33 @@ object GraphQueries {
         val e = edges(s, d)
         val deg = graft.CacheTracker.track(degrees(e)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        // adjacency persists PRE-PARTITIONED on the join key: every
+        // iteration joins adj on `src`, and an InMemoryRelation keeps its
+        // child's hash partitioning, so the (larger) adjacency side never
+        // re-shuffles — only the one-row-per-node rank state moves each
+        // round
         val adj = graft.CacheTracker.track(
           arcs(e).join(deg.withColumnRenamed("node", "src"), "src")
+            .repartition(col("src"))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-        val nRow = deg.agg(count(lit(1)).as("n"))
-        var ranks = deg.select(col("node"))
-          .crossJoin(broadcast(nRow))
-          .select(col("node"), expr(s"$Scale div n").as("r"))
-        for (_ <- 1 to PrIters) {
+        // node count as a driver scalar off the persisted degrees (one
+        // tiny action) — the previous per-iteration broadcast cross-join
+        // added a BroadcastExchange to all 8 unrolled stages
+        val n = deg.count()
+        var ranks = deg.select(col("node"), lit(Scale / n).as("r"))
+        for (i <- 1 to PrIters) {
           ranks = adj.join(ranks.withColumnRenamed("node", "src"), "src")
             .select(col("dst"), expr("r div degree").as("c"))
             .groupBy(col("dst")).agg(sum(col("c")).as("m"))
-            .crossJoin(broadcast(nRow))
             .select(col("dst").as("node"),
-              expr(s"$BaseMass div n + (85 * m) div 100").as("r"))
+              expr(s"${BaseMass / n} + (85 * m) div 100").as("r"))
+          // cut the unrolled lineage every 2 rounds: the cached plan
+          // substitutes an InMemoryRelation leaf, so the optimizer and
+          // scheduler see a bounded-depth tree instead of an 8-join chain
+          // (materialization stays lazy — one cascading action at the end)
+          if (i % 2 == 0 && i < PrIters)
+            ranks = graft.CacheTracker.track(ranks
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         }
         ranks.select(col("node"), col("r").as("rank_e12")).orderBy(col("node"))
       },
