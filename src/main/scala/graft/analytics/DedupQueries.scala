@@ -182,13 +182,10 @@ object DedupQueries {
     * groupBy otherwise.
     */
   private[analytics] def bandCandidates(bands0: DataFrame, cap: Int): DataFrame = {
-    val bstats = graft.CacheTracker.track(bands0.groupBy(col("b"), col("k"))
-      .agg(count(lit(1)).as("bs"), min(col("doc_id")).as("rep"))
-      .filter(col("bs") > cap)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val bands = bands0.join(bstats.select(col("b"), col("k")), Seq("b", "k"), "left_anti")
-    val star = bands0.join(bstats.select(col("b"), col("k"), col("rep")), Seq("b", "k"))
-      .filter(col("doc_id") =!= col("rep"))
+    val marked = markedBands(bands0, cap)
+    val bands = marked.filter(col("rep").isNull)
+      .select(col("doc_id"), col("b"), col("k"))
+    val star = marked.filter(col("rep").isNotNull && col("doc_id") =!= col("rep"))
       .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
     bands.as("x")
       .join(bands.as("y"),
@@ -199,20 +196,39 @@ object DedupQueries {
       .distinct()
   }
 
+  /** The band table with each membership marked by its bucket's over-cap
+    * representative (`rep` null = under-cap): ONE persisted relation serves
+    * the under-cap branch (both self-join sides) and the hot-bucket star,
+    * replacing the anti-join + stats-join pair that previously re-filtered
+    * the band table per consumer. The over-cap stats join and the stats
+    * aggregation hash-partition the SAME band table on (b, k), so Spark's
+    * exchange reuse runs that shuffle once — the skew-guard's whole cost is
+    * one band-table shuffle plus the (tiny) over-cap row join, regardless
+    * of how many branches consume the marking.
+    */
+  private def markedBands(bands0: DataFrame, cap: Int): DataFrame = {
+    val bstats = bands0.groupBy(col("b"), col("k"))
+      .agg(count(lit(1)).as("bs"), min(col("doc_id")).as("rep"))
+      .filter(col("bs") > cap)
+    graft.CacheTracker.track(
+      bands0.join(bstats.select(col("b"), col("k"), col("rep")), Seq("b", "k"), "left")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
   /** [[minhashPairsFrom]] when the 16-lane minhash signature is already
     * materialized (doc_id, hs, sig) — the incremental-index path, where the
     * stored corpus side must NOT re-run minhash16 over its shingles.
     */
   private[graft] def minhashPairsFromSig(sig: DataFrame): DataFrame = {
     val sh = sig
-    // persist: four consumers read the band table (bucket stats, both
-    // self-join sides, the hot-bucket star), and without it each re-derives
-    // minhash16 + the band explode from sh
-    val bands0 = graft.CacheTracker.track(sig.selectExpr("doc_id",
+    // NOT persisted: the only consumers are the bucket-stats aggregation
+    // and the marking join inside bandCandidates, which hash-partition
+    // this same relation on (b, k) — exchange reuse runs the explode +
+    // shuffle once, and the persisted artifact is the marked band table
+    val bands0 = sig.selectExpr("doc_id",
       s"explode(transform(sequence(0, ${Bands - 1}), b -> named_struct(" +
         s"'b', b, 'k', array_join(slice(sig, b * $RowsPerBand + 1, $RowsPerBand), '_')))) AS bk")
       .select(col("doc_id"), col("bk.b").as("b"), col("bk.k").as("k"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val pairs = bandCandidates(bands0, BandBucketCap)
     pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
@@ -237,16 +253,15 @@ object DedupQueries {
     * are still computed over the WHOLE union, exactly as from-scratch.
     */
   private[graft] def minhashPairsTouchingFromSig(sig: DataFrame, newIds: DataFrame): DataFrame = {
-    val bands0 = graft.CacheTracker.track(sig.selectExpr("doc_id",
+    val bands0 = sig.selectExpr("doc_id",
       s"explode(transform(sequence(0, ${Bands - 1}), b -> named_struct(" +
         s"'b', b, 'k', array_join(slice(sig, b * $RowsPerBand + 1, $RowsPerBand), '_')))) AS bk")
       .select(col("doc_id"), col("bk.b").as("b"), col("bk.k").as("k"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val bstats = graft.CacheTracker.track(bands0.groupBy(col("b"), col("k"))
-      .agg(count(lit(1)).as("bs"), min(col("doc_id")).as("rep"))
-      .filter(col("bs") > BandBucketCap)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val bands = bands0.join(bstats.select(col("b"), col("k")), Seq("b", "k"), "left_anti")
+    // one persisted marked band table (see markedBands) serves the
+    // under-cap branches and the star, as in the symmetric pipeline
+    val marked = markedBands(bands0, BandBucketCap)
+    val bands = marked.filter(col("rep").isNull)
+      .select(col("doc_id"), col("b"), col("k"))
     // the new-batch id set: steady-state small next to the corpus, so it
     // broadcasts — membership tests never shuffle the band table
     val nid = newIds.select(col("doc_id")).distinct()
@@ -263,8 +278,7 @@ object DedupQueries {
     // hot-bucket stars restricted to new-touching: a new member pairs with
     // the bucket's rep; a NEW rep pulls in the whole bucket (as the
     // symmetric run would — the rep is the min doc over stored ∪ new)
-    val star = bands0.join(bstats.select(col("b"), col("k"), col("rep")), Seq("b", "k"))
-      .filter(col("doc_id") =!= col("rep"))
+    val star = marked.filter(col("rep").isNotNull && col("doc_id") =!= col("rep"))
       .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
       .join(broadcast(nid.select(col("doc_id").as("doc_b"), lit(true).as("m_new"))),
         Seq("doc_b"), "left")
