@@ -180,8 +180,8 @@ object SimilarityQueries {
     * deployments use K=256 (one byte per code) — same shapes, bigger
     * constants.
     */
-  private val PqM = 4
-  private val PqK = 16
+  private[graft] val PqM = 4
+  private[graft] val PqK = 16
 
   /** 1..sd series for per-sublane list_transforms ([[PqM]]-way slices). */
   private val SubLaneSeries = "generate_series(1, (SELECT sd FROM sdim))"
@@ -214,6 +214,18 @@ object SimilarityQueries {
     * division, so ranking is engine-order independent.
     */
   private def pqCteD(nq: Int): String =
+    s"""${pqCodesCteD(nq)},
+       |sc AS (SELECT l.q_id, k.vec_id, CAST(SUM(l.pd) AS BIGINT) AS adot
+       |  FROM codes k JOIN lut l ON k.m = l.m AND k.cell = l.cell
+       |  WHERE k.vec_id <> l.q_id GROUP BY l.q_id, k.vec_id),
+       |pqr AS (SELECT q_id, vec_id, adot,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adot DESC, vec_id) AS rn FROM sc)""".stripMargin
+
+  /** The PQ chain through corpus `codes` and per-query `lut` — shared by
+    * the flat-ADC CTE above and the IVF-PQ composition (which restricts
+    * scoring to coarse-probed cells before ranking).
+    */
+  private def pqCodesCteD(nq: Int): String =
     s"""sdim AS (SELECT (SELECT d FROM dim) // $PqM AS sd),
        |ms AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
        |sub AS (SELECT vec_id, m,
@@ -232,19 +244,14 @@ object SimilarityQueries {
        |  WHERE arn = 1),
        |lut AS (SELECT s.vec_id AS q_id, s.m, c.cell,
        |    CAST(list_sum(list_transform($SubLaneSeries, j -> s.sqe[j] * c.ce[j])) AS BIGINT) AS pd
-       |  FROM sub s JOIN c2 c ON s.m = c.m WHERE s.vec_id < $nq),
-       |sc AS (SELECT l.q_id, k.vec_id, CAST(SUM(l.pd) AS BIGINT) AS adot
-       |  FROM codes k JOIN lut l ON k.m = l.m AND k.cell = l.cell
-       |  WHERE k.vec_id <> l.q_id GROUP BY l.q_id, k.vec_id),
-       |pqr AS (SELECT q_id, vec_id, adot,
-       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adot DESC, vec_id) AS rn FROM sc)""".stripMargin
+       |  FROM sub s JOIN c2 c ON s.m = c.m WHERE s.vec_id < $nq)""".stripMargin
 
   /** Assign every (vec_id, m) sub-vector to its nearest codebook centroid —
     * the [[IvfIndex]] argmin shape with the subspace id joined through:
     * map-side-combined min(struct), ties on cell, one pass for all
     * subspaces.
     */
-  private def pqAssign(v: org.apache.spark.sql.DataFrame,
+  private[graft] def pqAssign(v: org.apache.spark.sql.DataFrame,
       cent: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     v.join(broadcast(cent), Seq("m"))
       .withColumn("dist", expr("long_l2(sqe, ce)"))
@@ -260,18 +267,23 @@ object SimilarityQueries {
     * codebook needs a sample, never the corpus (at 100 TB you train on a
     * few million vectors and ENCODE everything).
     */
-  private def pqTrained(s: SparkSession, d: String)
-      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    graft.functions.VectorExpressions.register(s)
-    val n = Tables.spread(emb(s, d), "vec_id")
-      .select(col("vec_id"), expr(quantizeS("embedding")).as("qe"))
-    val sub = graft.CacheTracker.track(n
-      .select(col("vec_id"), explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("qe"))
+  /** Per-subspace slices (vec_id, m, sqe) of a quantized vector table
+    * (vec_id, qe) — the row shape the whole PQ family works in.
+    */
+  private[graft] def pqSubspaces(n: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    n.select(col("vec_id"), explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("qe"))
       .select(col("vec_id"), col("m"),
         expr(s"slice(qe, m * (size(qe) div $PqM) + 1, size(qe) div $PqM)").as("sqe"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Train the [[PqM]] codebooks ((m, cell, ce) — [[PqK]] centroids per
+    * subspace, two joint Lloyd rounds) over `sub`'s deterministic
+    * `vec_id % 4 = 0` quarter. Shared by the in-query pipeline and
+    * [[graft.operators.PqIndex.build]], so stored and recomputed codebooks
+    * are bit-identical by construction.
+    */
+  private[graft] def pqTrainCodebooks(sub: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val train = sub.filter(col("vec_id") % 4 === 0)
-    val ids0 = n.filter(col("vec_id") % 4 === 0)
+    val ids0 = train.filter(col("m") === 0)
       .select("vec_id").orderBy(col("vec_id")).limit(PqK)
     var cent = train.join(ids0, "vec_id")
       .withColumn("cell", (row_number().over(
@@ -289,31 +301,112 @@ object SimilarityQueries {
         .join(upd, Seq("m", "cell"), "left")
         .select(col("m"), col("cell"), coalesce(col("ce"), col("prev")).as("ce"))
     }
-    (sub, graft.CacheTracker.track(
-      cent.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
+    cent
   }
 
-  /** ADC (asymmetric distance computation) scores: encode the corpus as
-    * (vec_id, m, cell) codes, build each probe query's (m, cell) → partial
-    * dot lookup table against the FULL-PRECISION query sub-vectors, and sum
-    * the PqM lookups per (query, vector). The corpus side of the join
-    * carries only codes — at 100 TB the scan reads PqM small ints per
-    * vector and the broadcast LUT replaces every multiply with an add — and
-    * the groupBy partial-aggregates map-side, so Q×N×PqM never crosses a
-    * shuffle un-combined.
+  /** IVF-PQ probe, shared by sim_ivfpq_topk/recall: coarse cells are the
+    * per-label centroids (the sim_ivf_topk geometry), the PQ code store is
+    * partitioned by that coarse cell ([[graft.operators.PqIndex]] with
+    * `coarseCells`), and a probe (1) ranks cells per query against the
+    * broadcast centroid table, (2) partition-prunes the code scan to the
+    * probed cells' files — the collected cell ids reach the scan as
+    * literals, the IVF "inverted file" seek — and (3) ADC-scores only
+    * those cells' codes per query. Returns (q_id, vec_id, cell, adot, rn)
+    * ranked by approximate dot.
     */
-  private def pqScores(sub: org.apache.spark.sql.DataFrame,
-      cent: org.apache.spark.sql.DataFrame, nq: Int = 5): org.apache.spark.sql.DataFrame = {
-    val codes = pqAssign(sub, cent).select(col("vec_id"), col("m"), col("cell"))
-    val lut = sub.filter(col("vec_id") < nq)
-      .join(broadcast(cent), Seq("m"))
+  private def ivfpqRanked(s: SparkSession, d: String, nq: Int)
+      : org.apache.spark.sql.DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val idx = graft.operators.PqIndex.registryPath(s, d, "ivfpq-label")
+    graft.operators.PqIndex.ensure(s, idx) {
+      val n = Tables.spread(emb(s, d), "vec_id")
+        .select(col("vec_id"), col("label"), expr(quantizeS("embedding")).as("qe"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // per-label coarse centroids: posexplode + groupBy(label, dim) —
+      // map-side combined, no row holds a whole cell. Persisted WITH the
+      // index: probes read the stored coarse layer, so the steady-state
+      // query path never runs a full-corpus pass.
+      n.select(col("label"), posexplode(col("qe")).as(Seq("j", "v")))
+        .groupBy(col("label").as("c_id"), col("j"))
+        .agg(expr("cast(round(sum(v) / count(1)) as bigint)").as("cj"))
+        .groupBy(col("c_id"))
+        .agg(transform(array_sort(collect_list(struct(col("j"), col("cj")))),
+          x => x.getField("cj")).as("ce"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$idx/coarse")
+      // coarse assignment at build time: nearest label-centroid argmin
+      // (ties on c_id), the sim_ivf_topk shape
+      val centStored = s.read.parquet(s"$idx/coarse")
+      val assigned = n.crossJoin(broadcast(centStored))
+        .withColumn("dist", expr("long_l2(qe, ce)"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist"), col("c_id"))).as("m"))
+        .select(col("vec_id"), col("m.c_id").as("cell"))
+      graft.operators.PqIndex.build(emb(s, d), idx, Some(assigned))
+      n.unpersist(blocking = false)
+    }
+    val cent = s.read.parquet(s"$idx/coarse")
+    // the probe path reads ONLY the nq query vectors (scan-pushed filter)
+    // plus the stored coarse/codebook/code artifacts — no corpus pass
+    val q = Tables.spread(emb(s, d).filter(col("vec_id") < nq), "vec_id")
+      .select(col("vec_id"), expr(quantizeS("embedding")).as("qe"))
+    // probes: top-2 cells per query against the broadcast centroids
+    val wp = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("c_id"))
+    val probes = graft.CacheTracker.track(q
+      .select(col("vec_id").as("q_id"), col("qe"))
+      .crossJoin(broadcast(cent))
+      .withColumn("dist", expr("long_l2(qe, ce)"))
+      .withColumn("prn", row_number().over(wp))
+      .filter(col("prn") <= 2)
+      .select(col("q_id"), col("c_id").as("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // partition pruning: the probed cell union as scan literals
+    val cells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val codes = graft.operators.PqIndex.codes(s, idx)
+      .filter(col("cell").isin(cells.toSeq: _*))
+    val qsub = pqSubspaces(q)
+    val lut = qsub.join(broadcast(graft.operators.PqIndex.codebooks(s, idx)
+        .withColumnRenamed("cell", "code")), Seq("m"))
       .withColumn("pd", expr("long_dot(sqe, ce)"))
-      .select(col("vec_id").as("q_id"), col("m"), col("cell"), col("pd"))
-    codes.join(broadcast(lut), Seq("m", "cell"))
+      .select(col("vec_id").as("q_id"), col("m"), col("code"), col("pd"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adot").desc, col("vec_id"))
+    codes
+      .join(broadcast(probes), Seq("cell"))
+      .join(broadcast(lut), Seq("q_id", "m", "code"))
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("vec_id"))
-      .agg(sum(col("pd")).as("adot"))
+      .agg(sum(col("pd")).as("adot"), first(col("cell")).as("cell"))
+      .withColumn("rn", row_number().over(w))
   }
+
+  /** Oracle CTE chain for the IVF-PQ composition: label coarse centroids +
+    * assignment (the sim_ivf_topk CTEs), probe = top-2 cells per query,
+    * then the shared PQ codes/LUT chain with scoring restricted to
+    * probed-cell members, ranked as `ir`.
+    */
+  private def ivfpqCteD(nq: Int): String =
+    s"""cent AS (SELECT label AS c_id,
+       |    list_transform($LaneSeries, j -> CAST(round(
+       |      CAST(list_sum(list_transform(list(qe), v -> v[j])) AS BIGINT) / COUNT(*)) AS BIGINT)) AS ce
+       |  FROM q GROUP BY label),
+       |ad AS (SELECT n.vec_id, c.c_id, ${l2D("n.qe", "c.ce")} AS dist
+       |  FROM n CROSS JOIN cent c),
+       |assigned AS (SELECT vec_id, c_id AS cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c_id) AS arn FROM ad) z
+       |  WHERE arn = 1),
+       |qd AS (SELECT n.vec_id AS q_id, c.c_id, ${l2D("n.qe", "c.ce")} AS dist
+       |  FROM n CROSS JOIN cent c WHERE n.vec_id < $nq),
+       |probes AS (SELECT q_id, c_id AS cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist, c_id) AS prn FROM qd) z
+       |  WHERE prn <= 2),
+       |${pqCodesCteD(nq)},
+       |isc AS (SELECT l.q_id, k.vec_id, a.cell, CAST(SUM(l.pd) AS BIGINT) AS adot
+       |  FROM codes k JOIN lut l ON k.m = l.m AND k.cell = l.cell
+       |  JOIN assigned a ON a.vec_id = k.vec_id
+       |  JOIN probes p ON p.q_id = l.q_id AND p.cell = a.cell
+       |  WHERE k.vec_id <> l.q_id GROUP BY l.q_id, k.vec_id, a.cell),
+       |ir AS (SELECT q_id, vec_id, cell, adot,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adot DESC, vec_id) AS rn FROM isc)""".stripMargin
 
   // def, not val: oracle strings interpolate the resolved plane count, so
   // they must render on access (after query fns resolved it), never freeze
@@ -843,9 +936,21 @@ object SimilarityQueries {
     // sim_pq_recall quantifies what that approximation costs.
     "sim_pq_topk" -> QuerySpec(
       (s, d) => {
-        val (sub, cent) = pqTrained(s, d)
+        // train-once / probe-many: codebooks + corpus codes come from the
+        // persistent PqIndex (built on first use per corpus) — the timed
+        // query is the deployment-shape ADC probe, not codebook training.
+        // Store artifacts are bit-identical to the in-query pipeline
+        // (shared pqTrainCodebooks/pqAssign), so the oracle is unchanged.
+        graft.functions.VectorExpressions.register(s)
+        val idx = graft.operators.PqIndex.registryPath(s, d, "flat")
+        graft.operators.PqIndex.ensure(s, idx) {
+          graft.operators.PqIndex.build(emb(s, d), idx)
+        }
+        val queries = Tables.spread(emb(s, d), "vec_id")
+          .filter(col("vec_id") < 5)
+          .select(col("vec_id"), expr(quantizeS("embedding")).as("qe"))
         val w = Window.partitionBy(col("q_id")).orderBy(col("adot").desc, col("vec_id"))
-        pqScores(sub, cent)
+        graft.operators.PqIndex.adcScores(s, idx, queries)
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 5)
           .select(col("q_id"), col("vec_id"), col("adot").as("approx_dot"), col("rn"))
@@ -871,10 +976,17 @@ object SimilarityQueries {
     "sim_pq_recall" -> QuerySpec(
       (s, d) => {
         graft.functions.VectorExpressions.register(s)
-        val (sub, cent) = pqTrained(s, d)
+        val idx = graft.operators.PqIndex.registryPath(s, d, "flat")
+        graft.operators.PqIndex.ensure(s, idx) {
+          graft.operators.PqIndex.build(emb(s, d), idx)
+        }
+        val q20 = Tables.spread(emb(s, d), "vec_id")
+          .filter(col("vec_id") < 20)
+          .select(col("vec_id"), expr(quantizeS("embedding")).as("qe"))
         // two consumers (direct top-5 + shortlist) over Q×N tiny rows
-        val scores = graft.CacheTracker.track(pqScores(sub, cent, nq = 20)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val scores = graft.CacheTracker.track(
+          graft.operators.PqIndex.adcScores(s, idx, q20)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val w = Window.partitionBy(col("q_id")).orderBy(col("adot").desc, col("vec_id"))
         val ranked = scores.withColumn("rn", row_number().over(w))
         val pq5 = ranked.filter(col("rn") <= 5).select(col("q_id"), col("vec_id"))
@@ -935,6 +1047,98 @@ object SimilarityQueries {
              |  floor(COUNT(r.vec_id) / 5 * 1e6 + 0.5) / 1e6 AS recall_rr
              |FROM ex LEFT JOIN pq5 p ON ex.q_id = p.q_id AND ex.vec_id = p.vec_id
              |LEFT JOIN rr5 r ON ex.q_id = r.q_id AND ex.vec_id = r.vec_id
+             |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin)
+    ),
+
+    // ----- IVF-PQ: coarse cells prune IO, codes shrink what's read ----------
+    // THE composed large-scale ANN layout: the code store is partitioned by
+    // the coarse (label-centroid) cell, so a probe partition-prunes to the
+    // top-nProbe cells' files and then ADC-scores ONLY their codes — the
+    // scan reads ~nProbe/nCells of the index and PqM small ints per
+    // candidate instead of 64 floats. Both layers come from persistent
+    // artifacts (PqIndex stores the codebooks, the codes, and the coarse
+    // partition), so the timed query is pure probe: rank cells, prune,
+    // lookup, top-k. The oracle replays coarse assignment + full PQ chain
+    // and restricts scoring to probed cells — equal because scoring a
+    // restricted candidate set equals restricting full scores to that set.
+    "sim_ivfpq_topk" -> QuerySpec(
+      (s, d) => ivfpqRanked(s, d, nq = 5)
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("vec_id"), col("cell"),
+          col("adot").as("approx_dot"), col("rn"))
+        .orderBy(col("q_id"), col("rn")),
+      Some(s"""$OracleQ,
+             |${ivfpqCteD(5)}
+             |SELECT q_id, vec_id, cell, adot AS approx_dot, rn FROM ir
+             |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin)
+    ),
+
+    // ----- IVF-PQ recall@5: what the stacked approximation costs ------------
+    // Two approximations stack here (cell pruning can miss true neighbors
+    // in unprobed cells; ADC scores are quantized) — recall@5 vs the exact
+    // global top-5 measures both at once, and the 50-deep exact rerank
+    // (full-precision vectors for shortlist members only, never a corpus
+    // pass) shows how much of the ADC loss a rerank recovers.
+    "sim_ivfpq_recall" -> QuerySpec(
+      (s, d) => {
+        val ranked = graft.CacheTracker.track(ivfpqRanked(s, d, nq = 20)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val pq5 = ranked.filter(col("rn") <= 5).select(col("q_id"), col("vec_id"))
+        val n = graft.CacheTracker.track(Tables.spread(emb(s, d), "vec_id")
+          .select(col("vec_id"), expr(quantizeS("embedding")).as("qe"))
+          .withColumn("nrm", expr("long_dot(qe, qe)"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val queries = broadcast(n.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("qe").as("qa"), col("nrm").as("na")))
+        val wr = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("vec_id"))
+        val rr5 = ranked.filter(col("rn") <= 50)
+          .select(col("q_id"), col("vec_id"))
+          .join(n.select(col("vec_id"), col("qe"), col("nrm")), "vec_id")
+          .join(queries, "q_id")
+          .withColumn("c", expr("long_dot(qa, qe) / (sqrt(na) * sqrt(nrm))"))
+          .withColumn("rn2", row_number().over(wr))
+          .filter(col("rn2") <= 5)
+          .select(col("q_id"), col("vec_id"))
+        val we = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("vec_id"))
+        val exact = queries
+          .join(n.select(col("vec_id"), col("qe"), col("nrm")),
+            col("vec_id") =!= col("q_id"))
+          .withColumn("c", expr("long_dot(qa, qe) / (sqrt(na) * sqrt(nrm))"))
+          .withColumn("rn", row_number().over(we))
+          .filter(col("rn") <= 5)
+          .select(col("q_id"), col("vec_id"))
+        exact
+          .join(pq5.withColumn("hit", lit(1)), Seq("q_id", "vec_id"), "left")
+          .join(rr5.withColumn("hit_rr", lit(1)), Seq("q_id", "vec_id"), "left")
+          .groupBy(col("q_id"))
+          .agg(count(col("hit")).as("n_hits"), count(col("hit_rr")).as("n_hits_rr"))
+          .withColumn("recall", expr("floor(n_hits / 5 * 1e6 + 0.5) / 1e6"))
+          .withColumn("recall_rr", expr("floor(n_hits_rr / 5 * 1e6 + 0.5) / 1e6"))
+          .select(col("q_id"), col("n_hits"), col("recall"),
+            col("n_hits_rr"), col("recall_rr"))
+          .orderBy(col("q_id"))
+      },
+      Some(s"""$OracleQ,
+             |${ivfpqCteD(20)},
+             |ipq5 AS (SELECT q_id, vec_id FROM ir WHERE rn <= 5),
+             |ish50 AS (SELECT q_id, vec_id FROM ir WHERE rn <= 50),
+             |irr5 AS (SELECT q_id, vec_id FROM (
+             |  SELECT s.q_id, s.vec_id,
+             |    ROW_NUMBER() OVER (PARTITION BY s.q_id
+             |      ORDER BY ${dotD("qv.qe", "bv.qe")} / (sqrt(qv.nrm) * sqrt(bv.nrm)) DESC, s.vec_id) AS rn2
+             |  FROM ish50 s JOIN n bv ON s.vec_id = bv.vec_id
+             |  JOIN n qv ON s.q_id = qv.vec_id) z WHERE rn2 <= 5),
+             |ex AS (SELECT q_id, vec_id FROM (
+             |  SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+             |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+             |      ORDER BY ${dotD("a.qe", "b.qe")} / (sqrt(a.nrm) * sqrt(b.nrm)) DESC, b.vec_id) AS rn
+             |  FROM n a JOIN n b ON a.vec_id < 20 AND b.vec_id <> a.vec_id) z WHERE rn <= 5)
+             |SELECT ex.q_id, CAST(COUNT(p.vec_id) AS BIGINT) AS n_hits,
+             |  floor(COUNT(p.vec_id) / 5 * 1e6 + 0.5) / 1e6 AS recall,
+             |  CAST(COUNT(r.vec_id) AS BIGINT) AS n_hits_rr,
+             |  floor(COUNT(r.vec_id) / 5 * 1e6 + 0.5) / 1e6 AS recall_rr
+             |FROM ex LEFT JOIN ipq5 p ON ex.q_id = p.q_id AND ex.vec_id = p.vec_id
+             |LEFT JOIN irr5 r ON ex.q_id = r.q_id AND ex.vec_id = r.vec_id
              |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin)
     ),
 
