@@ -15,6 +15,30 @@ object MultimodalQueries {
 
   private def docs(s: SparkSession, d: String) = Tables.t(s, d, "documents")
 
+  /** Near-dup pairs from a 56-bit perceptual-hash table `h(doc_id, h)`:
+    * 4 × 14-bit banded LSH (complete for hamming ≤ 3 by pigeonhole) through
+    * the minhash family's capped band join + hot-bucket star
+    * ([[DedupQueries.bandCandidates]]), then the exact `bit_count` verify
+    * at hamming ≤ 6. Shared by the registry query (deterministic text
+    * stand-in hashes) and the real-binary path
+    * ([[graft.operators.Multimodal.phashImage]] hashes decoded luminance
+    * grids into the SAME packing — `MultimodalPhashSpec` drives actually
+    * perturbed PNGs through this exact pipeline).
+    */
+  private[graft] def phashPairsFromHashes(h: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val bands0 = h.select(col("doc_id"),
+      explode(expr("transform(sequence(0, 3), b -> " +
+        "named_struct('b', b, 'k', shiftright(h, 14 * b) & 16383))")).as("bk"))
+      .select(col("doc_id"), col("bk.b").as("b"), col("bk.k").as("k"))
+    DedupQueries.bandCandidates(bands0, DedupQueries.BandBucketCap)
+      .join(h.select(col("doc_id").as("doc_a"), col("h").as("ha")), "doc_a")
+      .join(h.select(col("doc_id").as("doc_b"), col("h").as("hb")), "doc_b")
+      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .filter(col("hamming") <= 6)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   val all: Map[String, QuerySpec] = Map(
 
     // ----- payload metadata: size, content hash, stub-decoded dimensions ----
@@ -105,16 +129,7 @@ object MultimodalQueries {
             "element_at(pix, cast((i div 7) * 8 + (i % 7) + 2 as int)), " +
             "shiftleft(cast(1 as bigint), i), cast(0 as bigint)))").as("h"))
           .persist(MEMORY_AND_DISK))
-        val bands0 = h.select(col("doc_id"),
-          explode(expr("transform(sequence(0, 3), b -> " +
-            "named_struct('b', b, 'k', shiftright(h, 14 * b) & 16383))")).as("bk"))
-          .select(col("doc_id"), col("bk.b").as("b"), col("bk.k").as("k"))
-        DedupQueries.bandCandidates(bands0, DedupQueries.BandBucketCap)
-          .join(h.select(col("doc_id").as("doc_a"), col("h").as("ha")), "doc_a")
-          .join(h.select(col("doc_id").as("doc_b"), col("h").as("hb")), "doc_b")
-          .withColumn("hamming", expr("bit_count(ha ^ hb)"))
-          .filter(col("hamming") <= 6)
-          .select(col("doc_a"), col("doc_b"), col("hamming"))
+        phashPairsFromHashes(h)
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some(s"""WITH b0 AS (SELECT doc_id, trim(text) AS body FROM documents

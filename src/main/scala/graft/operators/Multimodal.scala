@@ -164,6 +164,76 @@ object Multimodal {
       } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** 8×8 block-mean BT.601 luminance grid of a decoded image: each grid
+    * cell averages its pixel block (area pooling), so the grid — and the
+    * gradient signs hashed from it — is stable under resizing and under
+    * global brightness shifts (adding a constant preserves every adjacent
+    * comparison). This is the real-decode twin of `mm_phash_pairs`' text
+    * stand-in resample.
+    */
+  def luminanceGrid8(img: java.awt.image.BufferedImage): Array[Int] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val grid = new Array[Int](64)
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        // block [x0, x1) x [y0, y1), never empty for w, h >= 8; for tiny
+        // images the max() guard keeps at least one pixel per block
+        val x0 = gx * w / 8; val x1 = math.max((gx + 1) * w / 8, x0 + 1)
+        val y0 = gy * h / 8; val y1 = math.max((gy + 1) * h / 8, y0 + 1)
+        var sum = 0L
+        var n = 0L
+        var y = y0
+        while (y < y1 && y < h) {
+          var x = x0
+          while (x < x1 && x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+              114 * (rgb & 0xff)) / 1000
+            n += 1
+            x += 1
+          }
+          y += 1
+        }
+        grid(gy * 8 + gx) = if (n == 0) 0 else (sum / n).toInt
+        gx += 1
+      }
+      gy += 1
+    }
+    grid
+  }
+
+  /** 56-bit horizontal-gradient hash over an 8×8 grid — bit i is set iff
+    * pix[(i/7)*8 + i%7] > pix[(i/7)*8 + i%7 + 1]. The SAME packing as the
+    * mm_phash_pairs stand-in (8 rows × 7 adjacent comparisons), so hashes
+    * from real decoded images drop straight into the banded-LSH candidate
+    * pipeline.
+    */
+  def phash56(pix: Array[Int]): Long = {
+    require(pix.length == 64, s"need an 8x8 grid, got ${pix.length}")
+    var h = 0L
+    var i = 0
+    while (i < 56) {
+      val p = (i / 7) * 8 + (i % 7)
+      if (pix(p) > pix(p + 1)) h |= 1L << i
+      i += 1
+    }
+    h
+  }
+
+  /** Decode an image payload with the JDK codecs and hash its luminance
+    * grid — None when no codec accepts the bytes (callers fall back to the
+    * deterministic stand-in, keeping the pipeline total).
+    */
+  def phashImage(payload: Array[Byte]): Option[Long] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None else Some(phash56(luminanceGrid8(img)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   private def md5Hex(payload: Array[Byte]): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(payload).map("%02x".format(_)).mkString
