@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
-  private def quantized(emb: DataFrame): DataFrame = {
+  private[graft] def quantized(emb: DataFrame): DataFrame = {
     graft.functions.VectorExpressions.register(emb.sparkSession)
     graft.Tables.spread(emb, "vec_id")
       .select(col("vec_id"),
@@ -67,6 +67,21 @@ object IvfIndex {
   def build(emb: DataFrame, indexPath: String, nCells: Int = 16, iters: Int = 2): Unit = {
     val vecs = quantized(emb)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    trainCentroids(vecs, indexPath, nCells, iters)
+    val centLoaded = emb.sparkSession.read.parquet(s"$indexPath/centroids")
+    assign(vecs, centLoaded)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexPath/vectors")
+    vecs.unpersist(blocking = false)
+  }
+
+  /** The training half of [[build]]: Lloyd-iterate `nCells` centroids over
+    * an already-quantized vector table and write ONLY `centroids/` — the
+    * streaming-ingestion bootstrap, where the first micro-batch trains the
+    * coarse layer and every batch (including that first one) lands its
+    * vectors through the replay-idempotent [[appendBatch]].
+    */
+  def trainCentroids(vecs: DataFrame, indexPath: String,
+      nCells: Int = 16, iters: Int = 2): Unit = {
     // deterministic init: TakeOrderedAndProject keeps the nCells smallest
     // vec_ids; the row_number window then runs over nCells rows only
     var cent = vecs.orderBy(col("vec_id")).limit(nCells)
@@ -82,10 +97,12 @@ object IvfIndex {
         .select(col("cell"), coalesce(col("ce"), col("prev")).as("ce"))
     }
     cent.coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
-    val centLoaded = cent.sparkSession.read.parquet(s"$indexPath/centroids")
-    assign(vecs, centLoaded)
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexPath/vectors")
-    vecs.unpersist(blocking = false)
+  }
+
+  /** Whether the coarse layer exists (the streaming bootstrap probe). */
+  def centroidsExist(spark: SparkSession, indexPath: String): Boolean = {
+    val p = new Path(s"$indexPath/centroids/_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** Fold a new vector batch into an existing index WITHOUT retraining:
@@ -106,6 +123,27 @@ object IvfIndex {
     val cent = spark.read.parquet(s"$indexPath/centroids")
     assign(quantized(emb), cent)
       .write.mode(SaveMode.Append).partitionBy("cell").parquet(s"$indexPath/vectors")
+  }
+
+  /** [[append]] for at-least-once callers (streaming `foreachBatch`): the
+    * batch's vectors land under their own `batch_id=N` sub-partitions of
+    * each cell via dynamic partition overwrite, so a REPLAYED batch —
+    * frozen centroids make its assignment deterministic — rewrites exactly
+    * its own (cell, batch_id) partitions instead of double-inserting.
+    * Probes prune on the leading `cell` level exactly as with [[append]];
+    * an index driven through this method must use it for EVERY vector
+    * write including the bootstrap batch (mixed partition depths under one
+    * store would break partition discovery).
+    */
+  def appendBatch(emb: DataFrame, indexPath: String, batchId: Long): Unit = {
+    val spark = emb.sparkSession
+    val cent = spark.read.parquet(s"$indexPath/centroids")
+    assign(quantized(emb), cent)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell", "batch_id")
+      .parquet(s"$indexPath/vectors")
   }
 
   /** Which cell each of `emb`'s vectors lands in under the STORED

@@ -116,6 +116,57 @@ object EmbeddingStream {
         })
   }
 
+  /** Per-batch ingestion report — the stream metric surface of
+    * [[ingestContinuous]]: batch size plus the [[graft.operators.IvfIndex
+    * .cellStats]] drift signal (occupied cells and the hottest cell's
+    * corpus share). A rising `maxCellShare` means the frozen bootstrap
+    * centroids no longer fit the arriving distribution — rebuild time.
+    */
+  final case class IngestReport(
+      batchId: Long, nVectorsStored: Long, occupiedCells: Long, maxCellShare: Double)
+
+  /** Continuous embedding ingestion into a persistent [[graft.operators
+    * .IvfIndex]]: the FIRST micro-batch trains the coarse centroids
+    * (bootstrap — a deployment would train on a backfill sample; the
+    * stream freezes routing from then on), and EVERY batch lands through
+    * frozen-centroid [[graft.operators.IvfIndex.appendBatch]] — dynamic
+    * (cell, batch_id) partition overwrite, so foreachBatch's at-least-once
+    * replays rewrite exactly their own partitions and the store stays
+    * exactly-once. Appended vectors are probe-visible immediately (same
+    * centroids they'd have had at build time). After each batch the cell-
+    * occupancy drift report goes to `onBatch` — wire it to a metrics gauge
+    * or alert; the default drops it.
+    */
+  def ingestContinuous(
+      vecs: Dataset[VecEvent],
+      indexPath: String,
+      checkpointDir: String,
+      nCells: Int = 16,
+      onBatch: IngestReport => Unit = _ => ()): org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[VecEvent], batchId: Long) =>
+        onBatch(ingestBatch(batch.toDF(), batchId, indexPath, nCells))
+      }
+      .start()
+
+  /** The per-micro-batch body of [[ingestContinuous]] — exposed so replay
+    * idempotence and probe visibility are directly testable without a
+    * running query.
+    */
+  def ingestBatch(batch: DataFrame, batchId: Long, indexPath: String,
+      nCells: Int = 16): IngestReport = {
+    import graft.operators.IvfIndex
+    val spark = batch.sparkSession
+    val emb = batch.select(col("vecId").as("vec_id"), col("embedding"))
+    if (!IvfIndex.centroidsExist(spark, indexPath))
+      IvfIndex.trainCentroids(IvfIndex.quantized(emb), indexPath, nCells)
+    IvfIndex.appendBatch(emb, indexPath, batchId)
+    val stats = IvfIndex.cellStats(spark, indexPath)
+      .agg(count(lit(1)), sum(col("n")), max(col("share"))).first()
+    IngestReport(batchId, stats.getLong(1), stats.getLong(0), stats.getDouble(2))
+  }
+
   /** Event-time windowed embedding-fleet health: vectors per window and
     * mean/min quantized norm — the drift signal an encoding fleet is
     * monitored by (a norm collapse means the encoder degenerated).
