@@ -554,7 +554,12 @@ object TextQueries {
     // in fixed-point micro-nats, per-doc score = mean cost. Integer
     // fixed-point (floor to BIGINT before the sum) keeps the doc sum an
     // exact integer, so Spark's partition-order-dependent double summation
-    // never diverges from DuckDB's.
+    // never diverges from DuckDB's. Residual cross-engine risk: the ln
+    // itself is libm — JVM Math.log and DuckDB's log are both
+    // faithfully-rounded but not guaranteed IDENTICALLY rounded, so a
+    // cost within ~1 ulp of an integer micro-nat boundary could floor
+    // apart by 1. Not observed on the gate corpora; if it ever trips, the
+    // fix is a tolerance on xent_micro, not a different fixed point.
     "txt_perplexity" -> QuerySpec(
       (s, d) => perplexityFor(s, d, HotVocab),
       Some(s"""WITH toks AS (SELECT doc_id, ${tokensD("text")} AS t FROM documents),
@@ -588,7 +593,7 @@ object TextQueries {
     * (anti-join on the head keys), and their union is exactly the plain
     * join (`TextQueriesSpec` pins this).
     */
-  private[analytics] def perplexityFor(
+  private[graft] def perplexityFor(
       s: org.apache.spark.sql.SparkSession, d: String, hotK: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // (doc_id, token) occurrences: two consumers (vocab counts + the score
