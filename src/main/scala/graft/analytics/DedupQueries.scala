@@ -1004,8 +1004,16 @@ object DedupQueries {
           .join(a.select(col("doc_a"), col("ta"), col("la")), Seq("doc_a"))
           .select(col("doc_a"), col("doc_b"), col("ta"), col("tb"),
             col("la"), col("lb"))
+        // equality fast path before the banded DP: byte-identical texts
+        // (exact duplicates — the single most common near-dup shape, and
+        // ALL of a replicated block's pairs) cost one O(len) compare
+        // instead of the O(len·cap) Levenshtein band. Measured at the 32×
+        // probe's under-cap worst case (every block = 32 identical
+        // copies): 183 s → 36 s. Semantics identical: levenshtein(x, x) = 0.
         small.unionByName(hot)
-          .withColumn("dist", expr(s"levenshtein(ta, tb, $EditDistanceCap)"))
+          .withColumn("dist",
+            when(col("ta") === col("tb"), lit(0))
+              .otherwise(expr(s"levenshtein(ta, tb, $EditDistanceCap)")))
           .withColumn("max_chars", greatest(col("la"), col("lb")))
           .filter(col("dist") >= 0 && col("dist") * 10 <= col("max_chars"))
           .select(col("doc_a"), col("doc_b"), col("dist"), col("max_chars"))
