@@ -66,6 +66,51 @@ object DupGraph {
   def edges(spark: SparkSession, indexPath: String): DataFrame =
     spark.read.parquet(edgeDir(indexPath))
 
+  /** [[build]] plus a co-located [[MinHashIndex]] signature store, enabling
+    * incremental maintenance: a graph that took a full-corpus LSH pipeline
+    * to build should FOLD each arriving batch in ([[append]]), not rebuild.
+    * Layout: `indexPath/sig/…` (signatures), `indexPath/edges/…`.
+    */
+  def buildFrom(docs: DataFrame, indexPath: String): Unit = {
+    val spark = docs.sparkSession
+    graft.functions.VectorExpressions.register(spark)
+    MinHashIndex.build(docs, s"$indexPath/sig")
+    graft.analytics.DedupQueries.minhashPairsFromSig(
+        MinHashIndex.signatures(spark, s"$indexPath/sig")
+          .select(col("doc_id"), col("hs"), col("sig")))
+      .select(col("doc_a"), col("doc_b"), col("j"))
+      .write.mode(SaveMode.Overwrite).parquet(edgeDir(indexPath))
+    graft.CacheTracker.releaseAll()
+  }
+
+  /** Fold a new document batch into a [[buildFrom]] store: the asymmetric
+    * incremental pipeline ([[MinHashIndex.newPairs]] — new-side band
+    * memberships against (stored ∪ new) buckets, stored-stored candidates
+    * never generated) yields the batch's verified new-touching pairs,
+    * which append to the edge log; the batch's signatures then fold into
+    * the index so the NEXT batch dedups against this one too.
+    *
+    * Semantics: the store is an append-only edge LOG — the union of each
+    * batch's sightings under the bucket statistics in force when it
+    * arrived. While every bucket stays under the cap this equals a
+    * from-scratch rebuild exactly (`GraphQueriesSpec` pins it); once a
+    * bucket crosses the cap, a rebuild would retroactively re-shape that
+    * bucket's OLD pairs into a star, whereas the log keeps the richer
+    * already-verified pairs and adds the new star sightings — connected
+    * components and dedup decisions only ever gain edges, never lose
+    * verified ones, which is the property an incremental curation pipeline
+    * needs (earlier dedup decisions must not silently un-happen).
+    */
+  def append(newDocs: DataFrame, indexPath: String): Unit = {
+    val spark = newDocs.sparkSession
+    graft.functions.VectorExpressions.register(spark)
+    MinHashIndex.newPairs(newDocs, s"$indexPath/sig")
+      .select(col("doc_a"), col("doc_b"), col("j"))
+      .write.mode(SaveMode.Append).parquet(edgeDir(indexPath))
+    MinHashIndex.append(newDocs, s"$indexPath/sig")
+    graft.CacheTracker.releaseAll()
+  }
+
   /** Deterministic per-corpus store location for registry queries: keyed by
     * the documents table's (length, mtime) fingerprint + [[FormatVersion]],
     * so a regenerated corpus or a changed edge scheme gets a fresh build

@@ -52,6 +52,36 @@ class GraphQueriesSpec extends AnyFunSuite {
     assert(after === before, "a completed store must not be rebuilt")
   }
 
+  test("incremental append equals rebuild while buckets stay under cap") {
+    val d = "/root/testdata/sf0.001"
+    val docs = Tables.t(spark, d, "documents").select("doc_id", "text")
+    val incPath = java.nio.file.Files
+      .createTempDirectory("graft-dupgraph-inc").toString
+    val fullPath = java.nio.file.Files
+      .createTempDirectory("graft-dupgraph-full").toString
+    def edgeSet(p: String) = DupGraph.edges(spark, p)
+      .select(col("doc_a"), col("doc_b"),
+        expr("floor(j * 1e6 + 0.5) / 1e6").as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // build on 90%, fold the 10% batch in
+    DupGraph.buildFrom(docs.filter(col("doc_id") % 10 =!= 0), incPath)
+    DupGraph.append(docs.filter(col("doc_id") % 10 === 0), incPath)
+    // rebuild from scratch over the full corpus
+    DupGraph.buildFrom(docs, fullPath)
+    val inc = edgeSet(incPath)
+    val full = edgeSet(fullPath)
+    assert(full.nonEmpty)
+    assert(inc === full)
+    // a second append round keeps folding (next batch sees the first)
+    val incDeg = DupGraph.edges(spark, incPath)
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("n"))
+      .groupBy("n").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fullDeg = DupGraph.edges(spark, fullPath)
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("n"))
+      .groupBy("n").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(incDeg === fullDeg)
+  }
+
   /** Naive triangle count: enumerate a<b<c directly over the edge set. */
   private def naiveTriangles(edges: Set[(Long, Long)]): Map[Long, Long] = {
     val es = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
