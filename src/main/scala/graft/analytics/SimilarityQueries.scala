@@ -408,6 +408,135 @@ object SimilarityQueries {
        |ir AS (SELECT q_id, vec_id, cell, adot,
        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adot DESC, vec_id) AS rn FROM isc)""".stripMargin
 
+  /** Residual IVF-PQ probe, shared by sim_ivfpq_residual_topk/recall — the
+    * composition a production ANN index actually ships: coarse cells are
+    * Lloyd-TRAINED (the [[graft.operators.IvfIndex]] arithmetic, not a
+    * label stand-in), and the PQ codebooks encode RESIDUALS (vector −
+    * its cell centroid) — residuals carry far less variance than raw
+    * vectors, so the same PqM×PqK code budget quantizes finer. Scoring is
+    * L2-ADC: per probed cell the query's residual sub-vectors build a
+    * (m, code) → sub-lane-L2 lookup table, a candidate's approximate
+    * distance is the sum of PqM lookups, and ranking ascends — the
+    * quantity approximated is exactly ‖q − v̂‖². The code store stays
+    * cell-partitioned (file-level pruning); the per-cell query LUTs are
+    * queries × nProbe × PqM × PqK rows — broadcast-sized by construction.
+    */
+  private def ivfpqResidualRanked(s: SparkSession, d: String, nq: Int)
+      : org.apache.spark.sql.DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val idx = graft.operators.PqIndex.registryPath(s, d, "ivfpq-residual")
+    graft.operators.PqIndex.ensure(s, idx) {
+      val q = graft.operators.IvfIndex.quantized(emb(s, d))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.operators.IvfIndex.trainCentroids(q, idx, nCells = 16, iters = 2)
+      val cent = s.read.parquet(s"$idx/centroids")
+      val assigned = q.crossJoin(broadcast(cent))
+        .withColumn("dist", expr("long_l2(qe, ce)"))
+        .groupBy(col("vec_id"))
+        .agg(first(col("qe")).as("qe"), min(struct(col("dist"), col("cell"))).as("m"))
+        .select(col("vec_id"), col("qe"), col("m.cell").as("cell"))
+      val residuals = assigned.join(broadcast(cent), "cell")
+        .select(col("vec_id"), col("cell"),
+          expr("zip_with(qe, ce, (a, b) -> a - b)").as("qe"))
+      graft.operators.PqIndex.buildFromQuantized(
+        residuals.select(col("vec_id"), col("qe")), idx,
+        Some(residuals.select(col("vec_id"), col("cell"))))
+      q.unpersist(blocking = false)
+    }
+    val cent = s.read.parquet(s"$idx/centroids")
+    // steady-state probe path: nq query vectors + stored artifacts only
+    val q = Tables.spread(emb(s, d).filter(col("vec_id") < nq), "vec_id")
+      .select(col("vec_id").as("q_id"), expr(quantizeS("embedding")).as("qe"))
+    val wp = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("cell"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("dist", expr("long_l2(qe, ce)"))
+      .withColumn("prn", row_number().over(wp))
+      .filter(col("prn") <= 2)
+      // per probed cell the query re-centers: its residual vs THAT cell
+      .select(col("q_id"), col("cell"),
+        expr("zip_with(qe, ce, (a, b) -> a - b)").as("re"))
+    val cells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val codes = graft.operators.PqIndex.codes(s, idx)
+      .filter(col("cell").isin(cells.toSeq: _*))
+    // (q_id, cell, m, sqe) residual sub-slices — pqSubspaces keyed by more
+    // than vec_id, so inline the same explode keeping the cell
+    val qsub = probes
+      .select(col("q_id"), col("cell"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("re"))
+      .select(col("q_id"), col("cell"), col("m"),
+        expr(s"slice(re, m * (size(re) div $PqM) + 1, size(re) div $PqM)").as("sqe"))
+    val lut = qsub.join(broadcast(graft.operators.PqIndex.codebooks(s, idx)
+        .withColumnRenamed("cell", "code")), Seq("m"))
+      .withColumn("pd", expr("long_l2(sqe, ce)"))
+      .select(col("q_id"), col("cell"), col("m"), col("code"), col("pd"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adist").asc, col("vec_id"))
+    codes
+      .join(broadcast(lut), Seq("cell", "m", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("pd")).as("adist"), first(col("cell")).as("cell"))
+      .withColumn("rn", row_number().over(w))
+  }
+
+  /** Oracle CTE chain for residual IVF-PQ: full-corpus Lloyd coarse
+    * centroids (`old`/c0..c2, the sim_ivf_incremental unroll), residual
+    * computation, residual-trained PQ codebooks (pc0..pc2 via the shared
+    * joint round), per-(query, probed-cell) residual LUTs, and ascending
+    * approximate-L2 ranking as `ir`.
+    */
+  private def ivfpqResidualCteD(nq: Int): String =
+    s"""old AS (SELECT vec_id, qe FROM n),
+       |c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, qe AS ce
+       |  FROM (SELECT vec_id, qe FROM old ORDER BY vec_id LIMIT 16) z),
+       |${lloydRoundD(1, "c0", "c1")},
+       |${lloydRoundD(2, "c1", "c2")},
+       |ad AS (SELECT n.vec_id, n.qe, c.cell, ${l2D("n.qe", "c.ce")} AS dist
+       |  FROM n CROSS JOIN c2 c),
+       |assigned AS (SELECT vec_id, qe, cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS arn FROM ad) z
+       |  WHERE arn = 1),
+       |rsd AS (SELECT a.vec_id, a.cell,
+       |    list_transform($LaneSeries, j -> a.qe[j] - c.ce[j]) AS re
+       |  FROM assigned a JOIN c2 c ON a.cell = c.cell),
+       |sdim AS (SELECT (SELECT d FROM dim) // $PqM AS sd),
+       |ms AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
+       |sub AS (SELECT vec_id, m,
+       |    list_slice(re, m * (SELECT sd FROM sdim) + 1, (m + 1) * (SELECT sd FROM sdim)) AS sqe
+       |  FROM rsd CROSS JOIN ms),
+       |train AS (SELECT * FROM sub WHERE vec_id % 4 = 0),
+       |ids0 AS (SELECT vec_id FROM rsd WHERE vec_id % 4 = 0 ORDER BY vec_id LIMIT $PqK),
+       |pc0 AS (SELECT t.m, CAST(ROW_NUMBER() OVER (PARTITION BY t.m ORDER BY t.vec_id) - 1 AS INT) AS cell, t.sqe AS ce
+       |  FROM train t JOIN ids0 i ON t.vec_id = i.vec_id),
+       |${pqRoundD(1, "pc0", "pc1")},
+       |${pqRoundD(2, "pc1", "pc2")},
+       |ca AS (SELECT s.vec_id, s.m, c.cell, ${l2SubD("s.sqe", "c.ce")} AS dist
+       |  FROM sub s JOIN pc2 c ON s.m = c.m),
+       |codes AS (SELECT vec_id, m, cell AS code FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, cell) AS arn FROM ca) z
+       |  WHERE arn = 1),
+       |qd AS (SELECT n.vec_id AS q_id, c.cell, ${l2D("n.qe", "c.ce")} AS dist
+       |  FROM n CROSS JOIN c2 c WHERE n.vec_id < $nq),
+       |probes AS (SELECT q_id, cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist, cell) AS prn FROM qd) z
+       |  WHERE prn <= 2),
+       |qres AS (SELECT p.q_id, p.cell,
+       |    list_transform($LaneSeries, j -> v.qe[j] - c.ce[j]) AS re
+       |  FROM probes p JOIN n v ON v.vec_id = p.q_id JOIN c2 c ON c.cell = p.cell),
+       |qsub AS (SELECT q_id, cell, m,
+       |    list_slice(re, m * (SELECT sd FROM sdim) + 1, (m + 1) * (SELECT sd FROM sdim)) AS sqe
+       |  FROM qres CROSS JOIN ms),
+       |lut AS (SELECT q.q_id, q.cell, q.m, c.cell AS code, ${l2SubD("q.sqe", "c.ce")} AS pd
+       |  FROM qsub q JOIN pc2 c ON q.m = c.m),
+       |isc AS (SELECT l.q_id, k.vec_id, a.cell, CAST(SUM(l.pd) AS BIGINT) AS adist
+       |  FROM codes k
+       |  JOIN assigned a ON a.vec_id = k.vec_id
+       |  JOIN lut l ON l.m = k.m AND l.code = k.code AND l.cell = a.cell
+       |  WHERE k.vec_id <> l.q_id
+       |  GROUP BY l.q_id, k.vec_id, a.cell),
+       |ir AS (SELECT q_id, vec_id, cell, adist,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist ASC, vec_id) AS rn FROM isc)""".stripMargin
+
   // def, not val: oracle strings interpolate the resolved plane count, so
   // they must render on access (after query fns resolved it), never freeze
   // at object init
@@ -1139,6 +1268,91 @@ object SimilarityQueries {
              |  floor(COUNT(r.vec_id) / 5 * 1e6 + 0.5) / 1e6 AS recall_rr
              |FROM ex LEFT JOIN ipq5 p ON ex.q_id = p.q_id AND ex.vec_id = p.vec_id
              |LEFT JOIN irr5 r ON ex.q_id = r.q_id AND ex.vec_id = r.vec_id
+             |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin)
+    ),
+
+    // ----- residual IVF-PQ: the production ANN composition ------------------
+    // Lloyd-trained coarse cells (no label stand-in) + PQ codebooks over
+    // RESIDUALS (vector − cell centroid) + per-probed-cell L2-ADC. The
+    // residual trick is why real IVF-PQ indexes (FAISS's IndexIVFPQ shape)
+    // beat flat PQ at equal code budget: residual variance is a fraction
+    // of raw variance, so each sub-codebook quantizes a tighter cloud.
+    // Ranking ascends on approximate ‖q − v̂‖² — both the candidate set
+    // (probed cells) and the score come from stored artifacts.
+    "sim_ivfpq_residual_topk" -> QuerySpec(
+      (s, d) => ivfpqResidualRanked(s, d, nq = 5)
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("vec_id"), col("cell"),
+          col("adist").as("approx_l2"), col("rn"))
+        .orderBy(col("q_id"), col("rn")),
+      Some(s"""$OracleQ,
+             |${ivfpqResidualCteD(5)}
+             |SELECT q_id, vec_id, cell, adist AS approx_l2, rn FROM ir
+             |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin)
+    ),
+
+    // ----- residual IVF-PQ recall@5 vs exact-L2 ground truth ----------------
+    // The metric matches the index (nearest-by-L2); recall measures cell
+    // misses + quantization loss together, and the 50-deep exact rerank
+    // (full vectors for shortlist members only) shows the recoverable part.
+    "sim_ivfpq_residual_recall" -> QuerySpec(
+      (s, d) => {
+        val ranked = graft.CacheTracker.track(ivfpqResidualRanked(s, d, nq = 20)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val pq5 = ranked.filter(col("rn") <= 5).select(col("q_id"), col("vec_id"))
+        val n = graft.CacheTracker.track(Tables.spread(emb(s, d), "vec_id")
+          .select(col("vec_id"), expr(quantizeS("embedding")).as("qe"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val queries = broadcast(n.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("qe").as("qa")))
+        val wr = Window.partitionBy(col("q_id")).orderBy(col("dist").asc, col("vec_id"))
+        val rr5 = ranked.filter(col("rn") <= 50)
+          .select(col("q_id"), col("vec_id"))
+          .join(n, "vec_id")
+          .join(queries, "q_id")
+          .withColumn("dist", expr("long_l2(qa, qe)"))
+          .withColumn("rn2", row_number().over(wr))
+          .filter(col("rn2") <= 5)
+          .select(col("q_id"), col("vec_id"))
+        val we = Window.partitionBy(col("q_id")).orderBy(col("dist").asc, col("vec_id"))
+        val exact = queries
+          .join(n, col("vec_id") =!= col("q_id"))
+          .withColumn("dist", expr("long_l2(qa, qe)"))
+          .withColumn("rn", row_number().over(we))
+          .filter(col("rn") <= 5)
+          .select(col("q_id"), col("vec_id"))
+        exact
+          .join(pq5.withColumn("hit", lit(1)), Seq("q_id", "vec_id"), "left")
+          .join(rr5.withColumn("hit_rr", lit(1)), Seq("q_id", "vec_id"), "left")
+          .groupBy(col("q_id"))
+          .agg(count(col("hit")).as("n_hits"), count(col("hit_rr")).as("n_hits_rr"))
+          .withColumn("recall", expr("floor(n_hits / 5 * 1e6 + 0.5) / 1e6"))
+          .withColumn("recall_rr", expr("floor(n_hits_rr / 5 * 1e6 + 0.5) / 1e6"))
+          .select(col("q_id"), col("n_hits"), col("recall"),
+            col("n_hits_rr"), col("recall_rr"))
+          .orderBy(col("q_id"))
+      },
+      Some(s"""$OracleQ,
+             |${ivfpqResidualCteD(20)},
+             |rpq5 AS (SELECT q_id, vec_id FROM ir WHERE rn <= 5),
+             |rsh50 AS (SELECT q_id, vec_id FROM ir WHERE rn <= 50),
+             |rrr5 AS (SELECT q_id, vec_id FROM (
+             |  SELECT s.q_id, s.vec_id,
+             |    ROW_NUMBER() OVER (PARTITION BY s.q_id
+             |      ORDER BY ${l2D("qv.qe", "bv.qe")} ASC, s.vec_id) AS rn2
+             |  FROM rsh50 s JOIN n bv ON s.vec_id = bv.vec_id
+             |  JOIN n qv ON s.q_id = qv.vec_id) z WHERE rn2 <= 5),
+             |ex AS (SELECT q_id, vec_id FROM (
+             |  SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+             |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+             |      ORDER BY ${l2D("a.qe", "b.qe")} ASC, b.vec_id) AS rn
+             |  FROM n a JOIN n b ON a.vec_id < 20 AND b.vec_id <> a.vec_id) z WHERE rn <= 5)
+             |SELECT ex.q_id, CAST(COUNT(p.vec_id) AS BIGINT) AS n_hits,
+             |  floor(COUNT(p.vec_id) / 5 * 1e6 + 0.5) / 1e6 AS recall,
+             |  CAST(COUNT(r.vec_id) AS BIGINT) AS n_hits_rr,
+             |  floor(COUNT(r.vec_id) / 5 * 1e6 + 0.5) / 1e6 AS recall_rr
+             |FROM ex LEFT JOIN rpq5 p ON ex.q_id = p.q_id AND ex.vec_id = p.vec_id
+             |LEFT JOIN rrr5 r ON ex.q_id = r.q_id AND ex.vec_id = r.vec_id
              |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin)
     ),
 

@@ -63,9 +63,19 @@ object PqIndex {
     * store by that coarse assignment (the IVF-PQ layout).
     */
   def build(emb: DataFrame, indexPath: String,
+      coarseCells: Option[DataFrame] = None): Unit =
+    buildFromQuantized(quantized(emb), indexPath, coarseCells)
+
+  /** [[build]] over an already-quantized vector table (vec_id, qe) — the
+    * residual-encoding path, where the caller subtracts each vector's
+    * coarse centroid before encoding (classic IVF-PQ: residuals have far
+    * less variance than raw vectors, so the same codebook budget buys a
+    * finer quantization).
+    */
+  def buildFromQuantized(vecs: DataFrame, indexPath: String,
       coarseCells: Option[DataFrame] = None): Unit = {
-    val spark = emb.sparkSession
-    val sub = quantized(emb).transform(graft.analytics.SimilarityQueries.pqSubspaces)
+    val spark = vecs.sparkSession
+    val sub = graft.analytics.SimilarityQueries.pqSubspaces(vecs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.analytics.SimilarityQueries.pqTrainCodebooks(sub)
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(cbDir(indexPath))
@@ -80,9 +90,14 @@ object PqIndex {
     * codes — no retraining, no touch of the stored corpus.
     */
   def append(emb: DataFrame, indexPath: String,
+      coarseCells: Option[DataFrame] = None): Unit =
+    appendFromQuantized(quantized(emb), indexPath, coarseCells)
+
+  /** [[append]] over an already-quantized (e.g. residual) vector table. */
+  def appendFromQuantized(vecs: DataFrame, indexPath: String,
       coarseCells: Option[DataFrame] = None): Unit = {
-    val spark = emb.sparkSession
-    val sub = quantized(emb).transform(graft.analytics.SimilarityQueries.pqSubspaces)
+    val spark = vecs.sparkSession
+    val sub = graft.analytics.SimilarityQueries.pqSubspaces(vecs)
     val codes = encode(sub, codebooks(spark, indexPath))
     writeCodes(codes, coarseCells, indexPath, SaveMode.Append)
   }
