@@ -25,6 +25,53 @@ object TextQueries {
 
   val all: Map[String, QuerySpec] = Map(
 
+    // ----- BPE-style token counting: the tokenizer-cost estimator -----------
+    // Training-data budgets are priced in SUBWORD tokens, not whitespace
+    // words. This counts GPT-2-pretokenizer-style pieces — optional-space-
+    // prefixed letter runs, digit runs, punctuation runs, residual space
+    // runs (the lookahead-free subset both regex engines state
+    // identically; contractions split one piece finer than GPT-2's
+    // special-cases — "BPE-ish", documented) — and reports the per-language
+    // fertility metrics a tokenizer budget needs: pieces per whitespace
+    // word and chars per piece. One regexp_extract_all per row (codegen'd,
+    // zero shuffle) + a map-side-combined per-language aggregate; ratios
+    // floor-quantized AFTER integer sums, so hashes are partition-order
+    // independent.
+    "txt_bpe_token_count" -> QuerySpec(
+      (s, d) => {
+        docs(s, d)
+          .withColumn("body", trim(col("text")))
+          .select(col("lang"),
+            expr("size(regexp_extract_all(body, ' ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+| +', 0))")
+              .as("bpe"),
+            expr(s"size(${tokensS("body")})").as("ws"),
+            length(col("body")).as("nc"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("bpe")).cast("bigint").as("bpe_tokens"),
+            sum(col("ws")).cast("bigint").as("ws_tokens"),
+            sum(col("nc")).cast("bigint").as("n_chars"))
+          .withColumn("fertility",
+            expr("floor(bpe_tokens / ws_tokens * 1e6 + 0.5) / 1e6"))
+          .withColumn("chars_per_token",
+            expr("floor(n_chars / bpe_tokens * 1e6 + 0.5) / 1e6"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH b AS (SELECT lang, trim(text) AS body FROM documents),
+             |c AS (SELECT lang,
+             |    len(regexp_extract_all(body, ' ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+| +')) AS bpe,
+             |    len(${tokensD("body")}) AS ws,
+             |    length(body) AS nc
+             |  FROM b)
+             |SELECT lang, COUNT(*) AS n_docs,
+             |  CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+             |  CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+             |  CAST(SUM(nc) AS BIGINT) AS n_chars,
+             |  floor(CAST(SUM(bpe) AS BIGINT) / CAST(SUM(ws) AS BIGINT) * 1e6 + 0.5) / 1e6 AS fertility,
+             |  floor(CAST(SUM(nc) AS BIGINT) / CAST(SUM(bpe) AS BIGINT) * 1e6 + 0.5) / 1e6 AS chars_per_token
+             |FROM c GROUP BY lang ORDER BY lang""".stripMargin)
+    ),
+
     // ----- token counting: whitespace tokens + regex token classes ----------
     "txt_token_stats" -> QuerySpec(
       (s, d) => {
