@@ -619,6 +619,153 @@ object TextQueries {
              |  CAST(SUM(k.cm) AS BIGINT) // COUNT(*) AS xent_micro
              |FROM tok t JOIN cost k USING (w)
              |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin)
+    ),
+
+    // ----- composed curation funnel: first-drop attribution, oracle-exact ---
+    // The end-to-end [[graft.jobs.CorpusCuration]] pipeline as ONE verified
+    // row: every document is attributed to the FIRST stage that drops it
+    // (benchmark holdout -> quality -> repetition -> contamination ->
+    // near-dup cluster member), and the per-stage doc/token totals are
+    // hash-compared against a DuckDB replay of the whole chain — including
+    // the MinHash+LSH pair pipeline and the connected-components labeling
+    // that feed the duplicate stage. Scale design is the sum of its parts
+    // (each stage is individually oracled and probed): one corpus scan for
+    // the stateless signals, broadcast benchmark/drop-list joins back, and
+    // the pair pipeline's banded skew guards; the funnel adds only a
+    // per-reason final aggregate. minContamFrac=0.05 (vs curate's
+    // any-hit default) because this corpus's 30-word vocabulary makes some
+    // trigram overlap with the holdout slice near-universal — the funnel
+    // should exercise every stage, not let one swallow the corpus.
+    "txt_curation_funnel" -> QuerySpec(
+      (s, d) => {
+        val pairs = DedupQueries.minhashPairs(s, d)
+          .select(col("doc_a"), col("doc_b"))
+        val fl = graft.jobs.CorpusCuration.flag(
+          Tables.t(s, d, "documents"), pairs,
+          graft.jobs.CorpusCuration.CurationConfig(minContamFrac = 0.05))
+        fl.groupBy(coalesce(col("reason"), lit("kept")).as("reason"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).cast("bigint").as("n_tokens"))
+          .orderBy(col("reason"))
+      },
+      Some(s"""WITH RECURSIVE ${DedupQueries.MinhashPairsCte},
+             |e AS (SELECT doc_a AS a, doc_b AS b FROM v WHERE j >= 0.5),
+             |und AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+             |verts AS (SELECT DISTINCT a AS id FROM und),
+             |reach AS (SELECT id, id AS r FROM verts
+             |  UNION
+             |  SELECT u.a AS id, reach.r FROM und u JOIN reach ON u.b = reach.id),
+             |lbl AS (SELECT id, MIN(r) AS lbl FROM reach GROUP BY id),
+             |trix AS (SELECT doc_id, ${shingleHashesD("th")} AS tri FROM th),
+             |qual AS (SELECT k.doc_id, CAST(len(k.t) AS BIGINT) AS n_tokens,
+             |  floor(len(list_filter(k.t, w -> list_contains(['the','a','of','and','is','to'], w))) / len(k.t) * 1e6 + 0.5) / 1e6 AS stop_ratio,
+             |  floor(len(list_distinct(k.t)) / len(k.t) * 1e6 + 0.5) / 1e6 AS distinct_ratio,
+             |  floor(least(length(trim(d.text)), 400) / 400 * 1e6 + 0.5) / 1e6 AS len_score
+             |  FROM toks k JOIN documents d USING (doc_id)),
+             |u2 AS (SELECT doc_id, unnest(th) AS h FROM th),
+             |c2 AS (SELECT doc_id, h, COUNT(*) AS n FROM u2 GROUP BY 1, 2),
+             |topn AS (SELECT doc_id, MAX(n) AS top_n FROM c2 GROUP BY doc_id),
+             |bset AS (SELECT DISTINCT unnest(hs) AS h FROM sh WHERE doc_id % 20 = 0),
+             |trn AS (SELECT doc_id, unnest(hs) AS h FROM sh WHERE doc_id % 20 <> 0),
+             |hitsq AS (SELECT t.doc_id, COUNT(*) AS n_hits
+             |  FROM trn t JOIN bset b ON t.h = b.h GROUP BY t.doc_id),
+             |pre AS (SELECT q.doc_id, q.n_tokens,
+             |  CASE WHEN q.doc_id % 20 = 0 THEN 'benchmark'
+             |    WHEN floor((0.3 * stop_ratio + 0.4 * distinct_ratio + 0.3 * len_score) * 1e6 + 0.5) / 1e6 < 0.3 THEN 'quality'
+             |    WHEN floor(coalesce(topn.top_n, 0) / q.n_tokens * 1e6 + 0.5) / 1e6 > 0.2
+             |      OR (CASE WHEN len(th.th) < 3 THEN 0.0
+             |          ELSE floor((1 - len(sh.hs) / len(trix.tri)) * 1e6 + 0.5) / 1e6 END) > 0.2 THEN 'repetition'
+             |    WHEN floor(coalesce(hitsq.n_hits, 0) / greatest(len(sh.hs), 1) * 1e6 + 0.5) / 1e6 > 0.05 THEN 'contamination'
+             |  END AS pre_reason
+             |  FROM qual q JOIN th ON q.doc_id = th.doc_id
+             |    JOIN sh ON q.doc_id = sh.doc_id
+             |    JOIN trix ON q.doc_id = trix.doc_id
+             |    LEFT JOIN topn ON q.doc_id = topn.doc_id
+             |    LEFT JOIN hitsq ON q.doc_id = hitsq.doc_id),
+             |surv AS (SELECT doc_id FROM pre WHERE pre_reason IS NULL),
+             |sm AS (SELECT s.doc_id, l.lbl FROM surv s JOIN lbl l ON s.doc_id = l.id),
+             |reps AS (SELECT lbl, MIN(doc_id) AS rep FROM sm GROUP BY lbl),
+             |dupd AS (SELECT sm.doc_id FROM sm JOIN reps ON sm.lbl = reps.lbl
+             |  WHERE sm.doc_id <> reps.rep),
+             |fin AS (SELECT pre.doc_id, pre.n_tokens,
+             |  COALESCE(pre_reason,
+             |    CASE WHEN dupd.doc_id IS NOT NULL THEN 'duplicate' END) AS reason
+             |  FROM pre LEFT JOIN dupd ON pre.doc_id = dupd.doc_id)
+             |SELECT COALESCE(reason, 'kept') AS reason, COUNT(*) AS n_docs,
+             |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+             |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // ----- PII scrub: the redaction chain verified on matching text ---------
+    // [[graft.functions.TextFunctions.scrubS]] is the production redaction
+    // chain (URL -> email -> IPv4 -> phone, nested codegen'd regexp_replace,
+    // no UDF). The `documents` corpus contains no PII-shaped strings, so a
+    // scan over it would verify nothing (the zero-row-pass trap) — instead
+    // the PII-bearing text is DERIVED deterministically from `customer`
+    // (emails from c_name, phone digits from key arithmetic, URLs/IPs from
+    // keys), with each PII type present on a key-dependent SUBSET of rows so
+    // the per-segment counts are discriminative. The aggregate counts each
+    // placeholder and the chars removed per market segment.
+    //
+    // Oracle divergence (documented): Spark replays the exact scrubS chain;
+    // DuckDB's RE2 has no lookarounds, so the oracle's phone pattern drops
+    // scrubS's (?<!\d)/(?!\d) digit-adjacency guards — vacuous here by
+    // construction (every synthesized phone is space- or string-delimited),
+    // and DuckDB needs the 'g' flag for replace-all (Spark's default).
+    // Scale: one codegen'd projection + a 5-group aggregate; zero shuffles
+    // beyond the final partial agg.
+    "txt_pii_scrub" -> QuerySpec(
+      (s, d) => {
+        val c = Tables.t(s, d, "customer")
+        val withRaw = c.withColumn("area", expr("cast(100 + c_custkey % 900 as string)"))
+          .withColumn("mid", expr("cast(100 + (c_custkey * 3) % 900 as string)"))
+          .withColumn("last4", expr("cast(1000 + (c_custkey * 7) % 9000 as string)"))
+          .withColumn("raw", expr(
+            "concat('contact ', lower(replace(c_name, '#', '')), '@mail.example.org'," +
+              " if(c_acctbal >= 0, concat(' or call '," +
+              "   if(c_custkey % 7 = 0, '+1-', ''), area, '-', mid, '-', last4), '')," +
+              " if(c_custkey % 2 = 0, concat(' backup (', area, ') ', mid, '-', last4), '')," +
+              " if(c_custkey % 3 = 0, concat(' visit https://ex.org/c/', cast(c_custkey as string)), '')," +
+              " if(c_custkey % 5 = 0, concat(' node 10.', cast(c_custkey % 250 as string), '.0.', cast(c_nationkey as string)), ''))"))
+          .withColumn("scrubbed", expr(scrubS("raw")))
+        withRaw.groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_rows"),
+            expr("cast(sum((length(scrubbed) - length(replace(scrubbed, '[EMAIL]', ''))) / 7) as bigint)").as("n_emails"),
+            expr("cast(sum((length(scrubbed) - length(replace(scrubbed, '[PHONE]', ''))) / 7) as bigint)").as("n_phones"),
+            expr("cast(sum((length(scrubbed) - length(replace(scrubbed, '[IP]', ''))) / 4) as bigint)").as("n_ips"),
+            expr("cast(sum((length(scrubbed) - length(replace(scrubbed, '[URL]', ''))) / 5) as bigint)").as("n_urls"),
+            expr("cast(sum(length(raw) - length(scrubbed)) as bigint)").as("chars_removed"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some(raw"""WITH r0 AS (SELECT c_mktsegment, c_custkey, c_nationkey, c_acctbal,
+             |  CAST(100 + c_custkey % 900 AS VARCHAR) AS area,
+             |  CAST(100 + (c_custkey * 3) % 900 AS VARCHAR) AS mid,
+             |  CAST(1000 + (c_custkey * 7) % 9000 AS VARCHAR) AS last4,
+             |  lower(replace(c_name, '#', '')) AS uname
+             |  FROM customer),
+             |rawt AS (SELECT c_mktsegment,
+             |  concat('contact ', uname, '@mail.example.org',
+             |    CASE WHEN c_acctbal >= 0 THEN concat(' or call ',
+             |      CASE WHEN c_custkey % 7 = 0 THEN '+1-' ELSE '' END,
+             |      area, '-', mid, '-', last4) ELSE '' END,
+             |    CASE WHEN c_custkey % 2 = 0 THEN concat(' backup (', area, ') ', mid, '-', last4) ELSE '' END,
+             |    CASE WHEN c_custkey % 3 = 0 THEN concat(' visit https://ex.org/c/', CAST(c_custkey AS VARCHAR)) ELSE '' END,
+             |    CASE WHEN c_custkey % 5 = 0 THEN concat(' node 10.', CAST(c_custkey % 250 AS VARCHAR), '.0.', CAST(c_nationkey AS VARCHAR)) ELSE '' END) AS raw
+             |  FROM r0),
+             |scr AS (SELECT c_mktsegment, raw,
+             |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(raw,
+             |    'https?://\S+', '[URL]', 'g'),
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             |    '\b(\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g'),
+             |    '(\+\d{1,2}[-. ]?)?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}', '[PHONE]', 'g') AS scrubbed
+             |  FROM rawt)
+             |SELECT c_mktsegment, COUNT(*) AS n_rows,
+             |  CAST(SUM((length(scrubbed) - length(replace(scrubbed, '[EMAIL]', ''))) / 7) AS BIGINT) AS n_emails,
+             |  CAST(SUM((length(scrubbed) - length(replace(scrubbed, '[PHONE]', ''))) / 7) AS BIGINT) AS n_phones,
+             |  CAST(SUM((length(scrubbed) - length(replace(scrubbed, '[IP]', ''))) / 4) AS BIGINT) AS n_ips,
+             |  CAST(SUM((length(scrubbed) - length(replace(scrubbed, '[URL]', ''))) / 5) AS BIGINT) AS n_urls,
+             |  CAST(SUM(length(raw) - length(scrubbed)) AS BIGINT) AS chars_removed
+             |FROM scr GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )
 

@@ -11,16 +11,18 @@ import org.apache.spark.sql.functions._
   * decontamination, duplicate-cluster dropping, and PII scrubbing.
   *
   * Plan shape at 100 TB: the corpus is scanned ONCE for the stateless
-  * signals (quality, trigram repetition, shingles); the only corpus-sized
-  * shuffle is the top-token aggregate (map-side combined on (doc, hash));
-  * the contamination and duplicate drop lists are orders of magnitude
-  * smaller than the corpus and join back as broadcasts; the scrub is a
-  * codegen'd regexp chain in the final projection stage. Each document
-  * is attributed to the FIRST stage that drops it, so the report's
-  * per-reason counts sum exactly to the input count — and each duplicate
-  * cluster's representative is chosen among members that SURVIVE the
-  * earlier stages, so content is never lost just because its min-id copy
-  * failed an upstream filter.
+  * signals (quality, trigram repetition, shingles); the contamination and
+  * duplicate drop lists are orders of magnitude smaller than the corpus and
+  * join back as broadcasts; the scrub is a codegen'd regexp chain in the
+  * final projection stage. Each document is attributed to the FIRST stage
+  * that drops it, so the report's per-reason counts sum exactly to the
+  * input count — and each duplicate cluster's representative is chosen
+  * among members that SURVIVE the earlier stages, so content is never lost
+  * just because its min-id copy failed an upstream filter.
+  *
+  * Arithmetic is oracle-exact (floor(x*1e6 + 0.5)/1e6 quantization on every
+  * ratio, integer token-hash counts): the whole first-drop attribution is
+  * replayed by `txt_curation_funnel`'s DuckDB oracle and hash-compared.
   */
 object CorpusCuration {
 
@@ -28,6 +30,11 @@ object CorpusCuration {
       minQuality: Double = 0.3,
       maxTopTokenFrac: Double = 0.2,
       maxDupTrigramFrac: Double = 0.2,
+      // fraction of a doc's distinct trigrams shared with the benchmark
+      // slice above which it is dropped as contaminated; 0.0 = any shared
+      // trigram (frac is 1e-6-quantized, so "any hit" holds for docs with
+      // < 2M distinct trigrams — i.e. always in practice)
+      minContamFrac: Double = 0.0,
       benchMod: Int = 20) // doc_id % benchMod == 0 -> benchmark holdout slice
 
   final case class CurationReport(
@@ -39,57 +46,67 @@ object CorpusCuration {
       droppedContamination: Long,
       droppedDuplicate: Long)
 
-  /** @param docs         corpus with (doc_id, text, ...) columns
+  /** Per-document first-drop attribution: every input row comes back with
+    * its signal columns and a `reason` in (benchmark | quality | repetition
+    * | contamination | duplicate | null = kept). The returned frame is
+    * persisted (it backs both the report aggregate and the curated
+    * projection) and tracked for release via [[graft.CacheTracker]].
+    *
+    * @param docs         corpus with (doc_id, text, ...) columns
     * @param nearDupPairs verified near-dup pairs (doc_a, doc_b), e.g. from
     *                     the MinHash+LSH pipeline
-    * @return (curated corpus with scrubbed text, per-stage drop report)
     */
-  def curate(
+  def flag(
       docs: DataFrame,
       nearDupPairs: DataFrame,
-      cfg: CurationConfig = CurationConfig()): (DataFrame, CurationReport) = {
-    val base = docs
+      cfg: CurationConfig = CurationConfig()): DataFrame = {
+    graft.functions.VectorExpressions.register(docs.sparkSession)
+    // one corpus scan computes every stateless signal; `tri` (distinct
+    // trigram hashes) doubles as the contamination unit. top-token count is
+    // the native max_elem_count (one pass over the row's hash array) — not
+    // an explode + two-level aggregate shuffling every token of every
+    // document to learn one scalar per doc.
+    val base = graft.CacheTracker.track(graft.Tables.spread(docs, "doc_id")
       .withColumn("t", expr(tokensS("text")))
       .withColumn("th", expr(tokenHashesS("t")))
-      .withColumn("tri", expr(s"array_distinct(${shingleHashesS("th")})"))
+      .withColumn("tri", expr("array_distinct(shingle3_hash(th))"))
       .withColumn("n_tokens", expr("cast(size(t) as bigint)"))
       .withColumn("stop_ratio", expr(stopRatioS("t")))
       .withColumn("distinct_ratio", expr(distinctRatioS("t")))
       .withColumn("len_score", expr(lenScoreS("text")))
       .withColumn("quality", expr(QualityS))
       .withColumn("dup_trigram_frac", expr(
-        s"if(size(th) < 3, cast(0.0 as double), " +
-          s"floor((1 - size(tri) / size(${shingleHashesS("th")})) * 1e6 + 0.5) / 1e6)"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        "if(size(th) < 3, cast(0.0 as double), " +
+          "floor((1 - size(tri) / size(shingle3_hash(th))) * 1e6 + 0.5) / 1e6)"))
+      .withColumn("top_token_frac",
+        expr("floor(max_elem_count(th) / n_tokens * 1e6 + 0.5) / 1e6"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-    // top-token share: the one corpus-sized aggregate
-    val top = base.select(col("doc_id"), explode(col("th")).as("h"))
-      .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("n"))
-      .groupBy(col("doc_id")).agg(max(col("n")).as("top_n"))
-
-    // benchmark n-gram set and the training docs overlapping it
+    // benchmark n-gram set is tiny next to the corpus -> broadcast; `tri`
+    // is distinct per doc and `bench` is distinct, so each (doc, h) joins
+    // at most once and the plain count IS the distinct-overlap count
     val bench = base.filter(col("doc_id") % cfg.benchMod === 0)
       .select(explode(col("tri")).as("h")).distinct()
-    val contaminated = base.filter(col("doc_id") % cfg.benchMod =!= 0)
+    val hits = base.filter(col("doc_id") % cfg.benchMod =!= 0)
       .select(col("doc_id"), explode(col("tri")).as("h"))
       .join(broadcast(bench), "h")
-      .select(col("doc_id")).distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
 
     // every pre-dedup verdict first: the duplicate stage must pick each
     // cluster's representative among docs that SURVIVE the earlier stages,
     // or a cluster whose min-id member fails (say) quality loses every copy
     // of its content
-    val pre = base
-      .join(top, Seq("doc_id"), "left")
-      .join(broadcast(contaminated.withColumn("contam", lit(true))), Seq("doc_id"), "left")
-      .withColumn("top_token_frac", col("top_n") / col("n_tokens"))
+    val pre = graft.CacheTracker.track(base
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("contam_frac", expr(
+        "floor(coalesce(n_hits, 0) / greatest(size(tri), 1) * 1e6 + 0.5) / 1e6"))
       .withColumn("pre_reason",
         when(col("doc_id") % cfg.benchMod === 0, "benchmark")
           .when(col("quality") < cfg.minQuality, "quality")
           .when(col("top_token_frac") > cfg.maxTopTokenFrac ||
             col("dup_trigram_frac") > cfg.maxDupTrigramFrac, "repetition")
-          .when(col("contam"), "contamination"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .when(col("contam_frac") > cfg.minContamFrac, "contamination"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
     // duplicate clusters: among surviving members keep the min doc_id
     val comp = ConnectedComponents.components(nearDupPairs, "doc_a", "doc_b")
@@ -101,10 +118,20 @@ object CorpusCuration {
     val dupDrop = survivingMembers.join(reps, "lbl")
       .filter(col("doc_id") =!= col("rep")).select(col("doc_id"))
 
-    val flagged = pre
+    val srcCols = docs.columns.map(col).toSeq
+    graft.CacheTracker.track(pre
       .join(broadcast(dupDrop.withColumn("dupe", lit(true))), Seq("doc_id"), "left")
       .withColumn("reason", coalesce(col("pre_reason"), when(col("dupe"), "duplicate")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(srcCols ++ Seq(col("n_tokens"), col("quality"), col("reason")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** @return (curated corpus with scrubbed text, per-stage drop report) */
+  def curate(
+      docs: DataFrame,
+      nearDupPairs: DataFrame,
+      cfg: CurationConfig = CurationConfig()): (DataFrame, CurationReport) = {
+    val flagged = flag(docs, nearDupPairs, cfg)
 
     val counts = flagged.groupBy(col("reason")).count().collect()
       .map(r => Option(r.getString(0)).getOrElse("kept") -> r.getLong(1)).toMap
@@ -119,14 +146,12 @@ object CorpusCuration {
       droppedDuplicate = counts("duplicate"))
 
     val keptCols = docs.columns.filter(_ != "text").map(col).toSeq
+    // `flagged` stays cached (CacheTracker-released after the consuming
+    // action) — it backs the returned `curated`
     val curated = flagged.filter(col("reason").isNull)
       .select(keptCols ++ Seq(
         expr(scrubS("text")).as("text"),
         col("n_tokens"), col("quality")): _*)
-    // `flagged` stays cached — it backs the returned `curated`; write the
-    // output, then release session caches (bench/verify already clearCache)
-    base.unpersist(blocking = false)
-    pre.unpersist(blocking = false)
     (curated, report)
   }
 }

@@ -55,6 +55,26 @@ class CorpusCurationSpec extends AnyFunSuite {
     assert(!scrubbed.contains("@") && !scrubbed.contains("example.com"))
   }
 
+  test("minContamFrac gates contamination by overlap fraction, not any-hit") {
+    import spark.implicits._
+    val docs = Seq(
+      (20L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+      // one shared trigram (charlie delta echo) out of 12 -> frac ~0.083
+      (21L, "the quick charlie delta echo of river stone and mountain is vast to see")
+    ).toDF("doc_id", "text")
+    val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    def reasonOf(cfg: CorpusCuration.CurationConfig): Option[String] = {
+      val r = CorpusCuration.flag(docs, pairs, cfg)
+        .filter(org.apache.spark.sql.functions.col("doc_id") === 21L)
+        .collect().head
+      Option(r.getAs[String]("reason"))
+    }
+    // default any-hit: the single shared trigram drops it
+    assert(reasonOf(CorpusCuration.CurationConfig()) == Some("contamination"))
+    // a 10% floor keeps it (frac 0.083333 <= 0.1)
+    assert(reasonOf(CorpusCuration.CurationConfig(minContamFrac = 0.1)).isEmpty)
+  }
+
   test("integrates with the MinHash+LSH pair pipeline on real data") {
     val d = "/root/testdata/sf0.001"
     val docs = Tables.t(spark, d, "documents")
