@@ -638,10 +638,8 @@ object TextQueries {
     // should exercise every stage, not let one swallow the corpus.
     "txt_curation_funnel" -> QuerySpec(
       (s, d) => {
-        val pairs = DedupQueries.minhashPairs(s, d)
-          .select(col("doc_a"), col("doc_b"))
-        val fl = graft.jobs.CorpusCuration.flag(
-          Tables.t(s, d, "documents"), pairs,
+        val fl = graft.jobs.CorpusCuration.flagWithMinhash(
+          Tables.t(s, d, "documents"),
           graft.jobs.CorpusCuration.CurationConfig(minContamFrac = 0.05))
         fl.groupBy(coalesce(col("reason"), lit("kept")).as("reason"))
           .agg(count(lit(1)).as("n_docs"),

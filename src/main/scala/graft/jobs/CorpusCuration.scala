@@ -46,27 +46,18 @@ object CorpusCuration {
       droppedContamination: Long,
       droppedDuplicate: Long)
 
-  /** Per-document first-drop attribution: every input row comes back with
-    * its signal columns and a `reason` in (benchmark | quality | repetition
-    * | contamination | duplicate | null = kept). The returned frame is
-    * persisted (it backs both the report aggregate and the curated
-    * projection) and tracked for release via [[graft.CacheTracker]].
-    *
-    * @param docs         corpus with (doc_id, text, ...) columns
-    * @param nearDupPairs verified near-dup pairs (doc_a, doc_b), e.g. from
-    *                     the MinHash+LSH pipeline
+  /** The one-corpus-scan signal projection every stage reads: `tri`
+    * (distinct trigram hashes) doubles as the contamination unit AND the
+    * near-dup shingle set, so a caller that also derives the MinHash pairs
+    * from this frame ([[flagWithMinhash]]) tokenizes the corpus exactly
+    * once. top-token count is the native max_elem_count (one pass over the
+    * row's hash array) — not an explode + two-level aggregate shuffling
+    * every token of every document to learn one scalar per doc. Persisted
+    * and tracked for release via [[graft.CacheTracker]].
     */
-  def flag(
-      docs: DataFrame,
-      nearDupPairs: DataFrame,
-      cfg: CurationConfig = CurationConfig()): DataFrame = {
+  private def signalBase(docs: DataFrame): DataFrame = {
     graft.functions.VectorExpressions.register(docs.sparkSession)
-    // one corpus scan computes every stateless signal; `tri` (distinct
-    // trigram hashes) doubles as the contamination unit. top-token count is
-    // the native max_elem_count (one pass over the row's hash array) — not
-    // an explode + two-level aggregate shuffling every token of every
-    // document to learn one scalar per doc.
-    val base = graft.CacheTracker.track(graft.Tables.spread(docs, "doc_id")
+    graft.CacheTracker.track(graft.Tables.spread(docs, "doc_id")
       .withColumn("t", expr(tokensS("text")))
       .withColumn("th", expr(tokenHashesS("t")))
       .withColumn("tri", expr("array_distinct(shingle3_hash(th))"))
@@ -81,6 +72,46 @@ object CorpusCuration {
       .withColumn("top_token_frac",
         expr("floor(max_elem_count(th) / n_tokens * 1e6 + 0.5) / 1e6"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** Per-document first-drop attribution: every input row comes back with
+    * its signal columns and a `reason` in (benchmark | quality | repetition
+    * | contamination | duplicate | null = kept). The returned frame is
+    * persisted (it backs both the report aggregate and the curated
+    * projection) and tracked for release via [[graft.CacheTracker]].
+    *
+    * @param docs         corpus with (doc_id, text, ...) columns
+    * @param nearDupPairs verified near-dup pairs (doc_a, doc_b), e.g. from
+    *                     the MinHash+LSH pipeline
+    */
+  def flag(
+      docs: DataFrame,
+      nearDupPairs: DataFrame,
+      cfg: CurationConfig = CurationConfig()): DataFrame =
+    flagFromBase(signalBase(docs), docs.columns, nearDupPairs, cfg)
+
+  /** [[flag]] with the near-dup pairs derived from the SAME persisted
+    * signal projection the curation signals read (`tri` is exactly the
+    * distinct-shingle set the MinHash pipeline signs), so the corpus text
+    * is tokenized ONCE for the whole composed pipeline instead of once for
+    * the signals and again for the pair pipeline — at 100 TB that is the
+    * difference between one and two full-corpus scans.
+    */
+  def flagWithMinhash(
+      docs: DataFrame,
+      cfg: CurationConfig = CurationConfig()): DataFrame = {
+    val base = signalBase(docs)
+    val pairs = graft.analytics.DedupQueries
+      .minhashPairsFrom(base.select(col("doc_id"), col("tri").as("hs")))
+      .select(col("doc_a"), col("doc_b"))
+    flagFromBase(base, docs.columns, pairs, cfg)
+  }
+
+  private def flagFromBase(
+      base: DataFrame,
+      srcColNames: Array[String],
+      nearDupPairs: DataFrame,
+      cfg: CurationConfig): DataFrame = {
 
     // benchmark n-gram set is tiny next to the corpus -> broadcast; `tri`
     // is distinct per doc and `bench` is distinct, so each (doc, h) joins
@@ -118,7 +149,7 @@ object CorpusCuration {
     val dupDrop = survivingMembers.join(reps, "lbl")
       .filter(col("doc_id") =!= col("rep")).select(col("doc_id"))
 
-    val srcCols = docs.columns.map(col).toSeq
+    val srcCols = srcColNames.map(col).toSeq
     graft.CacheTracker.track(pre
       .join(broadcast(dupDrop.withColumn("dupe", lit(true))), Seq("doc_id"), "left")
       .withColumn("reason", coalesce(col("pre_reason"), when(col("dupe"), "duplicate")))

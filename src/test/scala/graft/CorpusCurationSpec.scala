@@ -75,6 +75,19 @@ class CorpusCurationSpec extends AnyFunSuite {
     assert(reasonOf(CorpusCuration.CurationConfig(minContamFrac = 0.1)).isEmpty)
   }
 
+  test("flagWithMinhash (one corpus scan) == flag over externally derived pairs") {
+    val d = "/root/testdata/sf0.001"
+    val docs = Tables.t(spark, d, "documents")
+    def verdicts(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "reason").collect()
+        .map(r => r.getAs[Long]("doc_id") -> Option(r.getAs[String]("reason"))).toMap
+    val pairs = graft.analytics.DedupQueries.minhashPairs(spark, d)
+      .select("doc_a", "doc_b")
+    val external = verdicts(CorpusCuration.flag(docs, pairs))
+    val fused = verdicts(CorpusCuration.flagWithMinhash(docs))
+    assert(fused == external)
+  }
+
   test("integrates with the MinHash+LSH pair pipeline on real data") {
     val d = "/root/testdata/sf0.001"
     val docs = Tables.t(spark, d, "documents")
