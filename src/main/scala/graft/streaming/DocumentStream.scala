@@ -220,9 +220,26 @@ object DocumentStream {
     */
   def ingestBatch(batch: DataFrame, batchId: Long, indexPath: String,
       lakePath: String, minQuality: Double = 0.0): Unit = {
-    import graft.operators.MinHashIndex
-    val spark = batch.sparkSession
     val b = batch.select(col("docId").as("doc_id"), col("text"), col("eventTime"))
+    val survivors = indexSurvivors(b, indexPath)
+    landBatch(scoreCols(survivors), batchId, lakePath, minQuality)
+    graft.operators.MinHashIndex.appendBatch(
+      survivors.select(col("docId").as("doc_id"), col("text")), indexPath, batchId)
+    // a dedicated ingestion job owns its session: release the signature
+    // projections this batch persisted (they are weak-ref tracked, so a
+    // shared-session caller that skips this merely waits for GC)
+    graft.CacheTracker.releaseAll()
+  }
+
+  /** Near-dup dedup of a (doc_id, text, eventTime) micro-batch against the
+    * persistent index — the shared core of [[ingestBatch]] and
+    * [[curateBatch]]. Returns the surviving rows as (docId, text,
+    * eventTime). Drop policy as documented on [[ingestContinuous]]: stored
+    * doc wins a batch-stored pair, smaller id wins an in-batch pair.
+    */
+  private def indexSurvivors(b: DataFrame, indexPath: String): DataFrame = {
+    import graft.operators.MinHashIndex
+    val spark = b.sparkSession
     // first batch bootstraps the index: no stored side yet, so near-dup
     // pairs are the in-batch symmetric pipeline over the batch's own
     // signatures (minhashPairsTouchingFromSig with every doc "new" is
@@ -252,15 +269,134 @@ object DocumentStream {
           !coalesce(col("b_new"), lit(false)), col("doc_a"))
         .otherwise(col("doc_b")).as("doc_id"))
       .distinct()
-    val survivors = b.join(drops, Seq("doc_id"), "left_anti")
+    b.join(drops, Seq("doc_id"), "left_anti")
       .select(col("doc_id").as("docId"), col("text"), col("eventTime"))
-    landBatch(scoreCols(survivors), batchId, lakePath, minQuality)
-    MinHashIndex.appendBatch(
+  }
+
+  /** Per-batch curation report — the stream metric surface of
+    * [[curateContinuous]]: first-drop counts per stage plus the landed
+    * size. A rising duplicate share means the crawl frontier is circling;
+    * a rising contamination share means the eval set is leaking into the
+    * crawl.
+    */
+  final case class CurationBatchReport(
+      batchId: Long,
+      input: Long,
+      droppedQuality: Long,
+      droppedRepetition: Long,
+      droppedContamination: Long,
+      droppedDuplicate: Long,
+      landed: Long)
+
+  /** Streaming twin of the batch [[graft.jobs.CorpusCuration]] pipeline:
+    * every micro-batch runs the STATELESS curation stages (quality,
+    * repetition, and — when an eval-set shingle table is supplied —
+    * decontamination) with the exact batch arithmetic (same floor-form
+    * thresholds from the shared [[graft.functions.TextFunctions]]
+    * definitions), then near-dup-dedups the survivors against the
+    * persistent MinHash index (full-corpus-history horizon, as
+    * [[ingestContinuous]]), and lands PII-SCRUBBED text in the lake.
+    *
+    * Stage order mirrors the batch funnel (quality -> repetition ->
+    * contamination -> duplicate; first drop wins). The batch pipeline's
+    * benchmark-holdout stage has no stream analog — holdout is a property
+    * of a fixed corpus — but decontamination does: the eval set is small
+    * and static, so its shingle table broadcasts into every micro-batch as
+    * a stateless filter. The index stores only signatures of the RAW text
+    * (hashes, not content), while the lake gets the scrubbed text — PII
+    * never lands.
+    *
+    * Exactly-once: lake and index writes are batch_id-partitioned dynamic
+    * overwrites, so at-least-once replays rewrite their own partitions.
+    *
+    * @param benchShingles eval-set decontamination table with a bigint
+    *                      column `h` of distinct trigram hashes (as
+    *                      produced by the shingle pipeline); None disables
+    *                      the stage
+    */
+  def curateContinuous(
+      docs: Dataset[DocEvent],
+      indexPath: String,
+      lakePath: String,
+      checkpointDir: String,
+      cfg: graft.jobs.CorpusCuration.CurationConfig =
+        graft.jobs.CorpusCuration.CurationConfig(),
+      benchShingles: Option[DataFrame] = None,
+      onBatch: CurationBatchReport => Unit = _ => ()): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[DocEvent], batchId: Long) =>
+        onBatch(curateBatch(batch.toDF(), batchId, indexPath, lakePath, cfg, benchShingles))
+      }
+      .start()
+
+  /** The per-micro-batch body of [[curateContinuous]] — exposed so stage
+    * semantics and the replay path are directly testable.
+    */
+  def curateBatch(
+      batch: DataFrame,
+      batchId: Long,
+      indexPath: String,
+      lakePath: String,
+      cfg: graft.jobs.CorpusCuration.CurationConfig =
+        graft.jobs.CorpusCuration.CurationConfig(),
+      benchShingles: Option[DataFrame] = None): CurationBatchReport = {
+    graft.functions.VectorExpressions.register(batch.sparkSession)
+    val b = batch.select(col("docId").as("doc_id"), col("text"), col("eventTime"))
+    // stateless signals first: the cheapest verdicts run before any
+    // signature or index cost is paid for a doc that was never going to
+    // survive them (one codegen'd projection, no shuffle)
+    val sig = b
+      .withColumn("t", expr(tokensS("text")))
+      .withColumn("th", expr(tokenHashesS("t")))
+      .withColumn("tri", expr("array_distinct(shingle3_hash(th))"))
+      .withColumn("n_tokens", expr("cast(size(t) as bigint)"))
+      .withColumn("stop_ratio", expr(stopRatioS("t")))
+      .withColumn("distinct_ratio", expr(distinctRatioS("t")))
+      .withColumn("len_score", expr(lenScoreS("text")))
+      .withColumn("quality", expr(QualityS))
+      .withColumn("dup_trigram_frac", expr(
+        "if(size(th) < 3, cast(0.0 as double), " +
+          "floor((1 - size(tri) / size(shingle3_hash(th))) * 1e6 + 0.5) / 1e6)"))
+      .withColumn("top_token_frac",
+        expr("floor(max_elem_count(th) / n_tokens * 1e6 + 0.5) / 1e6"))
+    val withContam = benchShingles match {
+      case Some(bs) =>
+        val hits = sig.select(col("doc_id"), explode(col("tri")).as("h"))
+          .join(broadcast(bs.select(col("h"))), "h")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+        sig.join(hits, Seq("doc_id"), "left")
+          .withColumn("contam_frac", expr(
+            "floor(coalesce(n_hits, 0) / greatest(size(tri), 1) * 1e6 + 0.5) / 1e6"))
+      case None => sig.withColumn("contam_frac", lit(0.0))
+    }
+    val pre = graft.CacheTracker.track(withContam
+      .withColumn("reason",
+        when(col("quality") < cfg.minQuality, "quality")
+          .when(col("top_token_frac") > cfg.maxTopTokenFrac ||
+            col("dup_trigram_frac") > cfg.maxDupTrigramFrac, "repetition")
+          .when(col("contam_frac") > cfg.minContamFrac, "contamination"))
+      .select(col("doc_id"), col("text"), col("eventTime"), col("reason"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val counts = pre.groupBy(col("reason")).count().collect()
+      .map(r => Option(r.getString(0)).getOrElse("kept") -> r.getLong(1)).toMap
+      .withDefaultValue(0L)
+    val surv = pre.filter(col("reason").isNull)
+      .select(col("doc_id"), col("text"), col("eventTime"))
+    val survivors = graft.CacheTracker.track(
+      indexSurvivors(surv, indexPath)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val landed = survivors.count()
+    // score on the raw text (identical to the batch pipeline), scrub in
+    // the final landing projection
+    landBatch(scoreCols(survivors).withColumn("text", expr(scrubS("text"))),
+      batchId, lakePath, minQuality = 0.0)
+    graft.operators.MinHashIndex.appendBatch(
       survivors.select(col("docId").as("doc_id"), col("text")), indexPath, batchId)
-    // a dedicated ingestion job owns its session: release the signature
-    // projections this batch persisted (they are weak-ref tracked, so a
-    // shared-session caller that skips this merely waits for GC)
     graft.CacheTracker.releaseAll()
+    CurationBatchReport(batchId, counts.values.sum, counts("quality"),
+      counts("repetition"), counts("contamination"),
+      counts("kept") - landed, landed)
   }
 
   /** The idempotent per-micro-batch landing [[toLake]] runs — exposed so the
