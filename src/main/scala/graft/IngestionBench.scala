@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.streaming.DocumentStream
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Streaming-curation SCALE probe (builder tooling, like [[Bench]] /
+  * [[TimelineLakeBench]]): slices the `documents` table of
+  * `SPARK_GRAFT_SF_DIR` into `SPARK_GRAFT_INGEST_BATCHES` micro-batches
+  * (by doc_id modulus, so a replicated corpus spreads each duplicate
+  * clique across every batch — the recrawl worst case) and drives
+  * [[DocumentStream.curateBatch]] through them sequentially against one
+  * persistent MinHash index + lake, timing each batch.
+  *
+  * What the growth rows show: per-batch wall as the INDEX grows — the
+  * asymmetric candidate pipeline means batch k pays for its own signatures
+  * plus candidates touching the stored side, never a stored-stored
+  * re-comparison, so per-batch cost must stay ~flat while the index
+  * accumulates every prior survivor. Prints one JSON line.
+  */
+object IngestionBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val nBatches = sys.env.getOrElse("SPARK_GRAFT_INGEST_BATCHES", "4").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val idx = Files.createTempDirectory("ingest_bench_idx").toString
+    val lake = Files.createTempDirectory("ingest_bench_lake").toString
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id").as("docId"), col("text"),
+        lit(java.sql.Timestamp.valueOf("2024-07-23 10:00:00")).as("eventTime"))
+    val phases = (0 until nBatches).map { i =>
+      val b = docs.filter(col("docId") % nBatches === i)
+      val t0 = System.nanoTime()
+      val r = DocumentStream.curateBatch(b, i, idx, lake)
+      val dt = (System.nanoTime() - t0) / 1e9
+      (i, dt, r)
+    }
+    val total = phases.map(_._2).sum
+    val batches = phases.map { case (i, dt, r) =>
+      f"""{"batch":$i,"sec":$dt%.3f,"input":${r.input},"landed":${r.landed},""" +
+        s""""dropQ":${r.droppedQuality},"dropR":${r.droppedRepetition},""" +
+        s""""dropDup":${r.droppedDuplicate}}"""
+    }.mkString("[", ",", "]")
+    println(f"""{"metric":"ingest_curate","value":$total%.3f,"unit":"sec","batches":$batches,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

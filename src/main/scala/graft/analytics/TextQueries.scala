@@ -621,6 +621,123 @@ object TextQueries {
              |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin)
     ),
 
+    // ----- vocabulary coverage curve: tokenizer-budget sizing ---------------
+    // "What vocab size covers X% of token occurrences" — the sizing input
+    // for tokenizer training. Scale design: NO corpus- or vocab-sized
+    // window. The corpus aggregates to (token, count) [map-side combined],
+    // the vocab aggregates to COUNT CLASSES (count value -> #tokens, mass)
+    // — a table bounded by the number of DISTINCT count values (Zipf: a few
+    // hundred at any corpus size, since counts above ~sqrt(corpus) are
+    // sparse and small counts collapse into one class each) — and the
+    // cumulative runs over that tiny table. Tokens within a class are
+    // interchangeable for SIZE, so the threshold resolves arithmetically
+    // inside the selected class: m = ceil((need - prev_mass) / c), all in
+    // exact BIGINTs. A naive rank-window over the vocabulary would funnel
+    // a 100M-token vocab through one task; this never materializes a rank.
+    "txt_vocab_coverage" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val vocab = docs(s, d)
+          .select(explode(expr(tokensS("text"))).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        val classes = vocab.groupBy(col("c"))
+          .agg(count(lit(1)).as("n_toks"))
+          .withColumn("mass", col("c") * col("n_toks"))
+        val w = Window.orderBy(col("c").desc)
+        val cum = classes
+          .withColumn("cum_mass", sum(col("mass")).over(w))
+          .withColumn("cum_toks", sum(col("n_toks")).over(w))
+        val tot = classes.agg(sum(col("mass")).as("total"))
+        cum.crossJoin(broadcast(tot))
+          .select(explode(expr("array(50, 90, 95, 99)")).as("pct"),
+            col("c"), col("n_toks"), col("mass"),
+            col("cum_mass"), col("cum_toks"), col("total"))
+          .filter(expr("cum_mass * 100 >= pct * total AND (cum_mass - mass) * 100 < pct * total"))
+          .withColumn("prev_mass", col("cum_mass") - col("mass"))
+          .withColumn("prev_toks", col("cum_toks") - col("n_toks"))
+          .withColumn("need", expr("(pct * total + 99) div 100"))
+          .withColumn("m", expr("(need - prev_mass + c - 1) div c"))
+          .select(col("pct"),
+            expr("prev_toks + m").as("vocab_size"),
+            expr("floor((prev_mass + m * c) / total * 1e6 + 0.5) / 1e6").as("coverage"))
+          .orderBy(col("pct"))
+      },
+      Some(s"""WITH tok AS (SELECT unnest(${tokensD("text")}) AS w FROM documents),
+             |v AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+             |cls AS (SELECT c, COUNT(*) AS n_toks, c * COUNT(*) AS mass FROM v GROUP BY c),
+             |cum AS (SELECT *, CAST(SUM(mass) OVER (ORDER BY c DESC) AS BIGINT) AS cum_mass,
+             |  CAST(SUM(n_toks) OVER (ORDER BY c DESC) AS BIGINT) AS cum_toks FROM cls),
+             |tt AS (SELECT CAST(SUM(mass) AS BIGINT) AS total FROM cls),
+             |th AS (SELECT unnest([50, 90, 95, 99]) AS pct),
+             |sel AS (SELECT pct, c, n_toks, mass, cum_mass, cum_toks, total,
+             |    cum_mass - mass AS prev_mass, cum_toks - n_toks AS prev_toks,
+             |    (pct * total + 99) // 100 AS need
+             |  FROM cum CROSS JOIN tt CROSS JOIN th
+             |  WHERE cum_mass * 100 >= pct * total
+             |    AND (cum_mass - mass) * 100 < pct * total)
+             |SELECT pct,
+             |  prev_toks + (need - prev_mass + c - 1) // c AS vocab_size,
+             |  floor((prev_mass + ((need - prev_mass + c - 1) // c) * c) / total * 1e6 + 0.5) / 1e6 AS coverage
+             |FROM sel ORDER BY pct""".stripMargin)
+    ),
+
+    // ----- epoch-replication schedule: mixing with repetition ---------------
+    // The step after mixture weights: rebalancing to the uniform per-source
+    // token share at CONSTANT total budget means over-represented sources
+    // subsample while under-represented ones repeat for MULTIPLE EPOCHS
+    // (repeat factor > 1) — the LLaMA-style "epochs per source" schedule.
+    // Integer-exact: the factor is fixed-point ppm (one double divide +
+    // multiply, IEEE-identical in both engines, floored to BIGINT); whole
+    // epochs are `repeat_ppm div 1e6` for every doc, and the fractional
+    // epoch picks docs by portable content hash under `repeat_ppm % 1e6`
+    // — deterministic, engine-reproducible, no RNG. One corpus pass for
+    // token sums, a sources-sized rate table broadcast back, one map-side-
+    // combined aggregate; scheduled_tokens stays exact BIGINT arithmetic.
+    "txt_epoch_mix" -> QuerySpec(
+      (s, d) => {
+        val base = docs(s, d)
+          .withColumn("norm", expr(raw"regexp_replace(lower(trim(text)), '\\s+', ' ')"))
+          .withColumn("n_tok", expr(s"cast(size(${tokensS("text")}) as bigint)"))
+        val st = base.groupBy(col("source"))
+          .agg(sum(col("n_tok")).as("ts"), count(lit(1)).as("n_docs"))
+        val tot = st.agg(sum(col("ts")).as("total"), count(lit(1)).as("n_sources"))
+        val rates = st.crossJoin(broadcast(tot))
+          .withColumn("repeat_ppm",
+            expr("cast(floor(total / (n_sources * ts) * 1e6) as bigint)"))
+          .select(col("source"), col("ts"), col("n_docs"), col("repeat_ppm"))
+        base.join(broadcast(rates), "source")
+          .withColumn("extra",
+            expr(s"pmod(${strHashS("norm")}, 1000000) < repeat_ppm % 1000000"))
+          .groupBy(col("source"), col("ts"), col("n_docs"), col("repeat_ppm"))
+          .agg(sum(when(col("extra"), 1L).otherwise(0L)).as("n_extra"),
+            sum(when(col("extra"), col("n_tok")).otherwise(0L)).as("extra_tokens"))
+          .select(col("source"), col("n_docs"), col("ts").as("source_tokens"),
+            col("repeat_ppm"),
+            expr("n_docs * (repeat_ppm div 1000000) + n_extra").as("scheduled_docs"),
+            expr("(repeat_ppm div 1000000) * ts + extra_tokens").as("scheduled_tokens"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH b AS (SELECT source,
+             |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm,
+             |    CAST(len(${tokensD("text")}) AS BIGINT) AS n_tok FROM documents),
+             |st AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS ts,
+             |    COUNT(*) AS n_docs FROM b GROUP BY source),
+             |tot AS (SELECT CAST(SUM(ts) AS BIGINT) AS total,
+             |    COUNT(*) AS n_sources FROM st),
+             |rates AS (SELECT source, ts, n_docs,
+             |    CAST(floor(total / (n_sources * ts) * 1e6) AS BIGINT) AS repeat_ppm
+             |  FROM st CROSS JOIN tot),
+             |f AS (SELECT b.source, r.ts, r.n_docs, r.repeat_ppm, b.n_tok,
+             |    ((${strHashD("norm")} % 1000000) + 1000000) % 1000000 < r.repeat_ppm % 1000000 AS extra
+             |  FROM b JOIN rates r USING (source))
+             |SELECT source, n_docs, ts AS source_tokens, repeat_ppm,
+             |  n_docs * (repeat_ppm // 1000000)
+             |    + CAST(SUM(CASE WHEN extra THEN 1 ELSE 0 END) AS BIGINT) AS scheduled_docs,
+             |  (repeat_ppm // 1000000) * ts
+             |    + CAST(SUM(CASE WHEN extra THEN n_tok ELSE 0 END) AS BIGINT) AS scheduled_tokens
+             |FROM f GROUP BY source, ts, n_docs, repeat_ppm ORDER BY source""".stripMargin)
+    ),
+
     // ----- composed curation funnel: first-drop attribution, oracle-exact ---
     // The end-to-end [[graft.jobs.CorpusCuration]] pipeline as ONE verified
     // row: every document is attributed to the FIRST stage that drops it
