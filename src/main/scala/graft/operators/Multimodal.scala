@@ -234,6 +234,79 @@ object Multimodal {
       if (img == null) None else Some(phash56(luminanceGrid8(img)))
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** 8×8 audio feature grid: 8 equal time windows × 8 "band" energies,
+    * band k = log-scaled energy of the k-th order finite difference of the
+    * window's samples. Each differencing step is a high-pass, so ascending
+    * orders form a crude deterministic filter bank (no FFT dependency),
+    * and every energy scales by c² under a volume change c — the
+    * adjacent-band comparisons hashed from the grid are amplitude-scale
+    * INVARIANT. The grid feeds [[phash56]] unchanged: one 56-bit packing
+    * and one banded-LSH candidate pipeline serve both image and audio
+    * near-dup detection.
+    *
+    * Energies accumulate in Double (sequential loop — deterministic IEEE;
+    * a Long sum of 7th-order differences squared could overflow on long
+    * windows); log1p is a monotone transform, so the Int grid preserves
+    * every comparison.
+    */
+  def audioGrid8(samples: Array[Int]): Array[Int] = {
+    val grid = new Array[Int](64)
+    val n = samples.length
+    var w = 0
+    while (w < 8) {
+      val x0 = w * n / 8
+      val x1 = math.min(math.max((w + 1) * n / 8, x0 + 1), math.max(n, x0 + 1))
+      var cur: Array[Int] =
+        if (x0 < n) java.util.Arrays.copyOfRange(samples, x0, math.min(x1, n))
+        else Array(0)
+      var k = 0
+      while (k < 8) {
+        var e = 0.0
+        var i = 0
+        while (i < cur.length) { val v = cur(i).toDouble; e += v * v; i += 1 }
+        grid(w * 8 + k) = (1000.0 * math.log1p(e)).toInt
+        if (cur.length > 1) {
+          val nxt = new Array[Int](cur.length - 1)
+          var j = 0
+          while (j < nxt.length) { nxt(j) = cur(j + 1) - cur(j); j += 1 }
+          cur = nxt
+        } else cur = Array(0)
+        k += 1
+      }
+      w += 1
+    }
+    grid
+  }
+
+  /** Decode a 16-bit PCM WAV payload with the JDK codec and fingerprint
+    * its sample stream — None when the codec rejects the bytes or the
+    * format is not 16-bit PCM (callers fall back to the deterministic
+    * stand-in, keeping the pipeline total). The audio twin of
+    * [[phashImage]].
+    */
+  def audioFingerprint(payload: Array[Byte]): Option[Long] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16) None
+        else {
+          val bytes = in.readAllBytes()
+          val big = fmt.isBigEndian
+          val samples = new Array[Int](bytes.length / 2)
+          var i = 0
+          while (2 * i + 1 < bytes.length) {
+            samples(i) =
+              (if (big) ((bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xff)).toShort
+               else ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort).toInt
+            i += 1
+          }
+          if (samples.isEmpty) None else Some(phash56(audioGrid8(samples)))
+        }
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   private def md5Hex(payload: Array[Byte]): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(payload).map("%02x".format(_)).mkString
