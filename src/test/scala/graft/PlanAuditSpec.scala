@@ -178,6 +178,40 @@ class PlanAuditSpec extends AnyFunSuite {
       s"fingerprint block join degenerated to all-pairs in:\n$p")
   }
 
+  test("curation funnel: no all-pairs joins; drop lists broadcast back") {
+    val df = SparkEntry.queries("txt_curation_funnel")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    CacheTracker.releaseAll()
+    // the chain composes the pair pipeline + CC + signal joins: nothing in
+    // it may degenerate to an unhinted all-pairs join, and the benchmark /
+    // drop-list joins back to the corpus must be broadcasts
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian in:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins in:\n$p")
+  }
+
+  test("pii scrub: one codegen'd projection, no join, no extra shuffle") {
+    val df = SparkEntry.queries("txt_pii_scrub")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"scrub chain must be join-free:\n$p")
+    assert(p.contains("HashAggregate"), s"expected hash aggregation in:\n$p")
+    // the scrub + counting projection pipelines inside whole-stage codegen
+    assert(p.contains("*(1)"), s"expected codegen spans in:\n$p")
+  }
+
+  test("vocab coverage: the only window runs over the count-class table, not the vocab") {
+    val df = SparkEntry.queries("txt_vocab_coverage")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the window's child must be the (count -> classes) aggregate, i.e. the
+    // cumulative never sees per-token rows; a rank over the vocabulary
+    // would put Window directly over the token-level aggregate
+    val wi = p.indexOf("Window")
+    assert(wi >= 0, s"expected a window over count classes in:\n$p")
+    assert(!p.contains("row_number"), s"no vocab-sized rank may appear in:\n$p")
+  }
+
   test("aggregation pipeline runs inside whole-stage codegen") {
     // AQE annotates codegen spans only in the finalized plan: execute first
     val df = SparkEntry.queries("rel_agg_pricing_summary")(spark, dir)
