@@ -1,6 +1,7 @@
 package graft.analytics
 
 import graft.{QuerySpec, Tables}
+import graft.functions.TextFunctions._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -157,6 +158,113 @@ object MultimodalQueries {
              |SELECT p.doc_a, p.doc_b, bit_count(xor(a.h, b.h)) AS hamming
              |FROM pairs p JOIN h a ON p.doc_a = a.doc_id JOIN h b ON p.doc_b = b.doc_id
              |WHERE bit_count(xor(a.h, b.h)) <= 6 ORDER BY doc_a, doc_b""".stripMargin)
+    ),
+
+    // ----- audio-fingerprint near-dup over a pseudo-PCM stand-in -----------
+    // The audio-dedup shape: frame the sample stream into 8 windows,
+    // compute 8 difference-order band energies per window (each
+    // differencing step is a high-pass — a deterministic no-FFT filter
+    // bank), spectrally FLATTEN by scaling order k's energy by
+    // 360360 / C(2k, k) — the k-th difference of WHITE noise has variance
+    // C(2k, k)·σ² (binomial coefficients of (1−z)^k squared-summed), so
+    // without the rescale the energy sequence rises ~4×/order and every
+    // comparison points the same way; after it the expected envelope is
+    // flat and the hashed bits carry the signal's actual spectral tilt
+    // (360360 = lcm of the eight C(2k, k), keeping everything integer) —
+    // and hash the 56 adjacent-band comparisons into the same packing,
+    // then band + verify through the shared [[phashPairsFromHashes]]
+    // pipeline. All energy arithmetic is exact BIGINT (8-bit-centered
+    // samples, 7th-order diffs < 2^14, squares·scale < 2^63 up to
+    // ~million-sample windows), so both engines state identical bits.
+    // On a corpus of statistically-identical noise texture (this word-
+    // salad fixture) MANY docs legitimately sit within hamming 6 — an
+    // envelope hash measures timbral similarity, and content identity at
+    // scale comes from the verify threshold, not the bands. The stand-in "decode" reads the payload bytes
+    // as centered 8-bit samples (the same move mm_phash_pairs makes for
+    // pixels); the REAL decode path is
+    // [[graft.operators.Multimodal.audioFingerprint]], which packs JDK-
+    // decoded PCM through the identical grid semantics
+    // (`MultimodalAudioSpec` drives volume-perturbed WAVs through this
+    // exact pair pipeline).
+    "mm_audio_pairs" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val sig0 = docs(s, d)
+          .withColumn("body", trim(col("text")))
+          .filter(length(col("body")) >= 64)
+          .select(col("doc_id"),
+            expr("transform(sequence(1, length(body)), " +
+              "i -> cast(ascii(substring(body, i, 1)) as bigint) - 96)").as("sig"))
+          .withColumn("n", expr("size(sig)"))
+        val win0 = sig0
+          .select(col("doc_id"), col("n"), col("sig"),
+            explode(expr("sequence(0, 7)")).as("w"))
+          .withColumn("a0", expr("slice(sig, cast(1 + (w * n) div 8 as int), " +
+            "cast(((w + 1) * n) div 8 - (w * n) div 8 as int))"))
+        val diffed = (1 to 7).foldLeft(win0) { (df, k) =>
+          df.withColumn(s"a$k", expr(
+            s"if(size(a${k - 1}) > 1, transform(sequence(1, size(a${k - 1}) - 1), " +
+              s"i -> element_at(a${k - 1}, cast(i + 1 as int)) - element_at(a${k - 1}, cast(i as int))), " +
+              "array(cast(0 as bigint)))"))
+        }
+        // 360360 / C(2k, k): the white-noise spectral flattening constants
+        val flat = Seq(360360L, 180180L, 60060L, 18018L, 5148L, 1430L, 390L, 105L)
+        val esExpr = (0 to 7).map(k =>
+          s"aggregate(a$k, cast(0 as bigint), (s, x) -> s + x * x) * cast(${flat(k)} as bigint)")
+          .mkString("array(", ", ", ")")
+        val g = diffed.select(col("doc_id"), col("w"), expr(esExpr).as("es"))
+          .groupBy(col("doc_id"))
+          .agg(expr("flatten(transform(array_sort(collect_list(struct(w, es))), s -> s.es))").as("g"))
+        val h = graft.CacheTracker.track(g.select(col("doc_id"),
+          expr("aggregate(sequence(0, 55), cast(0 as bigint), (a, i) -> " +
+            "a + if(element_at(g, cast((i div 7) * 8 + (i % 7) + 1 as int)) > " +
+            "element_at(g, cast((i div 7) * 8 + (i % 7) + 2 as int)), " +
+            "shiftleft(cast(1 as bigint), i), cast(0 as bigint)))").as("h"))
+          .persist(MEMORY_AND_DISK))
+        phashPairsFromHashes(h).orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some {
+        val dCtes = (1 to 7).map { k =>
+          s"""d$k AS (SELECT *, CASE WHEN len(a${k - 1}) > 1
+             |    THEN list_transform(generate_series(1, len(a${k - 1}) - 1), i -> a${k - 1}[i + 1] - a${k - 1}[i])
+             |    ELSE [CAST(0 AS BIGINT)] END AS a$k FROM ${if (k == 1) "win" else s"d${k - 1}"})""".stripMargin
+        }.mkString(",\n")
+        val flatD = Seq(360360L, 180180L, 60060L, 18018L, 5148L, 1430L, 390L, 105L)
+        val esSql = (0 to 7).map(k =>
+          s"CAST(list_sum(list_transform(a$k, x -> x * x)) AS BIGINT) * ${flatD(k)}")
+          .mkString("[", ", ", "]")
+        s"""WITH sigs AS (SELECT doc_id,
+           |    list_transform(generate_series(1, length(trim(text))),
+           |      i -> CAST(ascii(substr(trim(text), i, 1)) AS BIGINT) - 96) AS sig,
+           |    length(trim(text)) AS n
+           |  FROM documents WHERE length(trim(text)) >= 64),
+           |win AS (SELECT doc_id, w, list_slice(sig, CAST(1 + (w * n) // 8 AS INT),
+           |    CAST(((w + 1) * n) // 8 AS INT)) AS a0
+           |  FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS w) ww),
+           |$dCtes,
+           |en AS (SELECT doc_id, w, $esSql AS es FROM d7),
+           |gg AS (SELECT doc_id, flatten(list(es ORDER BY w)) AS g FROM en GROUP BY doc_id),
+           |h AS (SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 55), i ->
+           |    CASE WHEN g[(i // 7) * 8 + (i % 7) + 1] > g[(i // 7) * 8 + (i % 7) + 2]
+           |    THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS h
+           |  FROM gg),
+           |bands_all AS (SELECT doc_id, b, (h >> (14 * b)) & 16383 AS k
+           |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bb),
+           |bsz AS (SELECT b, k, COUNT(*) AS bs, MIN(doc_id) AS rep
+           |  FROM bands_all GROUP BY b, k),
+           |bands AS (SELECT a.doc_id, a.b, a.k FROM bands_all a
+           |  JOIN bsz s ON a.b = s.b AND a.k = s.k AND s.bs <= ${DedupQueries.BandBucketCap}),
+           |star AS (SELECT s.rep AS doc_a, a.doc_id AS doc_b FROM bands_all a
+           |  JOIN bsz s ON a.b = s.b AND a.k = s.k AND s.bs > ${DedupQueries.BandBucketCap}
+           |  WHERE a.doc_id <> s.rep),
+           |pairs AS (SELECT DISTINCT doc_a, doc_b FROM (
+           |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b FROM bands x JOIN bands y
+           |    ON x.b = y.b AND x.k = y.k AND x.doc_id < y.doc_id
+           |  UNION ALL SELECT doc_a, doc_b FROM star) u)
+           |SELECT p.doc_a, p.doc_b, bit_count(xor(a.h, b.h)) AS hamming
+           |FROM pairs p JOIN h a ON p.doc_a = a.doc_id JOIN h b ON p.doc_b = b.doc_id
+           |WHERE bit_count(xor(a.h, b.h)) <= 6 ORDER BY doc_a, doc_b""".stripMargin
+      }
     )
   )
 }

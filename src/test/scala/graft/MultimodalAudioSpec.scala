@@ -54,6 +54,33 @@ class MultimodalAudioSpec extends AnyFunSuite {
     assert(Multimodal.audioFingerprint(Array[Byte](9, 9, 9)).isEmpty)
   }
 
+  test("registry mm_audio_pairs emits verified pairs on a near-identical corpus") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // same-length bodies: a one-char edit perturbs one window's energies
+    // slightly — within hamming range; the structurally different filler
+    // (long runs vs alternating texture = opposite spectral tilt) stays out
+    val body = ("the quick brown fox jumps over the lazy dog and then " * 5).take(250)
+    val filler = (10L until 16L).map(i =>
+      (i, (s"aaaaaaaabbbbbbbbccccccccdddddddd${i}eeeeeeeeffffffff" * 6).take(250)))
+    val corpus = Seq(
+      (1L, body),
+      (2L, body.updated(100, 'x')),
+      (3L, body.updated(40, 'q').updated(200, 'z'))) ++ filler
+    val dir = java.nio.file.Files.createTempDirectory("audio_docs").toString
+    corpus.toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("mm_audio_pairs")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    CacheTracker.releaseAll()
+    assert(got.contains((1L, 2L)), s"near-identical pair missing from $got")
+    assert(got.contains((1L, 3L)) || got.contains((2L, 3L)),
+      s"two-edit doc paired with neither sibling: $got")
+    assert(!got.exists { case (a, b) => a <= 3L && b >= 10L },
+      s"texture families must not cross: $got")
+  }
+
   test("perturbed real audio pairs through the shared banded-LSH pipeline") {
     import spark.implicits._
     val payloads = Seq(
