@@ -137,6 +137,69 @@ object DedupQueries {
       .select(col("doc_id"), col("hs"), size(col("t")).as("n_tok"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  // ---- Bloom-filter decontamination (dedup_contamination_bloom) ----------
+  // 63-bit words: DuckDB's checked BIGINT << rejects 1 << 63, so the top
+  // bit is never used and every mask stays positive in both engines.
+  private val BloomBitsPerWord = 63
+  /** ~16 bits per benchmark element at k=3 probes -> ~0.5% fp rate. */
+  private val BloomBitsPerElem = 16
+  private val BloomProbeCount = 3
+
+  /** The k probe positions of shingle hash `h` in an `mBits`-bit Bloom
+    * filter — the minhash permutation family at i = 1..k (universal-hash
+    * lanes, exact BIGINTs in both dialects: a_i*h < 2.4e13).
+    */
+  private def bloomProbe(i: Int, h: String, mBits: Long): String =
+    s"((${7919 * i + 1} * $h + ${104729 * i + 12345}) % $MP) % ${mBits}L"
+  private def bloomProbeD(i: Int, h: String, mBits: Long): String =
+    s"((${7919 * i + 1} * $h + ${104729 * i + 12345}) % $MP) % $mBits"
+
+  /** Live-resolved Bloom width for the oracle renderer (last-wins, same
+    * contract as [[SimilarityQueries]]' resolved plane count): the word
+    * count follows the BENCHMARK-set cardinality, not a fixed constant, so
+    * a 100× benchmark suite keeps its ~16 bits/element fp envelope with
+    * zero config.
+    */
+  @volatile private var bloomW: Int = 64
+  private[analytics] def bloomWords: Int = bloomW
+  private val bloomByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Array[Long])]()
+
+  /** Build (once per corpus dir) the Bloom bitset over the benchmark
+    * slice's distinct shingle hashes: explode k probe positions, OR the
+    * single-bit masks per 63-bit word (bit_or partial-aggregates map-side),
+    * and collect the dense word array — W words regardless of corpus size,
+    * a few hundred KB for a million-element benchmark suite.
+    */
+  private def resolveBloom(s: SparkSession, d: String): (Int, Array[Long]) = {
+    val r = bloomByDir.computeIfAbsent(d, _ => {
+      val bench = withShingles(docs(s, d).select("doc_id", "text"))
+        .filter(col("doc_id") % 20 === 0)
+        .select(explode(col("hs")).as("h")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = bench.count()
+      val w = math.max(64L,
+        (BloomBitsPerElem * n + BloomBitsPerWord - 1) / BloomBitsPerWord).toInt
+      val mBits = w.toLong * BloomBitsPerWord
+      val probes = (1 to BloomProbeCount).map(bloomProbe(_, "h", mBits))
+      val rows = bench
+        .select(explode(expr(s"array(${probes.mkString(", ")})")).as("pos"))
+        .select(expr(s"pos div $BloomBitsPerWord").as("w"),
+          expr(s"shiftleft(cast(1 as bigint), cast(pos % $BloomBitsPerWord as int))")
+            .as("msk"))
+        .groupBy(col("w")).agg(expr("bit_or(msk)").as("word"))
+        .collect()
+      bench.unpersist()
+      val arr = new Array[Long](w)
+      rows.foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+      if (sys.env.contains("SPARK_GRAFT_VERBOSE"))
+        System.err.println(s"[bloom] words=$w benchElems=$n dir=$d")
+      (w, arr)
+    })
+    bloomW = r._1
+    r
+  }
+
   /** Verified near-dup pairs (doc_a < doc_b, j >= 0.5) from the MinHash+LSH
     * pipeline — see the dedup_minhash_lsh docs for the skew guards.
     */
@@ -519,6 +582,99 @@ object DedupQueries {
              |  floor(n_hits / n_shingles * 1e6 + 0.5) / 1e6 AS contamination
              |FROM tot JOIN hits ON tot.doc_id = hits.doc_id
              |ORDER BY tot.doc_id""".stripMargin)
+    ),
+
+    // ----- decontamination at benchmark-SUITE scale: Bloom prefilter --------
+    // dedup_contamination broadcasts the raw benchmark n-gram set — right
+    // for one eval set, wrong at suite scale (hundreds of benchmarks =
+    // multi-GB of raw shingle hashes pinned on every executor). The scale
+    // form: fold the benchmark set into a Bloom bitset (~16 bits/element,
+    // k=3 universal-hash probes — a few hundred KB at ANY suite size, and
+    // the width self-scales from the benchmark cardinality like the LSH
+    // plane count, oracle rendered from the same resolved constant),
+    // prefilter the corpus side with pure per-row bit math (three
+    // element_at + AND checks against the array literal — zero shuffle,
+    // inside whole-stage codegen), and EXACT-verify only the survivors
+    // with an equi-join. Bloom has no false negatives, so n_hits is
+    // exactly dedup_contamination's answer; the verify join now meets
+    // only bloom-surviving shingle mass (true hits + measured fp rows,
+    // here ~0.5% of the corpus explode) instead of every shingle of every
+    // document, and needs no broadcast of the raw set at all. The per-doc
+    // false-positive count rides the output, so the prefilter's
+    // selectivity is an oracle-checked NUMBER (the ANN-recall-row shape),
+    // not a tuning claim. All bit arithmetic is exact BIGINT in both
+    // dialects (63-bit words; DuckDB's checked shift rejects 1 << 63).
+    "dedup_contamination_bloom" -> QuerySpec(
+      (s, d) => {
+        val (w, arr) = resolveBloom(s, d)
+        val mBits = w.toLong * BloomBitsPerWord
+        val sh = graft.CacheTracker.track(
+          withShingles(docs(s, d).select("doc_id", "text"))
+            .select("doc_id", "hs")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val bench = sh.filter(col("doc_id") % 20 === 0)
+          .select(explode(col("hs")).as("h")).distinct()
+          .withColumn("is_bench", lit(1))
+        val member = (1 to BloomProbeCount).map { i =>
+          val p = s"p$i"
+          s"(element_at(bl, cast($p div $BloomBitsPerWord as int) + 1) & " +
+            s"shiftleft(cast(1 as bigint), cast($p % $BloomBitsPerWord as int))) != 0"
+        }.mkString(" AND ")
+        val cand = sh.filter(col("doc_id") % 20 =!= 0)
+          .select(col("doc_id"), expr("cast(size(hs) as bigint)").as("n_shingles"),
+            explode(col("hs")).as("h"))
+          .withColumns(Map(
+            "p1" -> expr(bloomProbe(1, "h", mBits)),
+            "p2" -> expr(bloomProbe(2, "h", mBits)),
+            "p3" -> expr(bloomProbe(3, "h", mBits))))
+          .withColumn("bl", typedLit(arr.toSeq))
+          .filter(expr(member))
+          .select("doc_id", "n_shingles", "h")
+        // NO broadcast hint: the whole point is that the benchmark side
+        // need not fit in executor memory — this equi-join shuffles only
+        // candidate mass (AQE may still elect broadcast when it is tiny)
+        cand.join(bench, Seq("h"), "left")
+          .groupBy(col("doc_id"), col("n_shingles"))
+          .agg(count(lit(1)).as("n_candidates"), count(col("is_bench")).as("n_hits"))
+          .withColumn("n_false_pos", col("n_candidates") - col("n_hits"))
+          .withColumn("contamination", expr("floor(n_hits / n_shingles * 1e6 + 0.5) / 1e6"))
+          .select(col("doc_id"), col("n_shingles"), col("n_candidates"),
+            col("n_hits"), col("n_false_pos"), col("contamination"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val mBits = bloomWords.toLong * BloomBitsPerWord
+        val pD = (1 to BloomProbeCount).map(bloomProbeD(_, "h", mBits))
+        val memberD = (1 to BloomProbeCount).map { i =>
+          s"(bl[CAST(p$i // $BloomBitsPerWord AS INT) + 1] & " +
+            s"(CAST(1 AS BIGINT) << CAST(p$i % $BloomBitsPerWord AS INT))) != 0"
+        }.mkString(" AND ")
+        s"""$OracleShingles,
+           |bn AS (SELECT DISTINCT unnest(hs) AS h FROM sh WHERE doc_id % 20 = 0),
+           |pb AS (SELECT unnest([${pD.mkString(", ")}]) AS pos FROM bn),
+           |wrd AS (SELECT pos // $BloomBitsPerWord AS w,
+           |    bit_or(CAST(1 AS BIGINT) << CAST(pos % $BloomBitsPerWord AS INT)) AS word
+           |  FROM pb GROUP BY 1),
+           |dense AS (SELECT g.w, COALESCE(wrd.word, 0) AS word
+           |  FROM (SELECT unnest(generate_series(0, ${bloomWords - 1})) AS w) g
+           |  LEFT JOIN wrd ON g.w = wrd.w),
+           |blm AS (SELECT list(word ORDER BY w) AS bl FROM dense),
+           |tr AS (SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_shingles, unnest(hs) AS h
+           |  FROM sh WHERE doc_id % 20 <> 0),
+           |trp AS (SELECT doc_id, n_shingles, h,
+           |    ${pD.zipWithIndex.map { case (p, i) => s"$p AS p${i + 1}" }.mkString(", ")}
+           |  FROM tr),
+           |cand AS (SELECT doc_id, n_shingles, h FROM trp CROSS JOIN blm
+           |  WHERE $memberD)
+           |SELECT c.doc_id, c.n_shingles,
+           |  COUNT(*) AS n_candidates,
+           |  COUNT(bn.h) AS n_hits,
+           |  COUNT(*) - COUNT(bn.h) AS n_false_pos,
+           |  floor(COUNT(bn.h) / c.n_shingles * 1e6 + 0.5) / 1e6 AS contamination
+           |FROM cand c LEFT JOIN bn ON c.h = bn.h
+           |GROUP BY c.doc_id, c.n_shingles
+           |ORDER BY c.doc_id""".stripMargin
+      }
     ),
 
     // ----- SimHash near-dup: 32-bit signature, 16-bit band join, hamming ----
