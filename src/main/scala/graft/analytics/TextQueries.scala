@@ -741,6 +741,76 @@ object TextQueries {
              |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin)
     ),
 
+    // ----- DSIR importance weights: data selection for a target domain ------
+    // Data Selection with Importance Resampling (Xie et al. 2023,
+    // arXiv:2302.03169) reduced to its unigram form: score every raw
+    // document by how much more likely its tokens are under the TARGET
+    // domain's language model than under the raw-corpus model,
+    // lambda(w) = ln( p_target(w) / p_raw(w) ) with add-one smoothing, and
+    // keep docs whose mean per-token log-ratio is positive (more
+    // target-like than the corpus average). Here the "target corpus" is
+    // the lang='en' slice standing in for a curated reference set. Same
+    // integer discipline as txt_perplexity: per-token cost floored to
+    // micro-nat BIGINTs (partition-order-proof; the ln itself carries the
+    // documented ~1-ulp libm risk), per-doc mean via exact floor division.
+    // Scale design: the token->(c_target, c_raw) lookup is the same
+    // Zipf-skewed join as perplexity and takes the same hot/cold split —
+    // top-K head broadcasts, tail shuffle-joins, legs disjoint by
+    // anti-join. is_target rides the output as the self-consistency
+    // check: target-slice docs score visibly positive against their own
+    // model (measured at sf0.01: target docs average above zero, the
+    // non-target average sits below), so the selection is a working
+    // discriminator, not just exercised plumbing.
+    "txt_dsir_weights" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val tok = graft.CacheTracker.track(
+          docs(s, d).select(col("doc_id"), col("lang"),
+            explode(expr(tokensS("text"))).as("w"))
+            .persist(MEMORY_AND_DISK))
+        val cr = tok.groupBy(col("w")).agg(count(lit(1)).as("c_r"))
+        val ct = tok.filter(col("lang") === "en")
+          .groupBy(col("w")).agg(count(lit(1)).as("c_t"))
+        val tots = cr.agg(sum(col("c_r")).cast("bigint").as("r"), count(lit(1)).as("v"))
+        val ttot = ct.agg(sum(col("c_t")).cast("bigint").as("t")).na.fill(0L, Seq("t"))
+        val lam = graft.CacheTracker.track(
+          cr.join(ct, Seq("w"), "left").na.fill(0L, Seq("c_t"))
+            .crossJoin(broadcast(tots)).crossJoin(broadcast(ttot))
+            .select(col("w"), col("c_r"),
+              expr("cast(floor(ln((cast(c_t + 1 as double) * (r + v)) / " +
+                "((t + v) * cast(c_r + 1 as double))) * 1e6) as bigint)").as("lm"))
+            .persist(MEMORY_AND_DISK))
+        val hot = lam.orderBy(col("c_r").desc, col("w").asc).limit(HotVocab)
+          .select(col("w"), col("lm"))
+        val cold = lam.join(hot.select("w"), Seq("w"), "left_anti")
+          .select(col("w"), col("lm"))
+        val scored = tok.join(broadcast(hot), Seq("w"))
+          .unionByName(tok.join(cold, Seq("w")))
+        scored.groupBy(col("doc_id"), (col("lang") === "en").as("is_target"))
+          .agg(count(lit(1)).as("n_tok"), sum(col("lm")).as("sm"))
+          .select(col("doc_id"), col("is_target"), col("n_tok"),
+            expr("(sm - pmod(sm, n_tok)) div n_tok").as("dsir_micro"))
+          .withColumn("kept", col("dsir_micro") > 0)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, lang, ${tokensD("text")} AS t FROM documents),
+             |tok AS (SELECT doc_id, lang, unnest(t) AS w FROM toks),
+             |cr AS (SELECT w, COUNT(*) AS c_r FROM tok GROUP BY w),
+             |ctc AS (SELECT w, COUNT(*) AS c_t FROM tok WHERE lang = 'en' GROUP BY w),
+             |tots AS (SELECT CAST(SUM(c_r) AS BIGINT) AS r, COUNT(*) AS v FROM cr),
+             |ttot AS (SELECT CAST(COALESCE(SUM(c_t), 0) AS BIGINT) AS t FROM ctc),
+             |lam AS (SELECT cr.w, CAST(floor(ln((CAST(COALESCE(ctc.c_t, 0) + 1 AS DOUBLE) * (r + v)) /
+             |    ((t + v) * CAST(cr.c_r + 1 AS DOUBLE))) * 1e6) AS BIGINT) AS lm
+             |  FROM cr LEFT JOIN ctc USING (w) CROSS JOIN tots CROSS JOIN ttot),
+             |agg AS (SELECT tk.doc_id, (tk.lang = 'en') AS is_target,
+             |    COUNT(*) AS n_tok, CAST(SUM(l.lm) AS BIGINT) AS sm
+             |  FROM tok tk JOIN lam l USING (w) GROUP BY 1, 2)
+             |SELECT doc_id, is_target, n_tok,
+             |  (sm - ((sm % n_tok) + n_tok) % n_tok) // n_tok AS dsir_micro,
+             |  (sm - ((sm % n_tok) + n_tok) % n_tok) // n_tok > 0 AS kept
+             |FROM agg ORDER BY doc_id""".stripMargin)
+    ),
+
     // ----- vocabulary coverage curve: tokenizer-budget sizing ---------------
     // "What vocab size covers X% of token occurrences" — the sizing input
     // for tokenizer training. Scale design: NO corpus- or vocab-sized
