@@ -16,6 +16,11 @@ object MultimodalQueries {
 
   private def docs(s: SparkSession, d: String) = Tables.t(s, d, "documents")
 
+  /** mm_video_pairs: a frame hash held by more than this many videos is
+    * boilerplate (title cards, black frames) — candidate noise, never a
+    * clip signal. Same anti-join cap shape as dedup_span's ShingleDfCap. */
+  private val VideoFrameDfCap = 20
+
   /** Near-dup pairs from a 56-bit perceptual-hash table `h(doc_id, h)`:
     * 4 × 14-bit banded LSH (complete for hamming ≤ 3 by pigeonhole) through
     * the minhash family's capped band join + hot-bucket star
@@ -38,6 +43,43 @@ object MultimodalQueries {
       .withColumn("hamming", expr("bit_count(ha ^ hb)"))
       .filter(col("hamming") <= 6)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** Shared-clip pairs from per-frame perceptual hashes `fr(vid, fi, h)`:
+    * frames of DIFFERENT videos match when they share a 14-bit band of
+    * their 56-bit hash AND verify at hamming ≤ `hamMax` (tolerates
+    * re-encode/brightness drift the real-binary path produces); matches
+    * group into clips by the (pair, temporal-offset diagonal)
+    * gaps-and-islands run. Multi-band collisions dedup via distinct over
+    * the (pair, frame, diag) match rows — bounded by true match mass, the
+    * first-matching-band emission is the production refinement. Drives
+    * `MultimodalVideoSpec`'s JDK-decoded animated-GIF frames through the
+    * exact clip logic `mm_video_pairs` oracle-checks on the stand-in.
+    */
+  private[graft] def clipPairsFromFrameHashes(
+      fr: org.apache.spark.sql.DataFrame, hamMax: Int, minClip: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bands = fr.select(col("vid"), col("fi"), col("h"),
+      explode(expr("transform(sequence(0, 3), b -> " +
+        "named_struct('b', b, 'k', shiftright(h, 14 * b) & 16383))")).as("bk"))
+      .select(col("vid"), col("fi"), col("h"), col("bk.b").as("b"), col("bk.k").as("k"))
+    val m = bands.as("x")
+      .join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.k") === col("y.k") &&
+          col("x.vid") < col("y.vid"))
+      .filter(expr("bit_count(x.h ^ y.h)") <= hamMax)
+      .select(col("x.vid").as("vid_a"), col("y.vid").as("vid_b"),
+        col("x.fi").as("fa"), (col("x.fi") - col("y.fi")).as("diag"))
+      .distinct()
+    val wr = Window.partitionBy(col("vid_a"), col("vid_b"), col("diag"))
+      .orderBy(col("fa"))
+    m.withColumn("grp", col("fa") - row_number().over(wr))
+      .groupBy(col("vid_a"), col("vid_b"), col("diag"), col("grp"))
+      .agg(count(lit(1)).as("clip_frames"))
+      .groupBy(col("vid_a"), col("vid_b"))
+      .agg(max(col("clip_frames")).as("longest_clip"), count(lit(1)).as("n_clips"))
+      .filter(col("longest_clip") >= minClip)
   }
 
   val all: Map[String, QuerySpec] = Map(
@@ -158,6 +200,72 @@ object MultimodalQueries {
              |SELECT p.doc_a, p.doc_b, bit_count(xor(a.h, b.h)) AS hamming
              |FROM pairs p JOIN h a ON p.doc_a = a.doc_id JOIN h b ON p.doc_b = b.doc_id
              |WHERE bit_count(xor(a.h, b.h)) <= 6 ORDER BY doc_a, doc_b""".stripMargin)
+    ),
+
+    // ----- video shared-clip detection: frame hashes + diagonal runs --------
+    // The ContentID shape: two videos share a CLIP when a RUN of
+    // consecutive frames matches at a constant temporal offset. The
+    // payload's frame sequence (here contiguous 32-byte strides of the
+    // text stand-in; the real-binary path is
+    // [[graft.operators.Multimodal.videoFrameHashes]] — per-frame
+    // perceptual hashes over JDK-decoded animated-GIF frames, spec-driven
+    // in `MultimodalVideoSpec`) maps to (video, frame_idx, frame_hash);
+    // candidates come from an inverted index on the frame hash with a
+    // document-frequency cap (a frame appearing in >cap videos is
+    // boilerplate — black frames, title cards — and pure candidate
+    // noise), and matches group into clips by the dedup_span move:
+    // gaps-and-islands over (pair, offset diagonal). Scale: the posting
+    // list is never shuffle-sorted (anti-join cap), pair mass is bounded
+    // by true shared-frame mass ≤ cap per frame hash, and the runs window
+    // partitions by (pair, diag) — clip-sized state, never corpus-sized.
+    "mm_video_pairs" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val fr0 = Tables.spread(docs(s, d).select("doc_id", "text"), "doc_id")
+          .withColumn("body", trim(col("text")))
+          .select(col("doc_id"), col("body"),
+            explode(expr("if(length(body) = 0, cast(array() as array<int>), " +
+              "sequence(1, cast(ceil(length(body) / 32.0) as int)))")).as("fi"))
+          .select(col("doc_id"), col("fi"),
+            expr(strHashS("substring(body, (fi - 1) * 32 + 1, 32)")).as("h"))
+        val hot = fr0.groupBy(col("h")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > VideoFrameDfCap).select(col("h"))
+        val fr = graft.CacheTracker.track(fr0.join(hot, Seq("h"), "left_anti")
+          .persist(MEMORY_AND_DISK))
+        val m = fr.as("x")
+          .join(fr.as("y"), col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+            col("x.fi").as("fa"), (col("x.fi") - col("y.fi")).as("diag"))
+        val wr = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+          .orderBy(col("fa"))
+        m.withColumn("grp", col("fa") - row_number().over(wr))
+          .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
+          .agg(count(lit(1)).as("clip_frames"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(max(col("clip_frames")).as("longest_clip"), count(lit(1)).as("n_clips"))
+          .filter(col("longest_clip") >= 3)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""WITH b AS (SELECT doc_id, trim(text) AS body FROM documents),
+             |f0 AS (SELECT doc_id, body,
+             |    unnest(generate_series(1, CAST(ceil(length(body) / 32.0) AS INT))) AS fi
+             |  FROM b),
+             |fr AS (SELECT doc_id, fi,
+             |    ${strHashD("substr(body, (fi - 1) * 32 + 1, 32)")} AS h FROM f0),
+             |pc AS (SELECT doc_id, fi, h FROM fr
+             |  QUALIFY COUNT(*) OVER (PARTITION BY h) <= $VideoFrameDfCap),
+             |m AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.fi AS fa,
+             |    x.fi - y.fi AS diag
+             |  FROM pc x JOIN pc y ON x.h = y.h AND x.doc_id < y.doc_id),
+             |runs AS (SELECT doc_a, doc_b, diag,
+             |    fa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY fa) AS grp
+             |  FROM m),
+             |clips AS (SELECT doc_a, doc_b, COUNT(*) AS clip_frames
+             |  FROM runs GROUP BY doc_a, doc_b, diag, grp)
+             |SELECT doc_a, doc_b, MAX(clip_frames) AS longest_clip, COUNT(*) AS n_clips
+             |FROM clips GROUP BY doc_a, doc_b HAVING MAX(clip_frames) >= 3
+             |ORDER BY doc_a, doc_b""".stripMargin)
     ),
 
     // ----- audio-fingerprint near-dup over a pseudo-PCM stand-in -----------

@@ -307,6 +307,36 @@ object Multimodal {
       } finally in.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Decode a multi-frame payload (animated GIF — the one video-shaped
+    * format the JDK ships a codec for) into per-frame perceptual hashes:
+    * frame i → [[phash56]] of its luminance grid, the SAME 56-bit packing
+    * the image and audio paths emit, so video frames drop straight into
+    * the banded-LSH candidate pipeline and the clip-runs logic of
+    * `mm_video_pairs`. Frames are read as stored (the spec writes
+    * full-size frames; delta-coded GIFs would need disposal-method
+    * compositing first). None when no codec accepts the bytes or the
+    * stream holds no frames — callers stay total.
+    */
+  def videoFrameHashes(payload: Array[Byte]): Option[Vector[Long]] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      if (iis == null) None
+      else {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) { iis.close(); None }
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            val n = r.getNumImages(true)
+            if (n <= 0) None
+            else Some((0 until n).map(i => phash56(luminanceGrid8(r.read(i)))).toVector)
+          } finally { r.dispose(); iis.close() }
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   private def md5Hex(payload: Array[Byte]): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(payload).map("%02x".format(_)).mkString
