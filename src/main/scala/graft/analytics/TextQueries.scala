@@ -1071,6 +1071,134 @@ object TextQueries {
              |  CAST(SUM((length(scrubbed) - length(replace(scrubbed, '[URL]', ''))) / 5) AS BIGINT) AS n_urls,
              |  CAST(SUM(length(raw) - length(scrubbed)) AS BIGINT) AS chars_removed
              |FROM scr GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // ----- BM25 full-text retrieval: top-5 per query over the corpus --------
+    // The retrieval primitive a training pipeline uses for RAG indexing and
+    // retrieval-based decontamination: Okapi BM25 (k1=1.2, b=0.75, Lucene
+    // +1 idf) scoring every corpus document against a query set (here the
+    // 8 lowest-id src0 documents standing in for the benchmark/query
+    // batch). Shape at 100 TB: ONE corpus-sized shuffle builds the
+    // (doc, term)->tf inverted index (persisted — doc lengths, document
+    // frequencies, and scoring all reuse it); the query side (query terms
+    // + their idf) is bounded by |queries| x |query vocab| and BROADCASTS,
+    // so scoring is a map-side hash join over the index — no shuffle
+    // keyed on the Zipf-skewed term. Stopword-dominated query terms
+    // (df > N/2) are pruned, the standard guard that also caps the
+    // broadcast fan-out: a term matching most of the corpus would emit
+    // candidate rows ~N regardless, and BM25 gives it ~zero idf anyway.
+    // Oracle parity: idf floored to micro-nat BIGINTs (documented ~1-ulp
+    // libm ln risk, as txt_perplexity); each term's contribution floored
+    // to an integer BEFORE the per-(query, doc) sum, so Spark's
+    // partition-order double summation never diverges from DuckDB's.
+    "txt_bm25_search" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val tf = graft.CacheTracker.track(
+          docs(s, d)
+            .select(col("doc_id"), col("source"), explode(expr(tokensS("text"))).as("w"))
+            .filter(length(col("w")) > 0)
+            .groupBy(col("doc_id"), col("w"))
+            .agg(count(lit(1)).as("tf"))
+            .persist(MEMORY_AND_DISK))
+        val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).cast("bigint").as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).cast("bigint").as("total"))
+          .withColumn("avgdl", expr("cast(total as double) / n"))
+        val dfq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+        val qids = docs(s, d).filter(col("source") === "src0")
+          .select(col("doc_id").as("qid")).orderBy(col("qid")).limit(8)
+        val qt = tf.join(broadcast(qids), col("doc_id") === col("qid"))
+          .select(col("qid"), col("w"))
+        val qti = dfq.join(broadcast(qt), Seq("w"))
+          .crossJoin(broadcast(stats))
+          .filter(expr("df * 2 <= n"))
+          .select(col("qid"), col("w"),
+            expr("cast(floor(ln((n - df + 0.5) / (df + 0.5) + 1) * 1e6) as bigint)")
+              .as("idf_micro"))
+        val cand = tf.join(broadcast(qids), col("doc_id") === col("qid"), "left_anti")
+        cand.join(broadcast(qti), Seq("w"))
+          .join(dl, Seq("doc_id"))
+          .crossJoin(broadcast(stats.select(col("avgdl"))))
+          .select(col("qid"), col("doc_id"),
+            expr("cast(floor(idf_micro * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))) + 0.5) as bigint)")
+              .as("contrib"))
+          .groupBy(col("qid"), col("doc_id"))
+          .agg(count(lit(1)).as("n_terms"), sum(col("contrib")).cast("bigint").as("score_micro"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("score_micro").desc, col("doc_id"))))
+          .filter(col("rank") <= 5)
+          .select(col("qid").as("query_id"), col("rank"), col("doc_id"),
+            col("n_terms"), col("score_micro"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, source, unnest(${tokensD("text")}) AS w FROM documents),
+             |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok WHERE length(w) > 0 GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+             |stats AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS total,
+             |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+             |dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+             |qids AS (SELECT doc_id AS qid FROM documents WHERE source = 'src0'
+             |    ORDER BY doc_id LIMIT 8),
+             |qt AS (SELECT qid, w FROM tf JOIN qids ON tf.doc_id = qids.qid),
+             |qti AS (SELECT qid, qt.w,
+             |    CAST(floor(ln((n - df + 0.5) / (df + 0.5) + 1) * 1e6) AS BIGINT) AS idf_micro
+             |  FROM qt JOIN dfq ON qt.w = dfq.w CROSS JOIN stats WHERE df * 2 <= n),
+             |cand AS (SELECT * FROM tf WHERE doc_id NOT IN (SELECT qid FROM qids)),
+             |sc AS (SELECT qti.qid, cand.doc_id,
+             |    CAST(floor(qti.idf_micro * ((cand.tf * 2.2) / (cand.tf + 1.2 * (0.25 + 0.75 * (dl.dl / stats.avgdl)))) + 0.5) AS BIGINT) AS contrib
+             |  FROM cand JOIN qti ON cand.w = qti.w
+             |    JOIN dl ON cand.doc_id = dl.doc_id CROSS JOIN stats),
+             |agg AS (SELECT qid, doc_id, COUNT(*) AS n_terms,
+             |    CAST(SUM(contrib) AS BIGINT) AS score_micro FROM sc GROUP BY 1, 2),
+             |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+             |    ORDER BY score_micro DESC, doc_id) AS rank FROM agg)
+             |SELECT qid AS query_id, rank, doc_id, n_terms, score_micro
+             |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
+    ),
+
+    // ----- RAG chunking + chunk-level dedup stats ---------------------------
+    // Retrieval corpora are indexed as overlapping fixed-size chunks
+    // (window 64 tokens, stride 48 => 16-token overlap); duplicated chunks
+    // inflate the index and skew retrieval, so the per-source duplicate
+    // ratio is the stat a chunking pipeline reports. Pure narrow work —
+    // tokenize, slice windows with sequence/transform HOFs (codegen'd, no
+    // UDF), md5 each chunk — then one map-side-combined aggregate per
+    // source; COUNT(DISTINCT md5) shuffles (source, fp) pairs, bounded by
+    // chunk count, and partial-aggregates the distinct set per mapper.
+    // Chunk starts only exist while start <= len(t) (both engines clamp
+    // the final short window; out-of-range slices diverge — DuckDB yields
+    // NULL where Spark gives empty — so the start grid stops at the last
+    // non-empty window by construction).
+    "txt_chunking" -> QuerySpec(
+      (s, d) => {
+        docs(s, d)
+          .withColumn("t", expr(tokensS("text")))
+          .filter(expr("size(t) > 0"))
+          .select(col("source"),
+            explode(expr(
+              "transform(sequence(0, cast((size(t) - 1) div 48 as int)), " +
+                "i -> struct(md5(array_join(slice(t, i * 48 + 1, 64), ' ')) as fp, " +
+                "size(slice(t, i * 48 + 1, 64)) as ct))")).as("c"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_chunks"),
+            countDistinct(col("c.fp")).as("n_distinct"),
+            sum(col("c.ct")).cast("bigint").as("chunk_tokens"))
+          .withColumn("dup_ratio",
+            expr("floor((n_chunks - n_distinct) / n_chunks * 1e6 + 0.5) / 1e6"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH toks AS (SELECT source, ${tokensD("text")} AS t FROM documents),
+             |ch AS (SELECT source,
+             |    unnest(list_transform(generate_series(0, (len(t) - 1) // 48),
+             |      i -> struct_pack(fp := md5(array_to_string(t[i * 48 + 1 : i * 48 + 64], ' ')),
+             |                       ct := len(t[i * 48 + 1 : i * 48 + 64])))) AS c
+             |  FROM toks WHERE len(t) > 0)
+             |SELECT source, COUNT(*) AS n_chunks,
+             |  COUNT(DISTINCT c.fp) AS n_distinct,
+             |  CAST(SUM(c.ct) AS BIGINT) AS chunk_tokens,
+             |  floor((COUNT(*) - COUNT(DISTINCT c.fp)) / COUNT(*) * 1e6 + 0.5) / 1e6 AS dup_ratio
+             |FROM ch GROUP BY source ORDER BY source""".stripMargin)
     )
   )
 
