@@ -1400,6 +1400,74 @@ object SimilarityQueries {
              |  round(SUM(ci) / COUNT(*) / 1e6, 6) AS avg_cos,
              |  round(MIN(ci) / 1e6, 6) AS min_cos
              |FROM ci GROUP BY label ORDER BY label""".stripMargin)
+    ),
+
+    // ----- hybrid retrieval: BM25 text rank x cosine vector rank, RRF -------
+    // The production RAG retrieval stack in one query: for each query
+    // document (ids 0-3, whose embedding is the matching `embeddings` row),
+    // rank candidates by BM25 over tokens AND by cosine over vectors, then
+    // fuse with Reciprocal Rank Fusion — points = 1e6 div (60 + rank),
+    // summed across the two lists (Cormack et al.'s k=60; integer div, so
+    // fusion is exact integer arithmetic with no cross-engine float risk).
+    // RRF is the standard fusion precisely because scores from different
+    // modalities aren't calibrated against each other — only ranks are.
+    // Scale shape: each leg is the already-scaled primitive (BM25 =
+    // broadcast query terms over the persisted inverted index; cosine =
+    // broadcast query vectors, here brute-force as the oracle-checkable
+    // baseline — the IVF/PQ store drops in for the corpus side at scale);
+    // the fusion itself is a UNION + one aggregate keyed on (query, doc) —
+    // cardinality <= 2 x topN x |queries|, trivially partitioned. Depth 50
+    // per leg before fusing to top-10, the usual deep-pools-then-fuse.
+    "hyb_rrf_search" -> QuerySpec(
+      (s, d) => {
+        graft.functions.VectorExpressions.register(s)
+        import org.apache.spark.sql.expressions.Window
+        val qids = emb(s, d).filter(col("vec_id") < 4)
+          .select(col("vec_id").as("qid"))
+        val text = TextQueries.bm25Ranked(s, d, qids, 50)
+          .select(col("qid"), col("doc_id"), col("rank"))
+        val n = Tables.spread(emb(s, d), "vec_id")
+          .select(col("vec_id"), expr(quantizeS("embedding")).as("qe"))
+          .withColumn("nrm", expr("long_dot(qe, qe)"))
+        val qv = n.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("qid"), col("qe").as("qa"), col("nrm").as("na"))
+        val vec = broadcast(qv)
+          .join(n, col("vec_id") =!= col("qid"))
+          .withColumn("c", expr("long_dot(qa, qe) / (sqrt(na) * sqrt(nrm))"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("c").desc, col("vec_id"))))
+          .filter(col("rank") <= 50)
+          .select(col("qid"), col("vec_id").as("doc_id"), col("rank"))
+        text.unionByName(vec)
+          .select(col("qid"), col("doc_id"), expr("1000000 div (60 + rank)").as("pts"))
+          .groupBy(col("qid"), col("doc_id"))
+          .agg(count(lit(1)).as("n_lists"), sum(col("pts")).cast("bigint").as("rrf_micro"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("qid"))
+              .orderBy(col("rrf_micro").desc, col("doc_id"))))
+          .filter(col("rank") <= 10)
+          .select(col("qid").as("query_id"), col("rank"), col("doc_id"),
+            col("n_lists"), col("rrf_micro"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH ${TextQueries.bm25SqlCtes("SELECT vec_id AS qid FROM embeddings WHERE vec_id < 4")},
+             |tq AS (SELECT qid, doc_id, rank FROM r WHERE rank <= 50),
+             |qn AS (SELECT vec_id, ${quantizeD("embedding")} AS qe FROM embeddings),
+             |nn AS (SELECT vec_id, qe, ${dotD("qe", "qe")} AS nrm FROM qn),
+             |vp AS (SELECT a.vec_id AS qid, b.vec_id AS doc_id,
+             |    ${dotD("a.qe", "b.qe")} / (sqrt(a.nrm) * sqrt(b.nrm)) AS c
+             |  FROM nn a JOIN nn b ON a.vec_id < 4 AND b.vec_id <> a.vec_id),
+             |vq AS (SELECT qid, doc_id, rank FROM (SELECT qid, doc_id,
+             |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, doc_id) AS rank
+             |  FROM vp) z WHERE rank <= 50),
+             |u AS (SELECT qid, doc_id, 1000000 // (60 + rank) AS pts FROM tq
+             |  UNION ALL SELECT qid, doc_id, 1000000 // (60 + rank) AS pts FROM vq),
+             |f AS (SELECT qid, doc_id, COUNT(*) AS n_lists,
+             |    CAST(SUM(pts) AS BIGINT) AS rrf_micro FROM u GROUP BY 1, 2),
+             |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+             |    ORDER BY rrf_micro DESC, doc_id) AS rank FROM f)
+             |SELECT qid AS query_id, rank, doc_id, n_lists, rrf_micro
+             |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)
     )
   )
 }

@@ -1093,66 +1093,15 @@ object TextQueries {
     // partition-order double summation never diverges from DuckDB's.
     "txt_bm25_search" -> QuerySpec(
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-        val tf = graft.CacheTracker.track(
-          docs(s, d)
-            .select(col("doc_id"), col("source"), explode(expr(tokensS("text"))).as("w"))
-            .filter(length(col("w")) > 0)
-            .groupBy(col("doc_id"), col("w"))
-            .agg(count(lit(1)).as("tf"))
-            .persist(MEMORY_AND_DISK))
-        val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).cast("bigint").as("dl"))
-        val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).cast("bigint").as("total"))
-          .withColumn("avgdl", expr("cast(total as double) / n"))
-        val dfq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
         val qids = docs(s, d).filter(col("source") === "src0")
           .select(col("doc_id").as("qid")).orderBy(col("qid")).limit(8)
-        val qt = tf.join(broadcast(qids), col("doc_id") === col("qid"))
-          .select(col("qid"), col("w"))
-        val qti = dfq.join(broadcast(qt), Seq("w"))
-          .crossJoin(broadcast(stats))
-          .filter(expr("df * 2 <= n"))
-          .select(col("qid"), col("w"),
-            expr("cast(floor(ln((n - df + 0.5) / (df + 0.5) + 1) * 1e6) as bigint)")
-              .as("idf_micro"))
-        val cand = tf.join(broadcast(qids), col("doc_id") === col("qid"), "left_anti")
-        cand.join(broadcast(qti), Seq("w"))
-          .join(dl, Seq("doc_id"))
-          .crossJoin(broadcast(stats.select(col("avgdl"))))
-          .select(col("qid"), col("doc_id"),
-            expr("cast(floor(idf_micro * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))) + 0.5) as bigint)")
-              .as("contrib"))
-          .groupBy(col("qid"), col("doc_id"))
-          .agg(count(lit(1)).as("n_terms"), sum(col("contrib")).cast("bigint").as("score_micro"))
-          .withColumn("rank", row_number().over(
-            Window.partitionBy(col("qid")).orderBy(col("score_micro").desc, col("doc_id"))))
-          .filter(col("rank") <= 5)
+        bm25Ranked(s, d, qids, 5)
           .select(col("qid").as("query_id"), col("rank"), col("doc_id"),
             col("n_terms"), col("score_micro"))
           .orderBy(col("query_id"), col("rank"))
       },
-      Some(s"""WITH tok AS (SELECT doc_id, source, unnest(${tokensD("text")}) AS w FROM documents),
-             |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok WHERE length(w) > 0 GROUP BY 1, 2),
-             |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
-             |stats AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS total,
-             |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
-             |dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
-             |qids AS (SELECT doc_id AS qid FROM documents WHERE source = 'src0'
-             |    ORDER BY doc_id LIMIT 8),
-             |qt AS (SELECT qid, w FROM tf JOIN qids ON tf.doc_id = qids.qid),
-             |qti AS (SELECT qid, qt.w,
-             |    CAST(floor(ln((n - df + 0.5) / (df + 0.5) + 1) * 1e6) AS BIGINT) AS idf_micro
-             |  FROM qt JOIN dfq ON qt.w = dfq.w CROSS JOIN stats WHERE df * 2 <= n),
-             |cand AS (SELECT * FROM tf WHERE doc_id NOT IN (SELECT qid FROM qids)),
-             |sc AS (SELECT qti.qid, cand.doc_id,
-             |    CAST(floor(qti.idf_micro * ((cand.tf * 2.2) / (cand.tf + 1.2 * (0.25 + 0.75 * (dl.dl / stats.avgdl)))) + 0.5) AS BIGINT) AS contrib
-             |  FROM cand JOIN qti ON cand.w = qti.w
-             |    JOIN dl ON cand.doc_id = dl.doc_id CROSS JOIN stats),
-             |agg AS (SELECT qid, doc_id, COUNT(*) AS n_terms,
-             |    CAST(SUM(contrib) AS BIGINT) AS score_micro FROM sc GROUP BY 1, 2),
-             |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
-             |    ORDER BY score_micro DESC, doc_id) AS rank FROM agg)
+      Some(s"""WITH ${bm25SqlCtes(
+               "SELECT doc_id AS qid FROM documents WHERE source = 'src0' ORDER BY doc_id LIMIT 8")}
              |SELECT qid AS query_id, rank, doc_id, n_terms, score_micro
              |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
     ),
@@ -1199,6 +1148,49 @@ object TextQueries {
              |  CAST(SUM(c.ct) AS BIGINT) AS chunk_tokens,
              |  floor((COUNT(*) - COUNT(DISTINCT c.fp)) / COUNT(*) * 1e6 + 0.5) / 1e6 AS dup_ratio
              |FROM ch GROUP BY source ORDER BY source""".stripMargin)
+    ),
+
+    // ----- exact heavy hitters via a Misra-Gries candidate pass -------------
+    // Tokens with frequency > N/64 — the "is one template/boilerplate string
+    // dominating my corpus" diagnostic — computed the way it must be at
+    // 100 TB: pass 1 runs the mergeable Misra-Gries sketch (63 counters) as
+    // a typed Aggregator, so every map task reduces its slice to <= 63
+    // counters BEFORE the single-group shuffle and the full Zipfian
+    // vocabulary never moves; the MG invariant guarantees the candidate
+    // set contains every token above threshold. Pass 2 exact-counts ONLY
+    // the broadcast candidate set (shuffle keyed on <= 63 tokens) and
+    // filters by the integer predicate cnt * 64 > N — so the final answer
+    // is EXACT and oracle-checkable even though a sketch found it. The
+    // naive form (full groupBy + HAVING) shuffles the whole vocabulary;
+    // this shuffles 63 keys and reads the corpus twice — the right trade
+    // everywhere scans are cheaper than wide shuffles.
+    "txt_heavy_hitters" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        graft.functions.SketchAggregators.register(s)
+        val tok = graft.CacheTracker.track(
+          docs(s, d).select(explode(expr(tokensS("text"))).as("w"))
+            .filter(length(col("w")) > 0)
+            .persist(MEMORY_AND_DISK))
+        val cand = tok.agg(expr("mg63(w)").as("cs"))
+          .select(explode(col("cs")).as("w"))
+        val tot = tok.agg(count(lit(1)).as("n_total"))
+        tok.join(broadcast(cand), Seq("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+          .crossJoin(broadcast(tot))
+          .filter(expr("cnt * 64 > n_total"))
+          .select(col("w"), col("cnt"), col("n_total"),
+            expr("cast(floor(cnt / n_total * 1e6 + 0.5) as bigint)").as("ppm"))
+          .orderBy(col("cnt").desc, col("w"))
+      },
+      Some(s"""WITH tok AS (SELECT unnest(${tokensD("text")}) AS w FROM documents),
+             |tk AS (SELECT w FROM tok WHERE length(w) > 0),
+             |tot AS (SELECT COUNT(*) AS n_total FROM tk),
+             |c AS (SELECT w, COUNT(*) AS cnt FROM tk GROUP BY w)
+             |SELECT w, cnt, n_total,
+             |  CAST(floor(cnt / n_total * 1e6 + 0.5) AS BIGINT) AS ppm
+             |FROM c CROSS JOIN tot WHERE cnt * 64 > n_total
+             |ORDER BY cnt DESC, w""".stripMargin)
     )
   )
 
@@ -1220,6 +1212,97 @@ object TextQueries {
     * (anti-join on the head keys), and their union is exactly the plain
     * join (`TextQueriesSpec` pins this).
     */
+  /** BM25 ranking of every non-query document against each query document's
+    * term set (k1=1.2, b=0.75, Lucene +1 idf), shared by `txt_bm25_search`
+    * and the hybrid RRF fusion in [[SimilarityQueries]]. Terms are word
+    * BIGRAMS (phrase shingles): the fixture corpus draws from a ~31-word
+    * unigram vocabulary where every word is a stopword by any df measure,
+    * so unigram BM25 would rank on noise — bigrams give a ~900-term
+    * discriminative space, and shingle indexing is itself a standard
+    * retrieval variant. `qids` must be a tiny one-column (`qid`) frame —
+    * it broadcasts everywhere. Returns (qid, doc_id, n_terms, score_micro,
+    * rank) for rank <= k.
+    *
+    * Scale shape: one corpus-sized shuffle builds the (doc, term)->tf
+    * inverted index (persisted — doc lengths, document frequencies and
+    * scoring reuse it); query terms + idf are bounded by |queries| x
+    * |query vocab| and broadcast, so scoring is a map-side hash join —
+    * never a shuffle keyed on the Zipf-skewed term. Query terms with
+    * df > N/2 are pruned (stopword guard: caps candidate fan-out; BM25
+    * idf gives them ~0 weight anyway). Contributions are floored to
+    * integer micro-units BEFORE the per-(query, doc) sum, so the double
+    * summation order can never diverge between engines (the idf ln keeps
+    * the documented ~1-ulp libm risk, as txt_perplexity).
+    */
+  private[analytics] def bm25Ranked(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      qids: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val tf = graft.CacheTracker.track(
+      docs(s, d)
+        .withColumn("t", expr(tokensS("text")))
+        .select(col("doc_id"), explode(expr(
+          "if(size(t) < 2, cast(array() as array<string>), " +
+            "transform(sequence(1, size(t) - 1), " +
+            "j -> concat(element_at(t, j), ' ', element_at(t, j + 1))))")).as("w"))
+        .groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("tf"))
+        .persist(MEMORY_AND_DISK))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).cast("bigint").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).cast("bigint").as("total"))
+      .withColumn("avgdl", expr("cast(total as double) / n"))
+    val dfq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val qt = tf.join(broadcast(qids), col("doc_id") === col("qid"))
+      .select(col("qid"), col("w"))
+    val qti = dfq.join(broadcast(qt), Seq("w"))
+      .crossJoin(broadcast(stats))
+      .filter(expr("df * 2 <= n"))
+      .select(col("qid"), col("w"),
+        expr("cast(floor(ln((n - df + 0.5) / (df + 0.5) + 1) * 1e6) as bigint)")
+          .as("idf_micro"))
+    val cand = tf.join(broadcast(qids), col("doc_id") === col("qid"), "left_anti")
+    cand.join(broadcast(qti), Seq("w"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats.select(col("avgdl"))))
+      .select(col("qid"), col("doc_id"),
+        expr("cast(floor(idf_micro * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))) + 0.5) as bigint)")
+          .as("contrib"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("contrib")).cast("bigint").as("score_micro"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("score_micro").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+  }
+
+  /** DuckDB twin of [[bm25Ranked]] as a CTE chain (no leading WITH): the
+    * final CTE `r` has (qid, doc_id, n_terms, score_micro, rank).
+    * `qidsSql` defines the query set (must select a single `qid` column).
+    */
+  private[analytics] def bm25SqlCtes(qidsSql: String): String =
+    s"""toks AS (SELECT doc_id, ${tokensD("text")} AS t FROM documents),
+       |tok AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+       |    j -> t[j] || ' ' || t[j + 1])) AS w FROM toks),
+       |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+       |stats AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS total,
+       |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+       |dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+       |qids AS ($qidsSql),
+       |qt AS (SELECT qid, w FROM tf JOIN qids ON tf.doc_id = qids.qid),
+       |qti AS (SELECT qid, qt.w,
+       |    CAST(floor(ln((n - df + 0.5) / (df + 0.5) + 1) * 1e6) AS BIGINT) AS idf_micro
+       |  FROM qt JOIN dfq ON qt.w = dfq.w CROSS JOIN stats WHERE df * 2 <= n),
+       |cand AS (SELECT * FROM tf WHERE doc_id NOT IN (SELECT qid FROM qids)),
+       |sc AS (SELECT qti.qid, cand.doc_id,
+       |    CAST(floor(qti.idf_micro * ((cand.tf * 2.2) / (cand.tf + 1.2 * (0.25 + 0.75 * (dl.dl / stats.avgdl)))) + 0.5) AS BIGINT) AS contrib
+       |  FROM cand JOIN qti ON cand.w = qti.w
+       |    JOIN dl ON cand.doc_id = dl.doc_id CROSS JOIN stats),
+       |agg AS (SELECT qid, doc_id, COUNT(*) AS n_terms,
+       |    CAST(SUM(contrib) AS BIGINT) AS score_micro FROM sc GROUP BY 1, 2),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY score_micro DESC, doc_id) AS rank FROM agg)""".stripMargin
+
   private[graft] def perplexityFor(
       s: org.apache.spark.sql.SparkSession, d: String, hotK: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK

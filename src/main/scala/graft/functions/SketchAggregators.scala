@@ -100,8 +100,57 @@ object SketchAggregators {
     override def outputEncoder: Encoder[Seq[(Double, Long, Int)]] = ExpressionEncoder()
   }
 
+  /** Misra-Gries frequent-items summary with `capacity` counters. The
+    * mergeable formulation (Agarwal et al., "Mergeable Summaries", PODS'12):
+    * point updates run classic MG (hit += 1; miss inserts if a counter is
+    * free, else decrements ALL counters); merging sums two summaries'
+    * counters and, if more than `capacity` survive, subtracts the
+    * (capacity+1)-th largest count from every counter and drops the
+    * non-positive ones. Both preserve the MG invariant — every stored count
+    * undercounts its item's true frequency by at most n/(capacity+1) — so
+    * any item with true frequency > n/(capacity+1) is GUARANTEED present in
+    * the final summary. That guarantee is what makes the two-pass exact
+    * heavy-hitters query work: pass 1 reduces each map task to <= capacity
+    * counters before the shuffle (the full vocabulary never shuffles),
+    * pass 2 exact-counts only the candidate set.
+    */
+  final class MisraGries(capacity: Int)
+      extends Aggregator[String, Map[String, Long], Seq[String]] {
+
+    override def zero: Map[String, Long] = Map.empty
+
+    override def reduce(buf: Map[String, Long], w: String): Map[String, Long] =
+      buf.get(w) match {
+        case Some(c) => buf.updated(w, c + 1L)
+        case None if buf.size < capacity => buf.updated(w, 1L)
+        case None =>
+          // decrement-all: one shared "charge" against every counter
+          buf.view.mapValues(_ - 1L).filter(_._2 > 0L).toMap
+      }
+
+    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val sum = b.foldLeft(a) { case (m, (w, c)) =>
+        m.updated(w, m.getOrElse(w, 0L) + c)
+      }
+      if (sum.size <= capacity) sum
+      else {
+        val cut = sum.valuesIterator.toArray
+          .sorted(Ordering[Long].reverse).apply(capacity) // (capacity+1)-th largest
+        sum.view.mapValues(_ - cut).filter(_._2 > 0L).toMap
+      }
+    }
+
+    // candidates only — counts are MG lower bounds, not exact, and the
+    // consuming query re-counts exactly; sorted for determinism
+    override def finish(buf: Map[String, Long]): Seq[String] =
+      buf.keysIterator.toSeq.sorted
+
+    override def bufferEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[String]] = ExpressionEncoder()
+  }
+
   /** Register the sketch UDAFs on a session (`minhash_union(sig_array)`,
-    * `top7_by_score(score, id, tag)`).
+    * `top7_by_score(score, id, tag)`, `mg63(item)`).
     */
   def register(spark: SparkSession): Unit = {
     implicit val inEnc: Encoder[Seq[Long]] = ExpressionEncoder()
@@ -110,5 +159,8 @@ object SketchAggregators {
     implicit val topkEnc: Encoder[(Double, Long, Int)] = ExpressionEncoder()
     spark.udf.register("top7_by_score",
       org.apache.spark.sql.functions.udaf(new TopKByScore(7)))
+    implicit val strEnc: Encoder[String] = ExpressionEncoder()
+    spark.udf.register("mg63",
+      org.apache.spark.sql.functions.udaf(new MisraGries(63)))
   }
 }

@@ -38,4 +38,48 @@ class SketchAggregatorsSpec extends AnyFunSuite {
     assert(run(Seq((0.2, 2L, 0), (0.4, 1L, 1))) == Seq((0.4, 1L, 1), (0.2, 2L, 0)))
     assert(run(Nil) == Nil)
   }
+
+  // ----- MisraGries: the guarantee the heavy-hitters query stands on -------
+  // Any item with true frequency > n/(capacity+1) must survive — under
+  // single-pass reduce AND under every split-into-partials-then-merge
+  // shape, because Spark chooses the partial aggregation boundaries.
+
+  private def mgRun(mg: functions.SketchAggregators.MisraGries,
+      xs: Seq[String]): Map[String, Long] =
+    xs.foldLeft(mg.zero)(mg.reduce)
+
+  test("misra-gries retains every item above n/(capacity+1), any merge split") {
+    val rnd = new scala.util.Random(11)
+    val mg = new functions.SketchAggregators.MisraGries(7)
+    // Zipf-ish stream over 40 items: item i drawn with weight ~ 1/(i+1)
+    val weights = (0 until 40).map(i => 1.0 / (i + 1))
+    val cum = weights.scanLeft(0.0)(_ + _).tail
+    val total = cum.last
+    val xs = Seq.fill(3000) {
+      val u = rnd.nextDouble() * total
+      s"w${cum.indexWhere(u <= _)}"
+    }
+    val exact = xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val hot = exact.collect { case (w, c) if c > xs.size / 8 => w }.toSet
+    assert(hot.nonEmpty, "fixture must exercise the guarantee")
+
+    val whole = mg.finish(mgRun(mg, xs)).toSet
+    assert(hot.subsetOf(whole), s"single-pass lost ${hot.diff(whole)}")
+
+    for (cuts <- Seq(Seq(100), Seq(1500), Seq(500, 1000, 2900))) {
+      val parts = (0 +: cuts :+ xs.size).sliding(2).map {
+        case Seq(a, b) => mgRun(mg, xs.slice(a, b))
+      }.toSeq
+      val merged = mg.finish(parts.reduce(mg.merge)).toSet
+      assert(hot.subsetOf(merged), s"merge split $cuts lost ${hot.diff(merged)}")
+      assert(merged.size <= 7, "capacity exceeded after merge")
+    }
+  }
+
+  test("misra-gries buffer never exceeds capacity and decrements evict") {
+    val mg = new functions.SketchAggregators.MisraGries(2)
+    val buf = mgRun(mg, Seq("a", "a", "b", "c", "a", "d"))
+    assert(buf.size <= 2)
+    assert(buf.contains("a")) // freq 3 of 6 > 6/3
+  }
 }
