@@ -1252,9 +1252,15 @@ object TextQueries {
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).cast("bigint").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).cast("bigint").as("total"))
       .withColumn("avgdl", expr("cast(total as double) / n"))
-    val dfq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val qt = tf.join(broadcast(qids), col("doc_id") === col("qid"))
       .select(col("qid"), col("w"))
+    // document frequency ONLY for query terms: restricting the postings
+    // BEFORE the per-term aggregate gives the identical df value (df is a
+    // per-term count, unaffected by dropping other terms' rows) but the
+    // shuffle carries partial-combined counts of <= |query vocab| keys
+    // instead of the whole vocabulary
+    val dfq = tf.join(broadcast(qt.select(col("w")).distinct()), Seq("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("df"))
     val qti = dfq.join(broadcast(qt), Seq("w"))
       .crossJoin(broadcast(stats))
       .filter(expr("df * 2 <= n"))

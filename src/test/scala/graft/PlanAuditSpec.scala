@@ -212,6 +212,42 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("row_number"), s"no vocab-sized rank may appear in:\n$p")
   }
 
+  test("bm25: scoring is a broadcast hash join over the index, never keyed on the term") {
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("txt_bm25_search")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // query terms + idf must broadcast to the corpus tf side; a shuffle
+    // keyed on the Zipf-skewed term would appear as an exchange on `w`
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast query-term join in:\n$p")
+    // (the 1-row stats crossJoin legitimately prints as a broadcast
+    // nested-loop; only a true cartesian would be a defect)
+    assert(!p.contains("CartesianProduct"), s"scoring degenerated to all-pairs in:\n$p")
+    // term-keyed exchanges may only carry partial-combined query-term df
+    // counts (<= |query vocab| keys after map-side combine) — every one
+    // must sit above a partial aggregate, never move raw posting rows
+    val lines = p.linesIterator.toVector
+    lines.zipWithIndex.filter(_._1.contains("Exchange hashpartitioning(w#")).foreach {
+      case (_, i) =>
+        val below = lines.slice(i + 1, i + 4).mkString("\n")
+        assert(below.contains("HashAggregate"),
+          s"term-keyed exchange at line $i moves raw posting rows (no partial agg below it) in:\n$p")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("heavy hitters: MG sketch partial-aggregates before the single-group shuffle") {
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("txt_heavy_hitters")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_mg63"),
+      s"expected map-side partial MG aggregation in:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected candidate set to broadcast for the exact re-count in:\n$p")
+    spark.catalog.clearCache()
+  }
+
   test("aggregation pipeline runs inside whole-stage codegen") {
     // AQE annotates codegen spans only in the finalized plan: execute first
     val df = SparkEntry.queries("rel_agg_pricing_summary")(spark, dir)
