@@ -48,6 +48,7 @@ object GraftExtensions {
     ("hyperplane_key", 2, es => HyperplaneKey(es(0), es(1))),
     ("hyperplane_key6", 1,
       es => HyperplaneKey(es(0), org.apache.spark.sql.catalyst.expressions.Literal(6))),
-    ("zorder2", 2, es => ZOrder2(es(0), es(1)))
+    ("zorder2", 2, es => ZOrder2(es(0), es(1))),
+    ("audio_fp56", 1, es => AudioFp56(es(0)))
   )
 }

@@ -297,37 +297,14 @@ object MultimodalQueries {
     "mm_audio_pairs" -> QuerySpec(
       (s, d) => {
         import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-        val sig0 = docs(s, d)
+        graft.functions.VectorExpressions.register(s)
+        // one native pass per row (windows -> difference-order energies ->
+        // 56-bit hash); the declarative HOF chain this replaces lives in
+        // [[audioFpDeclarative]] and MultimodalAudioSpec pins equality
+        val h = graft.CacheTracker.track(docs(s, d)
           .withColumn("body", trim(col("text")))
           .filter(length(col("body")) >= 64)
-          .select(col("doc_id"),
-            expr("transform(sequence(1, length(body)), " +
-              "i -> cast(ascii(substring(body, i, 1)) as bigint) - 96)").as("sig"))
-          .withColumn("n", expr("size(sig)"))
-        val win0 = sig0
-          .select(col("doc_id"), col("n"), col("sig"),
-            explode(expr("sequence(0, 7)")).as("w"))
-          .withColumn("a0", expr("slice(sig, cast(1 + (w * n) div 8 as int), " +
-            "cast(((w + 1) * n) div 8 - (w * n) div 8 as int))"))
-        val diffed = (1 to 7).foldLeft(win0) { (df, k) =>
-          df.withColumn(s"a$k", expr(
-            s"if(size(a${k - 1}) > 1, transform(sequence(1, size(a${k - 1}) - 1), " +
-              s"i -> element_at(a${k - 1}, cast(i + 1 as int)) - element_at(a${k - 1}, cast(i as int))), " +
-              "array(cast(0 as bigint)))"))
-        }
-        // 360360 / C(2k, k): the white-noise spectral flattening constants
-        val flat = Seq(360360L, 180180L, 60060L, 18018L, 5148L, 1430L, 390L, 105L)
-        val esExpr = (0 to 7).map(k =>
-          s"aggregate(a$k, cast(0 as bigint), (s, x) -> s + x * x) * cast(${flat(k)} as bigint)")
-          .mkString("array(", ", ", ")")
-        val g = diffed.select(col("doc_id"), col("w"), expr(esExpr).as("es"))
-          .groupBy(col("doc_id"))
-          .agg(expr("flatten(transform(array_sort(collect_list(struct(w, es))), s -> s.es))").as("g"))
-        val h = graft.CacheTracker.track(g.select(col("doc_id"),
-          expr("aggregate(sequence(0, 55), cast(0 as bigint), (a, i) -> " +
-            "a + if(element_at(g, cast((i div 7) * 8 + (i % 7) + 1 as int)) > " +
-            "element_at(g, cast((i div 7) * 8 + (i % 7) + 2 as int)), " +
-            "shiftleft(cast(1 as bigint), i), cast(0 as bigint)))").as("h"))
+          .select(col("doc_id"), expr("audio_fp56(body)").as("h"))
           .persist(MEMORY_AND_DISK))
         phashPairsFromHashes(h).orderBy(col("doc_a"), col("doc_b"))
       },
@@ -375,4 +352,42 @@ object MultimodalQueries {
       }
     )
   )
+
+  /** The declarative HOF form of `audio_fp56` — the original mm_audio_pairs
+    * hash chain, kept as the parity reference for the native expression
+    * (`MultimodalAudioSpec` asserts equality over the fixture corpus).
+    * Input: (doc_id, body); output: (doc_id, h).
+    */
+  private[graft] def audioFpDeclarative(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sig0 = df
+      .select(col("doc_id"),
+        expr("transform(sequence(1, length(body)), " +
+          "i -> cast(ascii(substring(body, i, 1)) as bigint) - 96)").as("sig"))
+      .withColumn("n", expr("size(sig)"))
+    val win0 = sig0
+      .select(col("doc_id"), col("n"), col("sig"),
+        explode(expr("sequence(0, 7)")).as("w"))
+      .withColumn("a0", expr("slice(sig, cast(1 + (w * n) div 8 as int), " +
+        "cast(((w + 1) * n) div 8 - (w * n) div 8 as int))"))
+    val diffed = (1 to 7).foldLeft(win0) { (acc, k) =>
+      acc.withColumn(s"a$k", expr(
+        s"if(size(a${k - 1}) > 1, transform(sequence(1, size(a${k - 1}) - 1), " +
+          s"i -> element_at(a${k - 1}, cast(i + 1 as int)) - element_at(a${k - 1}, cast(i as int))), " +
+          "array(cast(0 as bigint)))"))
+    }
+    // 360360 / C(2k, k): the white-noise spectral flattening constants
+    val flat = Seq(360360L, 180180L, 60060L, 18018L, 5148L, 1430L, 390L, 105L)
+    val esExpr = (0 to 7).map(k =>
+      s"aggregate(a$k, cast(0 as bigint), (s, x) -> s + x * x) * cast(${flat(k)} as bigint)")
+      .mkString("array(", ", ", ")")
+    diffed.select(col("doc_id"), col("w"), expr(esExpr).as("es"))
+      .groupBy(col("doc_id"))
+      .agg(expr("flatten(transform(array_sort(collect_list(struct(w, es))), s -> s.es))").as("g"))
+      .select(col("doc_id"),
+        expr("aggregate(sequence(0, 55), cast(0 as bigint), (a, i) -> " +
+          "a + if(element_at(g, cast((i div 7) * 8 + (i % 7) + 1 as int)) > " +
+          "element_at(g, cast((i div 7) * 8 + (i % 7) + 2 as int)), " +
+          "shiftleft(cast(1 as bigint), i), cast(0 as bigint)))").as("h"))
+  }
 }

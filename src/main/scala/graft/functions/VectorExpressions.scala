@@ -370,6 +370,84 @@ case class HyperplaneKey(child: Expression, planes: Expression) extends BinaryEx
     copy(child = newLeft, planes = newRight)
 }
 
+/** 56-bit audio fingerprint of a character signal, one native pass.
+  * Semantically identical to the declarative chain it replaces (and to the
+  * DuckDB oracle of `mm_audio_pairs`): chars -> (codepoint - 96) samples,
+  * 8 equal time windows at `(w*n) div 8` boundaries, per-window energies of
+  * difference orders 0..7 (each scaled by the white-noise flattening
+  * constant 360360 / C(2k, k)), and bit i of the hash set when
+  * g[(i div 7)*8 + i%7] > g[.. + 1]. The HOF form exploded 8 window rows
+  * each carrying the full signal array and chained 7 interpreted transform
+  * columns — this is the [[LongArrayToArray]] collapse pathology plus
+  * O(codepoint-seek) substring indexing; the native loop touches each
+  * sample O(8) times in a primitive long buffer (measured ~5x on the
+  * bench row). Char -> codepoint via String.codePointAt, equal to Spark's
+  * `ascii(substring(s, i, 1))` for every code point (surrogate pairs
+  * advance by two, exactly as substring's code-point indexing does).
+  */
+case class AudioFp56(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "audio_fp56"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING argument")
+
+  private val flat = Array(360360L, 180180L, 60060L, 18018L, 5148L, 1430L, 390L, 105L)
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val str = a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    // code-point samples (ascii(substring(s, i, 1)) semantics)
+    val n = str.codePointCount(0, str.length)
+    val sig = new Array[Long](n)
+    var ci = 0
+    var i = 0
+    while (i < n) {
+      val cp = str.codePointAt(ci)
+      sig(i) = cp.toLong - 96L
+      ci += Character.charCount(cp)
+      i += 1
+    }
+    val g = new Array[Long](64)
+    val buf = new Array[Long](n / 8 + 2)
+    var w = 0
+    while (w < 8) {
+      val start = ((w.toLong * n) / 8).toInt
+      var len = (((w + 1).toLong * n) / 8).toInt - start
+      var j = 0
+      while (j < len) { buf(j) = sig(start + j); j += 1 }
+      var k = 0
+      while (k < 8) {
+        var e = 0L
+        var x = 0
+        while (x < len) { e += buf(x) * buf(x); x += 1 }
+        g(w * 8 + k) = e * flat(k)
+        if (len > 1) {
+          var y = 0
+          while (y < len - 1) { buf(y) = buf(y + 1) - buf(y); y += 1 }
+          len -= 1
+        } else { buf(0) = 0L; len = 1 }
+        k += 1
+      }
+      w += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 56) {
+      val idx = (b / 7) * 8 + (b % 7)
+      if (g(idx) > g(idx + 1)) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Idempotent per-session registration; queries call this so the
     * expressions resolve in any SparkSession handed to them.
@@ -390,5 +468,6 @@ object VectorExpressions {
       es => HyperplaneKey(es(0),
         org.apache.spark.sql.catalyst.expressions.Literal(6)), "built-in")
     reg.createOrReplaceTempFunction("zorder2", es => ZOrder2(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("audio_fp56", es => AudioFp56(es(0)), "built-in")
   }
 }

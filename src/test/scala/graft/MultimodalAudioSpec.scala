@@ -101,4 +101,26 @@ class MultimodalAudioSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => a <= 3 && b >= 4 },
       s"families crossed in $pairs")
   }
+
+  test("native audio_fp56 equals the declarative HOF chain on the fixture corpus") {
+    import spark.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    // real corpus rows (all lengths, all languages) + adversarial shapes:
+    // short strings (empty windows), non-ascii code points, repeated chars
+    val corpus = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.expr("trim(text)").as("body"))
+    val edge = Seq(
+      (100001L, "abcdefgh" * 20), (100002L, "aaaaaaaa"), (100003L, "ab"),
+      (100004L, "éèêë0123456789" * 9),
+      (100005L, ("z" + "世界") * 30))
+      .toDF("doc_id", "body")
+    val in = corpus.unionByName(edge)
+    val native = in.select($"doc_id",
+      org.apache.spark.sql.functions.expr("audio_fp56(body)").as("h"))
+    val hof = analytics.MultimodalQueries.audioFpDeclarative(in)
+    val diff = native.as("n").join(hof.as("d"), "doc_id")
+      .where($"n.h" =!= $"d.h").count()
+    assert(diff == 0, "native and declarative audio hashes diverged")
+  }
 }
