@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent BM25 inverted index: tokenize a corpus once, serve every
+  * later retrieval query from the stored postings.
+  *
+  * `txt_bm25_search` re-derives the (doc, term) -> tf index on every run —
+  * fine for a one-shot sweep, wrong for the retrieval service a 100 TB
+  * corpus actually runs: a RAG or retrieval-decontamination stack builds
+  * the index ONCE and answers many query batches against it. [[build]]
+  * persists the word-bigram posting rows (doc_id, w, tf — the only thing
+  * BM25 needs from a document, a small fraction of corpus bytes) plus the
+  * per-doc lengths; [[search]] runs the shared scoring pipeline
+  * ([[graft.analytics.TextQueries.bm25RankedFrom]]) with the stored
+  * postings entering the plan straight from a columnar scan — query-term
+  * broadcast joins prune the scan to (doc_id, w, tf), and the corpus is
+  * never re-tokenized. [[append]] folds a new batch's postings in; BM25
+  * statistics (N, avgdl, df) are re-derived from the stored rows at query
+  * time, so appended docs are immediately searchable AND immediately
+  * count in every other document's normalization — identical to a
+  * from-scratch build over the union (the spec pins this).
+  *
+  * Contract: appended batches carry doc_ids disjoint from the stored set
+  * (same as [[MinHashIndex.append]]); re-appending a doc would double its
+  * postings.
+  */
+object TextIndex {
+
+  /** Bump when the term scheme changes (tokenization / bigram layout) —
+    * stale postings would otherwise silently mix with incompatible
+    * query-side terms.
+    */
+  val FormatVersion = 1
+
+  private def postingsDir(indexPath: String) = s"$indexPath/postings"
+  private def doclenDir(indexPath: String) = s"$indexPath/doclens"
+
+  /** Overwrite the index with `docs`' postings + doc lengths. */
+  def build(docs: DataFrame, indexPath: String): Unit =
+    write(docs, indexPath, SaveMode.Overwrite)
+
+  /** Fold a new (doc_id-disjoint) batch into the index. */
+  def append(docs: DataFrame, indexPath: String): Unit =
+    write(docs, indexPath, SaveMode.Append)
+
+  private def write(docs: DataFrame, indexPath: String, mode: SaveMode): Unit = {
+    // one tokenization pass feeds both artifacts: postings land first,
+    // then doc lengths derive from the postings just written (cheap
+    // columnar re-read; doclens' _SUCCESS is the completion marker for
+    // the pair — a build killed between the two writes reports !exists)
+    graft.analytics.TextQueries.bm25Postings(docs)
+      .write.mode(mode).parquet(postingsDir(indexPath))
+    docs.sparkSession.read.parquet(postingsDir(indexPath))
+      .groupBy(col("doc_id")).agg(sum(col("tf")).cast("bigint").as("dl"))
+      .write.mode(SaveMode.Overwrite).parquet(doclenDir(indexPath))
+  }
+
+  /** The stored posting rows (doc_id, w, tf). */
+  def postings(spark: SparkSession, indexPath: String): DataFrame =
+    spark.read.parquet(postingsDir(indexPath))
+
+  /** The stored per-doc lengths (doc_id, dl). */
+  def docLengths(spark: SparkSession, indexPath: String): DataFrame =
+    spark.read.parquet(doclenDir(indexPath))
+
+  /** Whether a completed index exists (`_SUCCESS`-gated on the LAST
+    * artifact written: a build killed at any point leaves doclens without
+    * a marker and is rebuilt).
+    */
+  def exists(spark: SparkSession, indexPath: String): Boolean = {
+    val dir = new Path(doclenDir(indexPath))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new Path(dir, "_SUCCESS")) &&
+      fs.exists(new Path(new Path(postingsDir(indexPath)), "_SUCCESS"))
+  }
+
+  /** [[build]] unless a completed index is already present. */
+  def ensureBuilt(docs: DataFrame, indexPath: String): Unit =
+    if (!exists(docs.sparkSession, indexPath)) build(docs, indexPath)
+
+  /** BM25 top-k per query doc over the stored corpus. `qids` must be a
+    * tiny one-column (`qid`) frame of doc_ids present in the index (the
+    * query documents' own postings supply the query terms). Returns
+    * (qid, doc_id, n_terms, score_micro, rank), rank <= k.
+    */
+  def search(spark: SparkSession, indexPath: String,
+      qids: DataFrame, k: Int): DataFrame =
+    graft.analytics.TextQueries.bm25RankedFrom(postings(spark, indexPath), qids, k,
+      storedDl = Some(docLengths(spark, indexPath)))
+
+  /** Deterministic per-corpus store location for registry queries: keyed by
+    * the documents table's (length, mtime) fingerprint + [[FormatVersion]],
+    * so a regenerated corpus or a changed term scheme gets a fresh build
+    * instead of silently serving stale postings. Lives under the JVM temp
+    * dir — a cache, not a deliverable.
+    */
+  def registryPath(spark: SparkSession, dir: String): String = {
+    val p = new Path(s"$dir/documents.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sum = fs.getContentSummary(p)
+    val mtime = fs.getFileStatus(p).getModificationTime
+    val fp = s"$dir|v$FormatVersion|${sum.getLength}|$mtime"
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(fp.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    s"${System.getProperty("java.io.tmpdir")}/graft-text-index/$h"
+  }
+}
