@@ -1424,7 +1424,13 @@ object SimilarityQueries {
         import org.apache.spark.sql.expressions.Window
         val qids = emb(s, d).filter(col("vec_id") < 4)
           .select(col("vec_id").as("qid"))
-        val text = TextQueries.bm25Ranked(s, d, qids, 50)
+        // BM25 leg served from the persistent inverted index (built once
+        // per corpus, shared with txt_bm25_indexed) — the retrieval-service
+        // shape; the oracle recomputes from scratch, pinning store parity
+        val idx = graft.operators.TextIndex.registryPath(s, d)
+        graft.operators.TextIndex.ensureBuilt(
+          Tables.t(s, d, "documents"), idx)
+        val text = graft.operators.TextIndex.search(s, idx, qids, 50)
           .select(col("qid"), col("doc_id"), col("rank"))
         val n = Tables.spread(emb(s, d), "vec_id")
           .select(col("vec_id"), expr(quantizeS("embedding")).as("qe"))
