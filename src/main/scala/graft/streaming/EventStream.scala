@@ -122,6 +122,33 @@ object EventStream {
     * a conversion matching several triggers in-window emits one row per
     * trigger (downstream picks max trigger ts for strict last-touch).
     */
+  /** Per-window heavy-hitter candidates over an unbounded stream: the
+    * mergeable Misra-Gries sketch ([[graft.functions.SketchAggregators
+    * .MisraGries]]) runs as the windowed aggregate, so each window's state
+    * is <= 63 counters NO MATTER the event rate — the abuse/drift monitor
+    * ("is one user/key suddenly most of the traffic") that a raw
+    * `groupBy(key)` cannot be at stream scale, because its state would be
+    * keyed by the unbounded key space. The MG invariant carries over
+    * partial merges: every key above 1/64 of the window's events is
+    * GUARANTEED in its window's candidate list (spec-pinned against batch
+    * exact counts). Append-mode: a window emits once, when the watermark
+    * passes its end.
+    */
+  def heavyHitters(
+      events: Dataset[Event],
+      windowMinutes: Int = 60,
+      watermarkDelay: String = "1 hour"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.functions.SketchAggregators.register(events.sparkSession)
+    events.toDF()
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), s"$windowMinutes minutes"))
+      .agg(expr("mg63(cast(userId as string))").as("candidates"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"),
+        col("candidates"), col("n_events"))
+  }
+
   def attribution(
       triggers: Dataset[Event],
       conversions: Dataset[Event],

@@ -136,4 +136,42 @@ class EventStreamSpec extends AnyFunSuite {
       assert(rows.toSeq == Seq((1L, "2024-07-23 10:00:00.0", 50.0)))
     } finally q.stop()
   }
+
+  test("windowed heavy hitters: MG candidates cover every key above 1/64 per window") {
+    val spark = SparkSpec.spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Event]
+    val q = EventStream.heavyHitters(ms.toDS(), windowMinutes = 60)
+      .writeStream.format("memory").queryName("hh").outputMode("append").start()
+    try {
+      val base = Timestamp.valueOf("2024-07-23 10:00:00").getTime
+      // window 1 (10:00): user 7 dominates (200 of 328 events, far above
+      // 1/64); 128 background singletons churn the counters
+      val w1 = (1 to 200).map(i => Event(7L, "click", 1.0, new Timestamp(base + i * 100L))) ++
+        (1 to 128).map(i => Event(1000L + i, "click", 1.0, new Timestamp(base + i * 200L)))
+      // window 2 (11:00): user 9 dominates
+      val b2 = base + 3600000L
+      val w2 = (1 to 150).map(i => Event(9L, "click", 1.0, new Timestamp(b2 + i * 100L))) ++
+        (1 to 64).map(i => Event(2000L + i, "click", 1.0, new Timestamp(b2 + i * 200L)))
+      ms.addData(scala.util.Random.shuffle(w1 ++ w2): _*)
+      q.processAllAvailable()
+      // flush both windows past the watermark
+      ms.addData(ev(99, "2024-07-24 14:00:00"))
+      q.processAllAvailable()
+      ms.addData(ev(99, "2024-07-24 15:00:00"))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT window_start, candidates, n_events FROM hh ORDER BY window_start")
+        .collect().map(r => (r.getTimestamp(0).toString,
+          r.getSeq[String](1), r.getLong(2)))
+      val byWindow = rows.map(r => r._1 -> r).toMap
+      val (_, c1, n1) = byWindow("2024-07-23 10:00:00.0")
+      val (_, c2, n2) = byWindow("2024-07-23 11:00:00.0")
+      assert(n1 == 328 && n2 == 214)
+      assert(c1.contains("7"), s"dominant user missing from window-1 candidates $c1")
+      assert(c2.contains("9"), s"dominant user missing from window-2 candidates $c2")
+      assert(c1.size <= 63 && c2.size <= 63, "candidate state exceeded MG capacity")
+    } finally q.stop()
+  }
 }
