@@ -1176,6 +1176,111 @@ object TextQueries {
              |FROM ch GROUP BY source ORDER BY source""".stripMargin)
     ),
 
+    // ----- chunk-level retrieval with maxP doc scoring ----------------------
+    // The long-document retrieval pattern (maxP): score CHUNKS (64-token
+    // windows, stride 48 — the txt_chunking grid) with BM25, then rank
+    // documents by their best chunk. Fixed-size retrieval units keep the
+    // length normalization honest for long docs and point straight at the
+    // matching passage (best_chunk rides the output). The 16-token overlap
+    // means every adjacent bigram of the source doc lands in some chunk,
+    // so query-doc term sets read straight off the chunk postings. Scale
+    // shape: identical to bm25Ranked with chunks as pseudo-docs — one
+    // corpus shuffle builds (doc, chunk, term)->tf; query terms + idf
+    // broadcast; per-(query, chunk) contributions are integer micro-units;
+    // the maxP fold and the doc ranking are two bounded window passes over
+    // candidate rows only. Chunk-level df drives idf (the standard choice
+    // when the index unit IS the chunk), df > N/2 pruned.
+    "txt_chunk_search" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val tf = graft.CacheTracker.track(
+          docs(s, d)
+            .withColumn("t", expr(tokensS("text")))
+            .filter(expr("size(t) > 1"))
+            .select(col("doc_id"), explode(expr(
+              "transform(sequence(0, cast((size(t) - 1) div 48 as int)), " +
+                "i -> struct(i as idx, slice(t, i * 48 + 1, 64) as ct))")).as("c"))
+            .select(col("doc_id"), expr("c.idx").as("idx"),
+              explode(expr(
+                "if(size(c.ct) < 2, cast(array() as array<string>), " +
+                  "transform(sequence(1, size(c.ct) - 1), " +
+                  "j -> concat(element_at(c.ct, j), ' ', element_at(c.ct, j + 1))))")).as("w"))
+            .groupBy(col("doc_id"), col("idx"), col("w"))
+            .agg(count(lit(1)).as("tf"))
+            .persist(MEMORY_AND_DISK))
+        val dl = tf.groupBy(col("doc_id"), col("idx"))
+          .agg(sum(col("tf")).cast("bigint").as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).cast("bigint").as("total"))
+          .withColumn("avgdl", expr("cast(total as double) / n"))
+        val qids = docs(s, d).filter(col("source") === "src0")
+          .select(col("doc_id").as("qid")).orderBy(col("qid")).limit(8)
+        val qt = tf.join(broadcast(qids), col("doc_id") === col("qid"))
+          .select(col("qid"), col("w")).distinct()
+        val dfq = tf.join(broadcast(qt.select(col("w")).distinct()), Seq("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("df"))
+        val qti = dfq.join(broadcast(qt), Seq("w"))
+          .crossJoin(broadcast(stats))
+          .filter(expr("df * 2 <= n"))
+          .select(col("qid"), col("w"),
+            expr("cast(floor(ln((n - df + 0.5) / (df + 0.5) + 1) * 1e6) as bigint)")
+              .as("idf_micro"))
+        val cand = tf.join(broadcast(qids), col("doc_id") === col("qid"), "left_anti")
+        val chunkScores = cand.join(broadcast(qti), Seq("w"))
+          .join(dl, Seq("doc_id", "idx"))
+          .crossJoin(broadcast(stats.select(col("avgdl"))))
+          .select(col("qid"), col("doc_id"), col("idx"),
+            expr("cast(floor(idf_micro * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))) + 0.5) as bigint)")
+              .as("contrib"))
+          .groupBy(col("qid"), col("doc_id"), col("idx"))
+          .agg(sum(col("contrib")).cast("bigint").as("cs"))
+        chunkScores
+          .withColumn("cr", row_number().over(Window.partitionBy(col("qid"), col("doc_id"))
+            .orderBy(col("cs").desc, col("idx"))))
+          .filter(col("cr") === 1)
+          .withColumn("rank", row_number().over(Window.partitionBy(col("qid"))
+            .orderBy(col("cs").desc, col("doc_id"))))
+          .filter(col("rank") <= 5)
+          .select(col("qid").as("query_id"), col("rank"), col("doc_id"),
+            col("idx").as("best_chunk"), col("cs").as("chunk_score_micro"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, ${tokensD("text")} AS t FROM documents),
+             |ch AS (SELECT doc_id,
+             |    unnest(list_transform(generate_series(0, (len(t) - 1) // 48),
+             |      i -> struct_pack(idx := i, ct := t[i * 48 + 1 : i * 48 + 64]))) AS c
+             |  FROM toks WHERE len(t) > 1),
+             |tok AS (SELECT doc_id, c.idx AS idx,
+             |    unnest(list_transform(generate_series(1, greatest(len(c.ct) - 1, 0)),
+             |      j -> c.ct[j] || ' ' || c.ct[j + 1])) AS w FROM ch),
+             |tf AS (SELECT doc_id, idx, w, COUNT(*) AS tf FROM tok GROUP BY 1, 2, 3),
+             |dl AS (SELECT doc_id, idx, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1, 2),
+             |stats AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS total,
+             |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+             |qids AS (SELECT doc_id AS qid FROM documents WHERE source = 'src0'
+             |    ORDER BY doc_id LIMIT 8),
+             |qt AS (SELECT DISTINCT qid, w FROM tf JOIN qids ON tf.doc_id = qids.qid),
+             |dfq AS (SELECT w, COUNT(*) AS df FROM tf
+             |  WHERE w IN (SELECT DISTINCT w FROM qt) GROUP BY 1),
+             |qti AS (SELECT qid, qt.w,
+             |    CAST(floor(ln((n - df + 0.5) / (df + 0.5) + 1) * 1e6) AS BIGINT) AS idf_micro
+             |  FROM qt JOIN dfq ON qt.w = dfq.w CROSS JOIN stats WHERE df * 2 <= n),
+             |cand AS (SELECT * FROM tf WHERE doc_id NOT IN (SELECT qid FROM qids)),
+             |sc AS (SELECT qti.qid, cand.doc_id, cand.idx,
+             |    CAST(SUM(CAST(floor(qti.idf_micro * ((cand.tf * 2.2) / (cand.tf + 1.2 * (0.25 + 0.75 * (dl.dl / stats.avgdl)))) + 0.5) AS BIGINT)) AS BIGINT) AS cs
+             |  FROM cand JOIN qti ON cand.w = qti.w
+             |    JOIN dl ON cand.doc_id = dl.doc_id AND cand.idx = dl.idx
+             |    CROSS JOIN stats
+             |  GROUP BY 1, 2, 3),
+             |best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid, doc_id
+             |    ORDER BY cs DESC, idx) AS cr FROM sc),
+             |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+             |    ORDER BY cs DESC, doc_id) AS rank FROM best WHERE cr = 1)
+             |SELECT qid AS query_id, rank, doc_id, idx AS best_chunk,
+             |  cs AS chunk_score_micro
+             |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
+    ),
+
     // ----- exact heavy hitters via a Misra-Gries candidate pass -------------
     // Tokens with frequency > N/64 — the "is one template/boilerplate string
     // dominating my corpus" diagnostic — computed the way it must be at
