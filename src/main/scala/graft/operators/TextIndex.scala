@@ -58,6 +58,35 @@ object TextIndex {
       .write.mode(SaveMode.Overwrite).parquet(doclenDir(indexPath))
   }
 
+  /** [[append]] for at-least-once callers (streaming `foreachBatch`): the
+    * batch's postings AND doc lengths land under their own `batch_id=N`
+    * partition via dynamic partition overwrite, so a REPLAYED batch
+    * rewrites exactly its own partitions instead of double-counting terms.
+    * Doc lengths partition cleanly because a document lives entirely in
+    * one batch. An index driven through this method must use it for EVERY
+    * write including the first (mixing flat [[build]] output and
+    * partitioned batches under one root would give partition discovery
+    * conflicting directory depths). Appended docs are immediately
+    * searchable and immediately count in every other document's BM25
+    * normalization — statistics re-derive from the union at query time.
+    */
+  def appendBatch(docs: DataFrame, indexPath: String, batchId: Long): Unit = {
+    val p = graft.analytics.TextQueries.bm25Postings(docs)
+      .withColumn("batch_id", lit(batchId))
+    p.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(postingsDir(indexPath))
+    docs.sparkSession.read.parquet(postingsDir(indexPath))
+      .filter(col("batch_id") === batchId)
+      .groupBy(col("doc_id")).agg(sum(col("tf")).cast("bigint").as("dl"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(doclenDir(indexPath))
+  }
+
   /** The stored posting rows (doc_id, w, tf). */
   def postings(spark: SparkSession, indexPath: String): DataFrame =
     spark.read.parquet(postingsDir(indexPath))
@@ -66,15 +95,24 @@ object TextIndex {
   def docLengths(spark: SparkSession, indexPath: String): DataFrame =
     spark.read.parquet(doclenDir(indexPath))
 
-  /** Whether a completed index exists (`_SUCCESS`-gated on the LAST
-    * artifact written: a build killed at any point leaves doclens without
-    * a marker and is rebuilt).
+  /** Whether a usable index exists. Flat [[build]] output is complete iff
+    * both artifacts carry their `_SUCCESS` marker (doclens lands last, so a
+    * build killed at any point reports false and is rebuilt).
+    * [[appendBatch]]'s dynamic partition overwrite commits per-partition
+    * and writes no root marker; the partitioned form counts as existing
+    * when any `batch_id=` doclen partition holds data — a partially
+    * written batch is safe to treat as present because its replay
+    * rewrites exactly its own partitions.
     */
   def exists(spark: SparkSession, indexPath: String): Boolean = {
     val dir = new Path(doclenDir(indexPath))
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(new Path(dir, "_SUCCESS")) &&
+    val flat = fs.exists(new Path(dir, "_SUCCESS")) &&
       fs.exists(new Path(new Path(postingsDir(indexPath)), "_SUCCESS"))
+    flat || (fs.exists(dir) && fs.listStatus(dir).exists { st =>
+      st.isDirectory && st.getPath.getName.startsWith("batch_id=") &&
+        fs.listStatus(st.getPath).exists(f => f.getPath.getName.endsWith(".parquet"))
+    })
   }
 
   /** [[build]] unless a completed index is already present. */

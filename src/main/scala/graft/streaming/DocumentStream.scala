@@ -214,6 +214,29 @@ object DocumentStream {
       }
       .start()
 
+  /** Continuous retrieval indexing: every micro-batch's documents land in
+    * the persistent BM25 inverted index ([[graft.operators.TextIndex
+    * .appendBatch]] — postings + doc lengths under the batch's own
+    * `batch_id` partition, dynamic-overwrite, so foreachBatch's
+    * at-least-once replay is exactly-once on the store) and are
+    * immediately searchable, with BM25 statistics re-derived over the
+    * whole accumulated corpus at query time. The streaming twin of the
+    * batch `txt_bm25_indexed` build — a retrieval corpus that GROWS with
+    * the crawl instead of being re-indexed from scratch.
+    */
+  def searchableContinuous(
+      docs: Dataset[DocEvent],
+      indexPath: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[DocEvent], batchId: Long) =>
+        graft.operators.TextIndex.appendBatch(
+          batch.toDF().select(col("docId").as("doc_id"), col("text")),
+          indexPath, batchId)
+      }
+      .start()
+
   /** The per-micro-batch body of [[ingestContinuous]] — exposed so dedup
     * semantics and the replay path are directly testable without a running
     * query.

@@ -70,4 +70,52 @@ class TextIndexSpec extends AnyFunSuite {
     assert(!plan.contains("split(trim("),
       s"corpus re-tokenization leaked into the search plan:\n$plan")
   }
+
+  test("appendBatch: replayed batch is exactly-once; batches accumulate and match flat build") {
+    val dirB = java.nio.file.Files.createTempDirectory("text_index_batch").toString
+    val dirF = java.nio.file.Files.createTempDirectory("text_index_flat").toString
+    val b0 = docs.filter(col("doc_id") % 2 === 0)
+    val b1 = docs.filter(col("doc_id") % 2 =!= 0)
+    TextIndex.appendBatch(b0, dirB, 0L)
+    TextIndex.appendBatch(b1, dirB, 1L)
+    // at-least-once replay of batch 1: must rewrite its own partition,
+    // never double-count its terms
+    TextIndex.appendBatch(b1, dirB, 1L)
+    assert(TextIndex.exists(spark, dirB), "partitioned index must count as existing")
+    TextIndex.build(docs, dirF)
+    val batched = rows(TextIndex.search(spark, dirB, qids, 5))
+    val flat = rows(TextIndex.search(spark, dirF, qids, 5))
+    CacheTracker.releaseAll()
+    assert(batched == flat, "batch-accumulated index diverged from flat build")
+  }
+
+  test("searchableContinuous: streamed docs are searchable from the store") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.DocumentStream.DocEvent
+    val dir = java.nio.file.Files.createTempDirectory("text_index_stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("text_index_stream_ck").toString
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[DocEvent]
+    val q = graft.streaming.DocumentStream.searchableContinuous(ms.toDS(), dir, ckpt)
+    try {
+      val ts = java.sql.Timestamp.valueOf("2024-07-23 10:00:00")
+      // fillers keep every query bigram's df under the N/2 stopword prune
+      val fillers = (10L to 17L).map(i =>
+        DocEvent(i, s"junk$i filler$i noise$i padding$i blank$i", ts))
+      ms.addData(fillers :+
+        DocEvent(1L, "orange mango kiwi papaya lychee guava", ts) :+
+        DocEvent(2L, "orange mango something entirely different here", ts): _*)
+      q.processAllAvailable()
+      ms.addData(DocEvent(3L, "orange mango kiwi papaya other trailing words", ts))
+      q.processAllAvailable()
+      val res = rows(TextIndex.search(spark, dir,
+        Seq(1L).toDF("qid"), 2))
+      CacheTracker.releaseAll()
+      // doc 3 (arrived in the second micro-batch) shares more query bigrams
+      // than doc 2 and must rank first — appended batches are live
+      assert(res.nonEmpty, "no results from the streamed index")
+      val top = res.minBy(_._5)
+      assert(top._2 == 3L, s"expected streamed doc 3 to rank first, got $res")
+    } finally q.stop()
+  }
 }
