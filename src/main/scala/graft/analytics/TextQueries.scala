@@ -1176,6 +1176,83 @@ object TextQueries {
              |FROM ch GROUP BY source ORDER BY source""".stripMargin)
     ),
 
+    // ----- content-defined chunking: insertion-shift-robust dedup units -----
+    // Fixed-grid chunks (txt_chunking) miss duplicated content the moment an
+    // insertion shifts it off the grid; content-defined chunking (the
+    // FastCDC/storage-dedup family) cuts where the CONTENT says to — after
+    // token p whenever the ROLLING 3-token shingle hash ending at p is
+    // ≡ 0 (mod 16), expected chunk ~16 tokens — so a shared passage
+    // produces identical chunks at ANY offset, and the per-source
+    // duplicate ratio measures true content reuse rather than alignment
+    // luck. (The rolling-window hash is the point of CDC: a boundary
+    // keyed on a single token's identity would degenerate on this
+    // corpus's ~31-token vocabulary — no token hash happens to be
+    // ≡ 0 mod 32 — while 3-gram context gives ~29k distinct values.)
+    // Scale shape: boundary flags are computed IN array land (one struct
+    // array per doc, no per-token array duplication) then exploded once;
+    // the chunk id is a per-document running sum over the flags — a
+    // window PARTITIONED by doc_id, so every document sums independently
+    // and the stage parallelizes by documents; chunk reassembly is one
+    // (doc, chunk) aggregate with order restored by position
+    // (collect_list is order-free; array_sort fixes it
+    // deterministically), then a map-side-combined per-source rollup
+    // with partial-aggregated COUNT DISTINCT over md5 fingerprints.
+    "txt_cdc_chunking" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        docs(s, d)
+          .withColumn("t", expr(tokensS("text")))
+          .filter(expr("size(t) > 0"))
+          .withColumn("th", expr(tokenHashesS("t")))
+          .withColumn("sh", expr(shingleHashesS("th")))
+          .select(col("source"), col("doc_id"),
+            explode(expr(
+              "transform(sequence(1, size(t)), p -> struct(p - 1 as pos, " +
+                "element_at(t, p) as w, " +
+                "if(p >= 3 and element_at(sh, p - 2) % 16 = 0, 1, 0) as b))")).as("z"))
+          .select(col("source"), col("doc_id"),
+            expr("z.pos").as("pos"), expr("z.w").as("w"), expr("z.b").as("b"))
+          .withColumn("chunk", coalesce(sum(col("b")).over(w), lit(0L)))
+          .groupBy(col("source"), col("doc_id"), col("chunk"))
+          .agg(count(lit(1)).as("clen"),
+            expr("md5(array_join(transform(array_sort(collect_list(struct(pos, w))), " +
+              "s -> s.w), ' '))").as("fp"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_chunks"),
+            countDistinct(col("fp")).as("n_distinct"),
+            sum(col("clen")).cast("bigint").as("chunk_tokens"))
+          .withColumn("dup_ratio",
+            expr("floor((n_chunks - n_distinct) / n_chunks * 1e6 + 0.5) / 1e6"))
+          .withColumn("avg_len",
+            expr("floor(chunk_tokens / n_chunks * 1e6 + 0.5) / 1e6"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH toks AS (SELECT source, doc_id, ${tokensD("text")} AS t FROM documents),
+             |sht AS (SELECT source, doc_id, t, ${shingleHashesD(tokenHashesD("t"))} AS sh
+             |  FROM toks WHERE len(t) > 0),
+             |zz AS (SELECT source, doc_id,
+             |    unnest(list_transform(generate_series(1, len(t)), p -> struct_pack(
+             |      pos := p - 1, w := t[p],
+             |      b := CASE WHEN p >= 3 AND sh[p - 2] % 16 = 0 THEN 1 ELSE 0 END))) AS z
+             |  FROM sht),
+             |tok AS (SELECT source, doc_id, z.pos AS pos, z.w AS w, z.b AS b FROM zz),
+             |ck AS (SELECT source, doc_id, pos, w,
+             |    COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+             |  FROM tok),
+             |ch AS (SELECT source, doc_id, chunk, COUNT(*) AS clen,
+             |    md5(string_agg(w, ' ' ORDER BY pos)) AS fp
+             |  FROM ck GROUP BY 1, 2, 3)
+             |SELECT source, COUNT(*) AS n_chunks,
+             |  COUNT(DISTINCT fp) AS n_distinct,
+             |  CAST(SUM(clen) AS BIGINT) AS chunk_tokens,
+             |  floor((COUNT(*) - COUNT(DISTINCT fp)) / COUNT(*) * 1e6 + 0.5) / 1e6 AS dup_ratio,
+             |  floor(CAST(SUM(clen) AS BIGINT) / COUNT(*) * 1e6 + 0.5) / 1e6 AS avg_len
+             |FROM ch GROUP BY source ORDER BY source""".stripMargin)
+    ),
+
     // ----- chunk-level retrieval with maxP doc scoring ----------------------
     // The long-document retrieval pattern (maxP): score CHUNKS (64-token
     // windows, stride 48 — the txt_chunking grid) with BM25, then rank
