@@ -457,6 +457,50 @@ object RelationalQueries {
              |      FROM orders GROUP BY 1) s ON o.o_custkey = s.k
              |WHERE o_totalprice > cust_avg * 1.5
              |ORDER BY o_orderkey""".stripMargin)
+    ),
+
+    // ----- TPC-H Q5 analog: 6-table star join, local-supplier volume --------
+    // The classic join-ordering stress: two fact tables (lineitem, orders)
+    // and four dimensions, with the customer-nation = supplier-nation
+    // equality closing the star into a cycle. The Spark-first plan: the
+    // date filter pushes into the orders scan (pruning the fact join's
+    // build side BEFORE the shuffle), lineitem ⋈ orders shuffles on the
+    // order key (the only fact-fact edge), and every dimension — customer,
+    // supplier, nation, region — broadcasts, so the nation-equality cycle
+    // closes map-side without a second fact shuffle. Exact DECIMAL revenue
+    // per the family's discipline.
+    "rel_local_supplier_volume" -> QuerySpec(
+      (s, d) => {
+        li(s, d)
+          .join(ord(s, d).filter(
+            col("o_orderdate") >= lit("1996-01-01") &&
+              col("o_orderdate") < lit("1998-01-01")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust(s, d)), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(supp(s, d)),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(nat(s, d)), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(reg(s, d)),
+            col("n_regionkey") === col("r_regionkey") && col("r_name") === "ASIA")
+          .groupBy(col("n_name"))
+          .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            .as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some("""SELECT n_name,
+             |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+             |  COUNT(*) AS n_items
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+             |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate < TIMESTAMP '1998-01-01'
+             |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)
     )
   )
 }

@@ -1176,6 +1176,68 @@ object TextQueries {
              |FROM ch GROUP BY source ORDER BY source""".stripMargin)
     ),
 
+    // ----- corpus snapshot diff: the dataset-versioning audit ---------------
+    // Every managed training corpus ships as versioned snapshots, and the
+    // release gate asks: what changed — docs added, removed, edited, and
+    // the net token budget delta, per source. Here v2 derives
+    // deterministically from v1 (doc_id % 11 removed; % 7 edited with an
+    // appended marker; % 13 re-landed under new ids), and the diff is ONE
+    // full-outer join on doc_id — at 100 TB both snapshots shuffle once on
+    // the id (or co-locate for free if both landed id-bucketed), statuses
+    // resolve per-row from null-ness + text equality, and the per-source
+    // rollup map-side combines. Token deltas count whitespace tokens on
+    // both sides (absent side = 0), so the output is the exact token-
+    // budget movement a data-release note reports.
+    "txt_snapshot_diff" -> QuerySpec(
+      (s, d) => {
+        val v1 = docs(s, d).select(col("doc_id"), col("source"), col("text"))
+        val v2 = v1.filter(col("doc_id") % 11 =!= 0)
+          .withColumn("text", when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" v2 edit"))).otherwise(col("text")))
+          .unionByName(v1.filter(col("doc_id") % 13 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+              concat(col("text"), lit(" fresh crawl")).as("text")))
+        val a = v1.select(col("doc_id"), col("source").as("src1"), col("text").as("t1"))
+        val b = v2.select(col("doc_id"), col("source").as("src2"), col("text").as("t2"))
+        a.join(b, Seq("doc_id"), "full_outer")
+          .select(coalesce(col("src1"), col("src2")).as("source"),
+            when(col("t1").isNull, "added").when(col("t2").isNull, "removed")
+              .when(col("t1") =!= col("t2"), "changed").otherwise("unchanged")
+              .as("status"),
+            (coalesce(expr(s"size(${tokensS("t2")})"), lit(0)) -
+              coalesce(expr(s"size(${tokensS("t1")})"), lit(0))).cast("bigint")
+              .as("tok_delta"))
+          .groupBy(col("source"))
+          .agg(sum(when(col("status") === "added", 1L).otherwise(0L)).as("n_added"),
+            sum(when(col("status") === "removed", 1L).otherwise(0L)).as("n_removed"),
+            sum(when(col("status") === "changed", 1L).otherwise(0L)).as("n_changed"),
+            sum(when(col("status") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"),
+            sum(col("tok_delta")).cast("bigint").as("token_delta"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH v1 AS (SELECT doc_id, source, text FROM documents),
+             |v2 AS (SELECT doc_id, source,
+             |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2 edit' ELSE text END AS text
+             |  FROM v1 WHERE doc_id % 11 <> 0
+             |  UNION ALL SELECT doc_id + 1000000 AS doc_id, source,
+             |    text || ' fresh crawl' AS text FROM v1 WHERE doc_id % 13 = 0),
+             |j AS (SELECT COALESCE(a.source, b.source) AS source,
+             |    CASE WHEN a.text IS NULL THEN 'added'
+             |         WHEN b.text IS NULL THEN 'removed'
+             |         WHEN a.text <> b.text THEN 'changed'
+             |         ELSE 'unchanged' END AS status,
+             |    CAST(COALESCE(len(${tokensD("b.text")}), 0) -
+             |         COALESCE(len(${tokensD("a.text")}), 0) AS BIGINT) AS tok_delta
+             |  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+             |SELECT source,
+             |  CAST(SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+             |  CAST(SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+             |  CAST(SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+             |  CAST(SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+             |  CAST(SUM(tok_delta) AS BIGINT) AS token_delta
+             |FROM j GROUP BY source ORDER BY source""".stripMargin)
+    ),
+
     // ----- content-defined chunking: insertion-shift-robust dedup units -----
     // Fixed-grid chunks (txt_chunking) miss duplicated content the moment an
     // insertion shifts it off the grid; content-defined chunking (the

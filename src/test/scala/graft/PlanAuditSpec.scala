@@ -212,6 +212,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("row_number"), s"no vocab-sized rank may appear in:\n$p")
   }
 
+  test("Q5 star join: one fact-fact shuffle, every dimension broadcast, date pushed down") {
+    val df = SparkEntry.queries("rel_local_supplier_volume")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+      s"expected the date filter at the orders scan in:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 4,
+      s"expected 4 broadcast dimension joins in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian in:\n$p")
+    // lineitem ⋈ orders is the only join allowed to shuffle both inputs
+    assert("Exchange hashpartitioning\\((l_orderkey|o_orderkey)".r.findAllIn(p).length <= 2,
+      s"more than the one fact-fact shuffle pair in:\n$p")
+  }
+
   test("bm25: scoring is a broadcast hash join over the index, never keyed on the term") {
     spark.catalog.clearCache()
     val df = SparkEntry.queries("txt_bm25_search")(spark, dir)
