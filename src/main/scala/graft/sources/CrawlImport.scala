@@ -67,4 +67,40 @@ object CrawlImport {
       .select(coalesce(col("_corrupt_record"), lit("")).as("raw_line"))
     Import(docs, quarantine)
   }
+
+  /** [[crawlSchema]] plus the optional crawl fetch timestamp (ISO string in
+    * the shard) used as the streaming event time.
+    */
+  val streamSchema: StructType =
+    StructType(crawlSchema.fields.init ++ Seq(
+      StructField("fetched_at", StringType),
+      StructField("_corrupt_record", StringType)))
+
+  /** Streaming form: watch `shardDir` for arriving JSONL shards and emit
+    * [[graft.streaming.DocumentStream.DocEvent]] rows, ready to feed
+    * `curateContinuous` / `ingestContinuous` / `searchableContinuous` —
+    * the crawl-to-lake front door. Same tolerance contract as the batch
+    * path except unusable lines are dropped (a streaming source has
+    * nowhere to return a quarantine frame; run [[fromJsonl]] over
+    * suspect shards for forensics). Event time comes from the record's
+    * own `fetched_at` (epoch default when absent) — deterministic under
+    * checkpoint replay, where a processing-time stamp would re-date a
+    * replayed batch and break the lake's exactly-once day partitions.
+    */
+  def stream(spark: SparkSession, shardDir: String): org.apache.spark.sql.Dataset[graft.streaming.DocumentStream.DocEvent] = {
+    import spark.implicits._
+    spark.readStream
+      .schema(streamSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(shardDir)
+      .filter(col("_corrupt_record").isNull && col("text").isNotNull)
+      .select(
+        coalesce(col("doc_id"), pmod(xxhash64(col("text")), lit(Long.MaxValue)))
+          .as("docId"),
+        col("text"),
+        coalesce(to_timestamp(col("fetched_at")),
+          lit("1970-01-01 00:00:00").cast("timestamp")).as("eventTime"))
+      .as[graft.streaming.DocumentStream.DocEvent]
+  }
 }
