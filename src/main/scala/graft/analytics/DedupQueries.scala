@@ -440,6 +440,41 @@ object DedupQueries {
              |WHERE j >= 0.5 ORDER BY doc_a, doc_b""".stripMargin)
     ),
 
+    // ----- dedup yield vs Jaccard threshold: the curation lever curve ------
+    // Before committing a dedup threshold, a pipeline asks what each
+    // setting would remove: pairs surviving j >= thr and the count of
+    // documents touched, per threshold. One verified-pair computation
+    // (the same capped/star LSH pipeline, pairs already >= 0.5), then a
+    // tiny pairs x 5-threshold cross — the curve costs no more than the
+    // pair query it rides on. j is an integer-ratio double computed
+    // identically in both engines, so the threshold comparisons agree
+    // exactly.
+    "dedup_threshold_curve" -> QuerySpec(
+      (s, d) => {
+        val p = graft.CacheTracker.track(minhashPairs(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val thr = p.sparkSession.range(0, 1)
+          .selectExpr("explode(array(0.5d, 0.9d, 0.95d, 0.97d, 0.98d)) as thr")
+        val e = p.crossJoin(broadcast(thr)).filter(col("j") >= col("thr"))
+        val np = e.groupBy(col("thr")).agg(count(lit(1)).as("n_pairs"))
+        val nd = e.select(col("thr"),
+            explode(expr("array(doc_a, doc_b)")).as("doc")).distinct()
+          .groupBy(col("thr")).agg(count(lit(1)).as("n_docs"))
+        np.join(nd, Seq("thr")).orderBy(col("thr"))
+      },
+      Some(s"""WITH $MinhashPairsCte,
+             |thr AS (SELECT unnest([0.5, 0.9, 0.95, 0.97, 0.98]) AS thr),
+             |e AS (SELECT t.thr, v.doc_a, v.doc_b FROM v CROSS JOIN thr t
+             |  WHERE v.j >= t.thr),
+             |np AS (SELECT thr, COUNT(*) AS n_pairs FROM e GROUP BY 1),
+             |nd AS (SELECT thr, COUNT(*) AS n_docs FROM (
+             |  SELECT DISTINCT thr, doc FROM (
+             |    SELECT thr, doc_a AS doc FROM e
+             |    UNION ALL SELECT thr, doc_b AS doc FROM e) z) zz GROUP BY 1)
+             |SELECT thr, n_pairs, n_docs FROM np JOIN nd USING (thr)
+             |ORDER BY thr""".stripMargin)
+    ),
+
     // ----- duplicate clusters: connected components of the near-dup graph ---
     // Pairs say "A duplicates B"; a pipeline needs CLUSTERS (keep one
     // representative, drop the rest). Min-label propagation to fixpoint over

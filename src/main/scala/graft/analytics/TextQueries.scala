@@ -1176,6 +1176,51 @@ object TextQueries {
              |FROM ch GROUP BY source ORDER BY source""".stripMargin)
     ),
 
+    // ----- quality-threshold yield curve: what each cut would keep ----------
+    // The other half of the curation lever ([[DedupQueries]] has the
+    // Jaccard curve): docs and tokens surviving quality >= thr at four
+    // candidate thresholds, per threshold — the table a data lead reads
+    // before choosing the quality bar, because the KEPT-TOKEN budget (not
+    // the doc count) is what the training run consumes. One scored
+    // projection (the txt_quality_score arithmetic, floor-quantized so
+    // threshold comparisons are engine-exact), one scores x 4-threshold
+    // broadcast cross, one map-side-combined aggregate.
+    "txt_quality_curve" -> QuerySpec(
+      (s, d) => {
+        val scored = docs(s, d)
+          .withColumn("t", expr(tokensS("text")))
+          .withColumn("stop_ratio", expr(stopRatioS("t")))
+          .withColumn("distinct_ratio", expr(distinctRatioS("t")))
+          .withColumn("len_score", expr(lenScoreS("text")))
+          .withColumn("quality", expr(QualityS))
+          .select(col("quality"), expr("size(t)").cast("bigint").as("n_tok"))
+        val thr = scored.sparkSession.range(0, 1)
+          .selectExpr("explode(array(0.30d, 0.35d, 0.40d, 0.45d)) as thr")
+        scored.crossJoin(broadcast(thr))
+          .groupBy(col("thr"))
+          .agg(sum(when(col("quality") >= col("thr"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("quality") >= col("thr"), col("n_tok")).otherwise(0L))
+              .cast("bigint").as("tokens_kept"),
+            count(lit(1)).as("n_docs"))
+          .withColumn("keep_ratio",
+            expr("floor(n_kept / n_docs * 1e6 + 0.5) / 1e6"))
+          .select(col("thr"), col("n_kept"), col("tokens_kept"), col("keep_ratio"))
+          .orderBy(col("thr"))
+      },
+      Some(s"""WITH toks AS (SELECT *, ${tokensD("text")} AS t FROM documents),
+             |q AS (SELECT len(t) AS n_tok,
+             |    floor((0.3 * (floor(len(list_filter(t, w -> list_contains(['the','a','of','and','is','to'], w))) / len(t) * 1e6 + 0.5) / 1e6)
+             |         + 0.4 * (floor(len(list_distinct(t)) / len(t) * 1e6 + 0.5) / 1e6)
+             |         + 0.3 * (floor(least(length(trim(text)), 400) / 400 * 1e6 + 0.5) / 1e6)) * 1e6 + 0.5) / 1e6 AS quality
+             |  FROM toks),
+             |thr AS (SELECT unnest([0.30, 0.35, 0.40, 0.45]) AS thr)
+             |SELECT thr,
+             |  CAST(SUM(CASE WHEN quality >= thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  CAST(SUM(CASE WHEN quality >= thr THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_kept,
+             |  floor(SUM(CASE WHEN quality >= thr THEN 1 ELSE 0 END) / COUNT(*) * 1e6 + 0.5) / 1e6 AS keep_ratio
+             |FROM q CROSS JOIN thr GROUP BY thr ORDER BY thr""".stripMargin)
+    ),
+
     // ----- corpus snapshot diff: the dataset-versioning audit ---------------
     // Every managed training corpus ships as versioned snapshots, and the
     // release gate asks: what changed — docs added, removed, edited, and
