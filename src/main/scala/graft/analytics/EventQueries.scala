@@ -242,6 +242,47 @@ object EventQueries {
     ),
 
     // ----- sessionization: 30-minute inactivity gap -----
+    // ----- session-gap sensitivity: the sessionization lever curve ----------
+    // Completing the lever-curve family (Jaccard bar, quality bar): total
+    // sessions and mean events-per-session at 15/30/60-minute inactivity
+    // gaps — the table read before fixing the gap rule, since the choice
+    // moves every downstream retention/funnel number. One lag pass
+    // computes each event's gap ONCE; the three thresholds are per-row
+    // comparisons against that same gap column (no per-threshold window
+    // re-run), and only the tiny per-gap totals aggregate globally.
+    "evt_session_gap_curve" -> QuerySpec(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val gaps = ev(s, d)
+          .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+          .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+        gaps.crossJoin(broadcast(gaps.sparkSession.range(0, 1)
+            .selectExpr("explode(array(15, 30, 60)) as gap_min")))
+          .groupBy(col("gap_min"))
+          .agg(sum(when(col("gap_us").isNull ||
+              col("gap_us") > col("gap_min") * 60L * 1000000L, 1L).otherwise(0L))
+            .as("n_sessions"),
+            count(lit(1)).as("n_events"))
+          .withColumn("events_per_session",
+            expr("floor(n_events / n_sessions * 1e6 + 0.5) / 1e6"))
+          .orderBy(col("gap_min"))
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id,
+             |    epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS gap_us
+             |  FROM events),
+             |thr AS (SELECT unnest([15, 30, 60]) AS gap_min)
+             |SELECT gap_min,
+             |  CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > CAST(gap_min AS BIGINT) * 60 * 1000000
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+             |  COUNT(*) AS n_events,
+             |  floor(COUNT(*) / SUM(CASE WHEN gap_us IS NULL OR gap_us > CAST(gap_min AS BIGINT) * 60 * 1000000
+             |    THEN 1 ELSE 0 END) * 1e6 + 0.5) / 1e6 AS events_per_session
+             |FROM g CROSS JOIN thr GROUP BY gap_min ORDER BY gap_min""".stripMargin)
+    ),
+
     "evt_sessionize" -> QuerySpec(
       (s, d) => {
         val w = Window.partitionBy(col("user_id"))
