@@ -38,6 +38,33 @@ object IngestionBench {
     val docs = Tables.t(spark, sfDir, "documents")
       .select(col("doc_id").as("docId"), col("text"),
         lit(java.sql.Timestamp.valueOf("2024-07-23 10:00:00")).as("eventTime"))
+    // SPARK_GRAFT_INGEST_MODE=search: probe the streaming-retrieval tier
+    // instead — per batch, appendBatch into the TextIndex then run one
+    // 4-query search against the accumulated store. Append must stay FLAT
+    // (batch-local postings + that batch's doclens only); search grows
+    // with the stored postings (sublinearly — broadcast query side).
+    if (sys.env.get("SPARK_GRAFT_INGEST_MODE").contains("search")) {
+      val qids = docs.select(col("docId").as("qid")).orderBy(col("qid")).limit(4)
+      val phases = (0 until nBatches).map { i =>
+        val b = docs.filter(col("docId") % nBatches === i)
+          .select(col("docId").as("doc_id"), col("text"))
+        val t0 = System.nanoTime()
+        graft.operators.TextIndex.appendBatch(b, idx, i)
+        val tAppend = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val n = graft.operators.TextIndex.search(spark, idx, qids, 5).count()
+        val tSearch = (System.nanoTime() - t1) / 1e9
+        graft.CacheTracker.releaseAll()
+        (i, tAppend, tSearch, n)
+      }
+      val total = phases.map(p => p._2 + p._3).sum
+      val batches = phases.map { case (i, ta, ts, n) =>
+        f"""{"batch":$i,"append_sec":$ta%.3f,"search_sec":$ts%.3f,"hits":$n}"""
+      }.mkString("[", ",", "]")
+      println(f"""{"metric":"ingest_search","value":$total%.3f,"unit":"sec","batches":$batches,"sf":"$sfDir"}""")
+      spark.stop()
+      return
+    }
     val phases = (0 until nBatches).map { i =>
       val b = docs.filter(col("docId") % nBatches === i)
       val t0 = System.nanoTime()
