@@ -809,6 +809,83 @@ object DedupQueries {
              |WHERE j >= 0.6 ORDER BY doc_a, doc_b""".stripMargin)
     ),
 
+    // ----- asymmetric containment: the sub-document pairs Jaccard misses ----
+    // A short document quoted inside a long one has LOW Jaccard (the union
+    // is dominated by the long doc) but HIGH containment
+    // C = |A∩B| / min(|A|, |B|) — the asymmetric measure quote/subset
+    // detection needs (the C4/RefinedWeb-style "is this doc mostly inside
+    // another" check). Candidates come from the SAME DF-capped inverted
+    // index as dedup_ngram_jaccard (shared-shingle equi-join, never
+    // all-pairs — and unlike MinHash banding, candidate generation is not
+    // Jaccard-biased, so low-Jaccard/high-containment pairs are reachable);
+    // the report keeps pairs with containment >= 0.8 that the Jaccard bar
+    // (0.6) would NOT have caught, naming the contained (smaller) side.
+    // The fixture corpus's near-dups are all FULL-document copies (every
+    // candidate pair has containment = Jaccard = 1.0), so — the
+    // txt_pii_scrub move — the query derives excerpt pseudo-docs
+    // in-query (first 12 tokens of every doc_id % 17 == 0 document,
+    // re-landed under id + 500000): their shingles are subsets of their
+    // source's, giving exactly the high-containment/low-Jaccard shape
+    // the operator exists to catch, and the oracle replays the
+    // derivation so the check runs on real nonzero rows.
+    "dedup_containment_pairs" -> QuerySpec(
+      (s, d) => {
+        val base = docs(s, d).select("doc_id", "text")
+        val excerpts = base.filter(col("doc_id") % 17 === 0)
+          .withColumn("t", expr(graft.functions.TextFunctions.tokensS("text")))
+          .select((col("doc_id") + 500000L).as("doc_id"),
+            expr("array_join(slice(t, 1, 12), ' ')").as("text"))
+        val sh = withShingles(base.unionByName(excerpts))
+          .select("doc_id", "hs")
+        val e0 = sh.select(col("doc_id"), explode(col("hs")).as("h"))
+        val hot = e0.groupBy(col("h")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > ShingleDfCap).select(col("h"))
+        val e = graft.CacheTracker.track(e0.join(hot, Seq("h"), "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val shared = e.as("x")
+          .join(e.as("y"), col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("shared"))
+        val n = e.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        shared
+          .join(n.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+          .join(n.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+          .withColumn("cont", expr("shared / least(na, nb)"))
+          .withColumn("j", expr("shared / (na + nb - shared)"))
+          .filter(col("cont") >= 0.8 && col("j") < 0.6)
+          .select(col("doc_a"), col("doc_b"),
+            expr("if(na <= nb, doc_a, doc_b)").as("contained_doc"),
+            col("shared"),
+            expr("floor(cont * 1e6 + 0.5) / 1e6").as("containment"),
+            expr("floor(j * 1e6 + 0.5) / 1e6").as("jaccard"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""WITH basetok AS (SELECT doc_id, text, ${tokensD("text")} AS t FROM documents),
+             |u AS (SELECT doc_id, text FROM documents
+             |  UNION ALL SELECT doc_id + 500000 AS doc_id,
+             |    array_to_string(t[1 : 12], ' ') AS text
+             |  FROM basetok WHERE doc_id % 17 = 0),
+             |toks AS (SELECT doc_id, ${tokensD("text")} AS t FROM u),
+             |th AS (SELECT doc_id, ${tokenHashesD("t")} AS th FROM toks),
+             |sh AS (SELECT doc_id, list_distinct(${shingleHashesD("th")}) AS hs FROM th),
+             |e AS (SELECT doc_id, h FROM (SELECT doc_id, unnest(hs) AS h FROM sh) z
+             |  QUALIFY COUNT(*) OVER (PARTITION BY h) <= $ShingleDfCap),
+             |c AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS shared
+             |  FROM e x JOIN e y ON x.h = y.h AND x.doc_id < y.doc_id GROUP BY 1, 2),
+             |n AS (SELECT doc_id, COUNT(*) AS n FROM e GROUP BY doc_id),
+             |v AS (SELECT c.doc_a, c.doc_b, c.shared, na.n AS na, nb.n AS nb,
+             |    c.shared / least(na.n, nb.n) AS cont,
+             |    c.shared / (na.n + nb.n - c.shared) AS j
+             |  FROM c JOIN n na ON c.doc_a = na.doc_id JOIN n nb ON c.doc_b = nb.doc_id)
+             |SELECT doc_a, doc_b,
+             |  CASE WHEN na <= nb THEN doc_a ELSE doc_b END AS contained_doc,
+             |  shared,
+             |  floor(cont * 1e6 + 0.5) / 1e6 AS containment,
+             |  floor(j * 1e6 + 0.5) / 1e6 AS jaccard
+             |FROM v WHERE cont >= 0.8 AND j < 0.6
+             |ORDER BY doc_a, doc_b""".stripMargin)
+    ),
+
     // ----- exact repeated-span detection (substring dedup) ------------------
     // Suffix-array-style substring dedup: find pairs of documents sharing a
     // long EXACT token span (near-dup metrics like Jaccard miss a 50-token
