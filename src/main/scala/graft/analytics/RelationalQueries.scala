@@ -459,6 +459,72 @@ object RelationalQueries {
              |ORDER BY o_orderkey""".stripMargin)
     ),
 
+    // ----- pairwise correlation matrix, exact-integer accumulation ----------
+    // Pearson correlation across the lineitem measures — the profiling
+    // query every BI layer runs, but built so two engines agree to the
+    // bit: corr() accumulates doubles in engine-specific order (Welford
+    // vs sum-of-products), so the built-in can drift in the last ulp.
+    // Here the measures quantize to exact BIGINTs (prices carry <= 2
+    // decimals, rates <= 4 by construction), ALL moment sums accumulate
+    // as DECIMAL(38,0) / HUGEINT integers (order-free), and the textbook
+    // n·Σab − Σa·Σb formula evaluates in exact integer arithmetic with
+    // ONE double conversion at the end. One map-side-combined aggregate
+    // over the fact table produces every moment; the 6-pair matrix
+    // unfolds from that single row.
+    "rel_correlation_matrix" -> QuerySpec(
+      (s, d) => {
+        val q = li(s, d).select(
+          expr("cast(round(l_quantity * 100) as bigint)").as("a1"),
+          expr("cast(round(l_extendedprice * 100) as bigint)").as("a2"),
+          expr("cast(round(l_discount * 10000) as bigint)").as("a3"),
+          expr("cast(round(l_tax * 10000) as bigint)").as("a4"))
+        val names = Map(1 -> "quantity", 2 -> "extendedprice", 3 -> "discount", 4 -> "tax")
+        val pairs = for (i <- 1 to 4; j <- (i + 1) to 4) yield (i, j)
+        val moments =
+          (1 to 4).flatMap(i => Seq(
+            sum(expr(s"cast(a$i as decimal(38,0))")).as(s"s$i"),
+            sum(expr(s"cast(a$i * a$i as decimal(38,0))")).as(s"ss$i"))) ++
+          pairs.map { case (i, j) =>
+            sum(expr(s"cast(a$i * a$j as decimal(38,0))")).as(s"p${i}_$j") }
+        val agg = q.agg(count(lit(1)).cast("decimal(38,0)").as("n"), moments: _*)
+        val rows = pairs.map { case (i, j) =>
+          s"struct('${names(i)}' as col_a, '${names(j)}' as col_b, " +
+            s"floor(cast(n * p${i}_$j - s$i * s$j as double) / " +
+            s"sqrt(cast(n * ss$i - s$i * s$i as double) * " +
+            s"cast(n * ss$j - s$j * s$j as double)) * 1e6 + 0.5) / 1e6 as corr)"
+        }.mkString("array(", ", ", ")")
+        agg.select(explode(expr(rows)).as("r"))
+          .select(col("r.col_a"), col("r.col_b"), col("r.corr"))
+          .orderBy(col("col_a"), col("col_b"))
+      },
+      Some {
+        val names = Map(1 -> "quantity", 2 -> "extendedprice", 3 -> "discount", 4 -> "tax")
+        val pairs = for (i <- 1 to 4; j <- (i + 1) to 4) yield (i, j)
+        val sel = pairs.map { case (i, j) =>
+          s"""SELECT '${names(i)}' AS col_a, '${names(j)}' AS col_b,
+             |  floor(CAST(n * p${i}_$j - s$i * s$j AS DOUBLE) /
+             |    sqrt(CAST(n * ss$i - s$i * s$i AS DOUBLE) *
+             |         CAST(n * ss$j - s$j * s$j AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS corr
+             |FROM m""".stripMargin
+        }.mkString("\n UNION ALL ")
+        s"""WITH q AS (SELECT
+           |    CAST(round(l_quantity * 100) AS BIGINT) AS a1,
+           |    CAST(round(l_extendedprice * 100) AS BIGINT) AS a2,
+           |    CAST(round(l_discount * 10000) AS BIGINT) AS a3,
+           |    CAST(round(l_tax * 10000) AS BIGINT) AS a4
+           |  FROM lineitem),
+           |m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+           |    ${(1 to 4).map(i =>
+                  s"CAST(SUM(CAST(a$i AS HUGEINT)) AS HUGEINT) AS s$i, " +
+                  s"CAST(SUM(CAST(a$i AS HUGEINT) * a$i) AS HUGEINT) AS ss$i").mkString(", ")},
+           |    ${pairs.map { case (i, j) =>
+                  s"CAST(SUM(CAST(a$i AS HUGEINT) * a$j) AS HUGEINT) AS p${i}_$j" }.mkString(", ")}
+           |  FROM q)
+           |SELECT col_a, col_b, corr FROM ($sel) z
+           |ORDER BY col_a, col_b""".stripMargin
+      }
+    ),
+
     // ----- TPC-H Q5 analog: 6-table star join, local-supplier volume --------
     // The classic join-ordering stress: two fact tables (lineitem, orders)
     // and four dimensions, with the customer-nation = supplier-nation
