@@ -242,6 +242,59 @@ object EventQueries {
     ),
 
     // ----- sessionization: 30-minute inactivity gap -----
+    // ----- OLS volume trend: the fitted slope behind the trend charts -------
+    // tl_volume_trend/evt_weekly_trend show the series; this fits it —
+    // least-squares slope/intercept/R² of daily event volume against the
+    // day index, the number an observability page prints as "+N events/
+    // day". Exactness discipline: x (day index via datediff from the
+    // corpus's own min day) and y (daily counts) are integers, every OLS
+    // moment (Σx, Σy, Σxy, Σx², Σy²) accumulates as order-free integer
+    // sums, and the slope/intercept/R² formulas evaluate with one double
+    // conversion at the end — regr_slope()'s float accumulation drift
+    // never enters. The daily rollup is the only corpus-sized aggregate;
+    // the fit runs on day-count rows.
+    "evt_volume_trend_ols" -> QuerySpec(
+      (s, d) => {
+        val daily = ev(s, d)
+          .groupBy(date_trunc("day", col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+        val x0 = daily.agg(min(col("day")).as("d0"))
+        daily.crossJoin(broadcast(x0))
+          .withColumn("x", expr("cast(datediff(day, d0) as bigint)"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("x")).cast("bigint").as("sx"),
+            sum(col("y")).cast("bigint").as("sy"),
+            sum(expr("x * y")).cast("bigint").as("sxy"),
+            sum(expr("x * x")).cast("bigint").as("sxx"),
+            sum(expr("y * y")).cast("bigint").as("syy"))
+          .select(col("n"),
+            expr("floor(cast(n * sxy - sx * sy as double) / (n * sxx - sx * sx) * 1e6 + 0.5) / 1e6")
+              .as("slope"),
+            expr("floor((cast(sy as double) - (cast(n * sxy - sx * sy as double) / (n * sxx - sx * sx)) * sx) / n * 1e6 + 0.5) / 1e6")
+              .as("intercept"),
+            expr("floor(cast(n * sxy - sx * sy as double) * (n * sxy - sx * sy) / " +
+              "((n * sxx - sx * sx) * cast(n * syy - sy * sy as double)) * 1e6 + 0.5) / 1e6")
+              .as("r2"))
+      },
+      Some("""WITH daily AS (SELECT date_trunc('day', ts) AS day, COUNT(*) AS y
+             |  FROM events GROUP BY 1),
+             |x0 AS (SELECT MIN(day) AS d0 FROM daily),
+             |pts AS (SELECT CAST(datediff('day', d0, day) AS BIGINT) AS x, y
+             |  FROM daily CROSS JOIN x0),
+             |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+             |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+             |    CAST(SUM(y * y) AS BIGINT) AS syy
+             |  FROM pts)
+             |SELECT n,
+             |  floor(CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) * 1e6 + 0.5) / 1e6 AS slope,
+             |  floor((CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx)) * sx) / n * 1e6 + 0.5) / 1e6 AS intercept,
+             |  floor(CAST(n * sxy - sx * sy AS DOUBLE) * (n * sxy - sx * sy) /
+             |    ((n * sxx - sx * sx) * CAST(n * syy - sy * sy AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS r2
+             |FROM m""".stripMargin)
+    ),
+
     // ----- session-gap sensitivity: the sessionization lever curve ----------
     // Completing the lever-curve family (Jaccard bar, quality bar): total
     // sessions and mean events-per-session at 15/30/60-minute inactivity
