@@ -1176,6 +1176,53 @@ object TextQueries {
              |FROM ch GROUP BY source ORDER BY source""".stripMargin)
     ),
 
+    // ----- language x source independence: the mixture-balance chi-square ---
+    // "Does every source contribute the same language mix, or is one crawl
+    // skewing the blend?" — the contingency test a corpus-balance audit
+    // runs. Observed counts are one map-side-combined (lang, source)
+    // aggregate; expected counts are rational (row_total x col_total / n);
+    // each cell's (o - e)²/e contribution is floor-quantized to a micro
+    // BIGINT BEFORE the sum (partition-order-proof, same discipline as
+    // every fixed-point query), so the statistic is engine-exact. The
+    // cross-tab is #langs x #sources rows — driver-scale at any corpus
+    // size; only the count aggregate touches the corpus.
+    "txt_lang_source_chi2" -> QuerySpec(
+      (s, d) => {
+        val obs = docs(s, d).groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("o"))
+        val rows = obs.groupBy(col("lang")).agg(sum(col("o")).cast("bigint").as("rt"))
+        val cols = obs.groupBy(col("source")).agg(sum(col("o")).cast("bigint").as("ct"))
+        val tot = obs.agg(sum(col("o")).cast("bigint").as("n"),
+          countDistinct(col("lang")).as("nl"), countDistinct(col("source")).as("ns"))
+        // the FULL lattice (cross join of margins), not just observed
+        // cells: a zero-observed cell still contributes e to the statistic
+        rows.crossJoin(cols)
+          .join(obs, Seq("lang", "source"), "left").na.fill(0L, Seq("o"))
+          .crossJoin(broadcast(tot))
+          .select(expr(
+            "cast(floor((o - cast(rt as double) * ct / n) * (o - cast(rt as double) * ct / n) / (cast(rt as double) * ct / n) * 1e6 + 0.5) as bigint)")
+            .as("cm"), col("n"), col("nl"), col("ns"))
+          .groupBy(col("n"), col("nl"), col("ns"))
+          .agg(sum(col("cm")).cast("bigint").as("chi2_micro"))
+          .select(col("n"), ((col("nl") - 1) * (col("ns") - 1)).as("dof"),
+            col("chi2_micro"))
+      },
+      Some("""WITH obs AS (SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2),
+             |r AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS rt FROM obs GROUP BY 1),
+             |c AS (SELECT source, CAST(SUM(o) AS BIGINT) AS ct FROM obs GROUP BY 1),
+             |t AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+             |    COUNT(DISTINCT lang) AS nl, COUNT(DISTINCT source) AS ns FROM obs),
+             |cells AS (SELECT r.lang, c.source, r.rt, c.ct,
+             |    COALESCE(obs.o, 0) AS o
+             |  FROM r CROSS JOIN c LEFT JOIN obs ON obs.lang = r.lang AND obs.source = c.source),
+             |k AS (SELECT CAST(floor((o - CAST(rt AS DOUBLE) * ct / n) * (o - CAST(rt AS DOUBLE) * ct / n) /
+             |    (CAST(rt AS DOUBLE) * ct / n) * 1e6 + 0.5) AS BIGINT) AS cm, n, nl, ns
+             |  FROM cells CROSS JOIN t)
+             |SELECT n, (nl - 1) * (ns - 1) AS dof,
+             |  CAST(SUM(cm) AS BIGINT) AS chi2_micro
+             |FROM k GROUP BY n, nl, ns""".stripMargin)
+    ),
+
     // ----- quality-threshold yield curve: what each cut would keep ----------
     // The other half of the curation lever ([[DedupQueries]] has the
     // Jaccard curve): docs and tokens surviving quality >= thr at four
