@@ -242,6 +242,70 @@ object EventQueries {
     ),
 
     // ----- sessionization: 30-minute inactivity gap -----
+    // ----- day-over-day type-mix drift: the distribution-shift monitor ------
+    // evt_daily_anomaly watches VOLUME; this watches SHAPE — a day whose
+    // event-type mix diverges from yesterday's (a client release changing
+    // traffic composition) at constant volume. Per day: chi-square of
+    // today's type counts against expectations scaled from yesterday's
+    // shares, add-one smoothed (a type absent yesterday must not divide by
+    // zero — and genuinely new types SHOULD score as drift). The day x
+    // type lattice is built from the global type set so zero-count cells
+    // participate on both sides. Exactness: expectations are rationals of
+    // integer counts, per-cell contributions floor-quantize to micro
+    // BIGINTs pre-sum. One corpus-sized (day, type) aggregate; everything
+    // after runs on days x types rows.
+    "evt_type_drift" -> QuerySpec(
+      (s, d) => {
+        val dc = ev(s, d)
+          .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+          .agg(count(lit(1)).as("c"))
+        val types = dc.select(col("event_type")).distinct()
+        val days = dc.groupBy(col("day")).agg(sum(col("c")).cast("bigint").as("n"))
+        val k = types.count() // driver-side scalar: the type-set cardinality
+        val lattice = days.crossJoin(broadcast(types))
+          .join(dc, Seq("day", "event_type"), "left").na.fill(0L, Seq("c"))
+        val today = lattice.select(col("day"), col("event_type"),
+          col("c").as("ct"), col("n").as("nt"))
+        val yest = lattice.select(col("day").as("yday"), col("event_type"),
+          col("c").as("cy"), col("n").as("ny"))
+        today.join(yest,
+            today("event_type") === yest("event_type") &&
+              today("day") === expr("yday + INTERVAL 1 DAY"))
+          .drop(yest("event_type"))
+          .select(col("day"),
+            expr(s"cast(floor((ct - cast(nt as double) * (cy + 1) / (ny + $k)) * " +
+              s"(ct - cast(nt as double) * (cy + 1) / (ny + $k)) / " +
+              s"(cast(nt as double) * (cy + 1) / (ny + $k)) * 1e6 + 0.5) as bigint)").as("cm"))
+          .groupBy(col("day"))
+          .agg(sum(col("cm")).cast("bigint").as("chi2_micro"))
+          .withColumn("dof", lit(k - 1))
+          .orderBy(col("day"))
+      },
+      Some {
+        // the oracle needs the same type-set cardinality the engine used;
+        // it is data-derived, so compute it as a scalar CTE
+        """WITH dc AS (SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS c
+          |  FROM events GROUP BY 1, 2),
+          |ty AS (SELECT DISTINCT event_type FROM dc),
+          |kk AS (SELECT COUNT(*) AS k FROM ty),
+          |dd AS (SELECT day, CAST(SUM(c) AS BIGINT) AS n FROM dc GROUP BY 1),
+          |lat AS (SELECT dd.day, ty.event_type, dd.n, COALESCE(dc.c, 0) AS c
+          |  FROM dd CROSS JOIN ty
+          |  LEFT JOIN dc ON dc.day = dd.day AND dc.event_type = ty.event_type),
+          |p AS (SELECT t.day,
+          |    CAST(floor((t.c - CAST(t.n AS DOUBLE) * (y.c + 1) / (y.n + k)) *
+          |      (t.c - CAST(t.n AS DOUBLE) * (y.c + 1) / (y.n + k)) /
+          |      (CAST(t.n AS DOUBLE) * (y.c + 1) / (y.n + k)) * 1e6 + 0.5) AS BIGINT) AS cm,
+          |    k
+          |  FROM lat t JOIN lat y ON t.event_type = y.event_type
+          |    AND t.day = y.day + INTERVAL 1 DAY
+          |  CROSS JOIN kk)
+          |SELECT day, CAST(SUM(cm) AS BIGINT) AS chi2_micro,
+          |  CAST(MAX(k - 1) AS BIGINT) AS dof
+          |FROM p GROUP BY day ORDER BY day""".stripMargin
+      }
+    ),
+
     // ----- OLS volume trend: the fitted slope behind the trend charts -------
     // tl_volume_trend/evt_weekly_trend show the series; this fits it —
     // least-squares slope/intercept/R² of daily event volume against the
