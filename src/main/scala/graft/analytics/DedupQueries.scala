@@ -78,6 +78,34 @@ object DedupQueries {
     v
   }
 
+  /** Trained-cell count for dedup_semantic_kmeans — the Lloyd k. 16 keeps
+    * the oracle's unrolled two-round replay tractable; a real deployment
+    * scales k with the corpus (SemDeDup runs 50k cells over 5B vectors) and
+    * the occupancy sub-split below covers the gap in between.
+    */
+  val SemKCells = 16
+
+  /** Sub-plane resolver for dedup_semantic_kmeans: same occupancy lever as
+    * [[resolveSemSub]], but per-cell occupancy divides by the TRAINED cell
+    * count [[SemKCells]] instead of the corpus's label cardinality.
+    */
+  @volatile private var semKSubV: Int = 0
+  private[analytics] def semKSubPlanes: Int = semKSubV
+  private val semKSubByDir = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  private[analytics] def resolveSemKSub(s: SparkSession, d: String): Int = {
+    val v = semKSubByDir.computeIfAbsent(d, _ => {
+      val occ = emb(s, d).count() / SemKCells
+      var p = 0
+      while (p < 16 && (occ >> p) > SemOccupancyTarget) p += 1
+      if (sys.env.contains("SPARK_GRAFT_VERBOSE"))
+        System.err.println(s"[semkdedup] subPlanes=$p occupancy=$occ dir=$d")
+      Integer.valueOf(p)
+    }).intValue()
+    semKSubV = v
+    v
+  }
+
   /** doc_id + distinct 3-gram shingle hashes (the dedup unit). The explicit
     * repartition spreads the per-doc signature computation: a small parquet
     * file arrives as ONE split (a 100 TB corpus has thousands), and the HOF
@@ -1212,6 +1240,89 @@ object DedupQueries {
            |    round(${dotD("qe", "ce")} / (sqrt(nrm) * sqrt(cnrm)), 6) AS c2c
            |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c_id) AS arn
            |        FROM ad) z WHERE arn = 1),
+           |pairs AS (SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
+           |    a.c2c AS ca, b.c2c AS cb,
+           |    ${dotD("a.qe", "b.qe")} / (sqrt(a.nrm) * sqrt(b.nrm)) AS c
+           |  FROM assigned a JOIN assigned b ON a.cell = b.cell
+           |    AND a.subkey = b.subkey AND a.vec_id < b.vec_id)
+           |SELECT cell, vec_a, vec_b, round(c, 6) AS cosine,
+           |  CASE WHEN ca > cb THEN vec_a WHEN cb > ca THEN vec_b
+           |       ELSE greatest(vec_a, vec_b) END AS drop_id
+           |FROM pairs WHERE c >= 0.4 ORDER BY cell, vec_a, vec_b""".stripMargin
+      }
+    ),
+
+    // ----- SemDeDup over TRAINED cells: the real-centroid variant -----------
+    // dedup_semantic partitions the space by the corpus's label cardinality —
+    // a documented stand-in. This is the deployment shape: coarse cells are
+    // Lloyd-TRAINED ([[graft.operators.IvfIndex]] arithmetic — init = the k
+    // smallest vec_ids, two integer-mean rounds, empty cells keep their
+    // previous centroid) and PERSISTED, and the dedup pass reads the index's
+    // cell-partitioned vector store. The corpus is scanned, quantized, and
+    // assigned ONCE per corpus lifetime, not once per dedup run — at 100 TB
+    // that asymmetry is the whole game: train on one sampled pass, then
+    // every nightly dedup is an in-cell equi-join over an already-
+    // partitioned store plus a tiny broadcast centroid join for the drop
+    // rule's centroid-similarity. Same occupancy lever as dedup_semantic
+    // (over-target cells split into hyperplane sub-buckets, resolved from
+    // the actual corpus, oracle rendered from the same constant). The
+    // oracle replays the FULL lifecycle — init, both Lloyd rounds,
+    // assignment, in-cell pairs, drop rule — in exact integer arithmetic,
+    // so this row hash-checks the training and the dedup decision together.
+    "dedup_semantic_kmeans" -> QuerySpec(
+      (s, d) => {
+        graft.functions.VectorExpressions.register(s)
+        val sub = resolveSemKSub(s, d)
+        val idx = graft.operators.IvfIndex.registryPath(s, d, s"semk$SemKCells")
+        graft.operators.IvfIndex.ensure(s, idx) {
+          graft.operators.IvfIndex.build(emb(s, d), idx, nCells = SemKCells, iters = 2)
+        }
+        val cent = broadcast(s.read.parquet(s"$idx/centroids")
+          .withColumn("cnrm", expr("long_dot(ce, ce)")))
+        val assigned = s.read.parquet(s"$idx/vectors")
+          .join(cent, Seq("cell"))
+          .withColumn("c2c",
+            expr("round(long_dot(qe, ce) / (sqrt(nrm) * sqrt(cnrm)), 6)"))
+          .withColumn("subkey",
+            if (sub > 0) expr(s"hyperplane_key(qe, $sub)") else lit(0L))
+          .select(col("cell"), col("subkey"), col("vec_id"), col("qe"),
+            col("nrm"), col("c2c"))
+        val a = assigned.select(col("cell"), col("subkey"), col("vec_id").as("vec_a"),
+          col("qe").as("qa"), col("nrm").as("na"), col("c2c").as("ca"))
+        val b = assigned.select(col("cell"), col("subkey"), col("vec_id").as("vec_b"),
+          col("qe").as("qb"), col("nrm").as("nb"), col("c2c").as("cb"))
+        a.join(b, Seq("cell", "subkey"))
+          .filter(col("vec_a") < col("vec_b"))
+          .withColumn("c", expr("long_dot(qa, qb) / (sqrt(na) * sqrt(nb))"))
+          .filter(col("c") >= 0.4)
+          .withColumn("drop_id", when(col("ca") > col("cb"), col("vec_a"))
+            .when(col("cb") > col("ca"), col("vec_b"))
+            .otherwise(greatest(col("vec_a"), col("vec_b"))))
+          .select(col("cell"), col("vec_a"), col("vec_b"),
+            expr("round(c, 6)").as("cosine"), col("drop_id"))
+          .orderBy(col("cell"), col("vec_a"), col("vec_b"))
+      },
+      Some {
+        val sub = semKSubPlanes
+        val subD = if (sub > 0) SimilarityQueries.lshKeyD("qe", sub)
+                   else "CAST(0 AS BIGINT)"
+        s"""WITH q AS (SELECT vec_id, ${quantizeD("embedding")} AS qe FROM embeddings),
+           |n AS (SELECT vec_id, qe, ${dotD("qe", "qe")} AS nrm FROM q),
+           |dim AS (SELECT max(len(qe)) AS d FROM q),
+           |old AS (SELECT vec_id, qe FROM n),
+           |c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, qe AS ce
+           |  FROM (SELECT vec_id, qe FROM old ORDER BY vec_id LIMIT $SemKCells) z),
+           |${SimilarityQueries.lloydRoundD(1, "c0", "c1")},
+           |${SimilarityQueries.lloydRoundD(2, "c1", "c2")},
+           |nc AS (SELECT cell, ce, ${dotD("ce", "ce")} AS cnrm FROM c2),
+           |ad AS (SELECT n.vec_id, n.qe, n.nrm, c.cell, ${SimilarityQueries.l2D("n.qe", "c.ce")} AS dist
+           |  FROM n CROSS JOIN nc c),
+           |assigned0 AS (SELECT vec_id, qe, nrm, cell FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS arn FROM ad) z
+           |  WHERE arn = 1),
+           |assigned AS (SELECT a.vec_id, a.qe, a.nrm, a.cell, $subD AS subkey,
+           |    round(${dotD("a.qe", "c.ce")} / (sqrt(a.nrm) * sqrt(c.cnrm)), 6) AS c2c
+           |  FROM assigned0 a JOIN nc c ON a.cell = c.cell),
            |pairs AS (SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
            |    a.c2c AS ca, b.c2c AS cb,
            |    ${dotD("a.qe", "b.qe")} / (sqrt(a.nrm) * sqrt(b.nrm)) AS c

@@ -149,7 +149,7 @@ object SimilarityQueries {
   /** Exact integer L2² between two quantized lane lists (oracle twin of the
     * native `long_l2`).
     */
-  private def l2D(v: String, c: String): String =
+  private[analytics] def l2D(v: String, c: String): String =
     s"CAST(list_sum(list_transform($LaneSeries, j -> ($v[j] - $c[j]) * ($v[j] - $c[j]))) AS BIGINT)"
 
   /** One unrolled Lloyd round over the `old` CTE against centroids `prev`,
@@ -158,7 +158,7 @@ object SimilarityQueries {
     * min(struct) argmin uses), then per-lane integer means with empty cells
     * keeping their previous centroid. Mirrors `IvfIndex.build` exactly.
     */
-  private def lloydRoundD(i: Int, prev: String, out: String): String =
+  private[analytics] def lloydRoundD(i: Int, prev: String, out: String): String =
     s"""a$i AS (SELECT o.vec_id, o.qe, c.cell, ${l2D("o.qe", "c.ce")} AS dist
        |  FROM old o CROSS JOIN $prev c),
        |s$i AS (SELECT vec_id, qe, cell FROM (

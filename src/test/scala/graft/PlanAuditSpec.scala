@@ -172,6 +172,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("cell"), s"expected the cell equi-join key in:\n$p")
   }
 
+  test("semantic kmeans dedup: pairs come from the cell-partitioned store scan") {
+    val p = plan("dedup_semantic_kmeans")
+    // steady-state shape: the corpus arrives from the persisted IVF vector
+    // store (not a re-quantization of the raw parquet), the tiny centroid
+    // table broadcasts for the drop rule, and pair generation stays an
+    // equi-join on the cell key
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian in:\n$p")
+    assert(p.contains("vectors"), s"expected the IVF vector-store scan in:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast centroid join in:\n$p")
+  }
+
   test("edit-distance dedup: candidates come from the fingerprint equi-join") {
     val p = plan("dedup_edit_distance")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
