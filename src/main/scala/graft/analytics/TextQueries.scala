@@ -482,6 +482,77 @@ object TextQueries {
              |FROM f GROUP BY lang, thresh ORDER BY lang""".stripMargin)
     ),
 
+    // ----- priority sampling: weighted sample + unbiased subset-sum sketch --
+    // Weight-proportional sampling WITHOUT replacement with an unbiased
+    // total estimator (Duffield/Lund/Thorup, "Priority sampling", JACM'07):
+    // each doc draws priority q = w/u (w = token count, u uniform), the
+    // per-stratum sample is the top-k by q, and with tau = the (k+1)-th
+    // priority, sum(max(w_i, tau)) over the sample unbiasedly estimates the
+    // stratum's total weight. This is THE primitive for "how many tokens
+    // would this selection keep" answered from a tiny sample instead of a
+    // second corpus scan — the estimator is near-optimal among k-sample
+    // subset-sum estimators.
+    //
+    // Engine-exact contract: u is a Lehmer hash (doc_id*48271 % (2^31-1))+1
+    // and priorities compare as the exact BIGINT floor-division w*1e12 div u
+    // — no libm, no float ranking, so the sampled SET (not just the
+    // estimate) hash-matches across engines. Scale shape: the top-(k+1)
+    // per stratum comes from the bounded mergeable top11_by_long aggregator
+    // — #strata x 11 rows cross the wire, where a row_number window would
+    // shuffle-sort the whole corpus through #strata partitions (the skew
+    // trap a 5-source 100 TB corpus springs); the sampled ids then join
+    // back broadcast. The oracle replays the identical ranking as a window
+    // (correct at oracle scale, pinned to the same ORDER BY q12 DESC, id).
+    "txt_priority_sample" -> QuerySpec(
+      (s, d) => {
+        graft.functions.SketchAggregators.register(s)
+        val base = docs(s, d)
+          .withColumn("w", expr(s"size(${tokensS("text")})").cast("long"))
+          .withColumn("u", expr("(doc_id * 48271) % 2147483647 + 1"))
+          .withColumn("q12", expr("(w * 1000000000000) div u"))
+        val tops = base
+          .groupBy(col("source"))
+          .agg(expr("top11_by_long(q12, doc_id)").as("top"))
+          .select(col("source"), posexplode(col("top")).as(Seq("pos", "t")))
+          .select(col("source"), (col("pos") + 1).as("rn"),
+            col("t._1").as("q12"), col("t._2").as("doc_id"))
+        val tau = tops.filter(col("rn") === 11).select(col("source"), col("q12").as("tau12"))
+        // sampled ids and taus are #strata-sized — broadcast both back over
+        // the corpus scan rather than shuffling the corpus to 50 rows
+        val est = base.select(col("doc_id"), col("w"))
+          .join(broadcast(tops.filter(col("rn") <= 10)), Seq("doc_id"))
+          .join(broadcast(tau), Seq("source"), "left")
+          .withColumn("inc12", greatest(col("w") * lit(1000000000000L),
+            coalesce(col("tau12"), lit(0L))))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_sample"), sum(col("inc12")).as("est12"))
+        base.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("true_tokens"))
+          .join(est, Seq("source"))
+          .select(col("source"), col("n_docs"), col("true_tokens"), col("n_sample"),
+            expr("est12 div 1000000").as("est_microtokens"),
+            expr("floor((est12 div true_tokens) / 1e6 + 0.5) / 1e6").as("ratio"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH b AS (SELECT doc_id, source,
+             |    CAST(len(${tokensD("text")}) AS BIGINT) AS w FROM documents),
+             |p AS (SELECT *, (doc_id * 48271) % 2147483647 + 1 AS u FROM b),
+             |q AS (SELECT *, (w * 1000000000000) // u AS q12 FROM p),
+             |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY q12 DESC, doc_id) AS rn FROM q),
+             |tau AS (SELECT source, q12 AS tau12 FROM r WHERE rn = 11),
+             |sm AS (SELECT r.source,
+             |    greatest(r.w * 1000000000000, COALESCE(t.tau12, 0)) AS inc12
+             |  FROM r LEFT JOIN tau t ON r.source = t.source WHERE r.rn <= 10),
+             |est AS (SELECT source, COUNT(*) AS n_sample,
+             |    CAST(SUM(inc12) AS BIGINT) AS est12 FROM sm GROUP BY source),
+             |tot AS (SELECT source, COUNT(*) AS n_docs,
+             |    CAST(SUM(w) AS BIGINT) AS true_tokens FROM b GROUP BY source)
+             |SELECT tot.source, n_docs, true_tokens, n_sample,
+             |  est12 // 1000000 AS est_microtokens,
+             |  floor((est12 // true_tokens) / 1e6 + 0.5) / 1e6 AS ratio
+             |FROM tot JOIN est ON tot.source = est.source ORDER BY tot.source""".stripMargin)
+    ),
+
     // ----- distinctive terms per language: lift-ranked TF-IDF analog --------
     // Corpus diagnostics: which terms are over-represented in each language
     // stratum. lift = (term share within the stratum) / (term share in the

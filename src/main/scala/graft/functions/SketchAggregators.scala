@@ -100,6 +100,41 @@ object SketchAggregators {
     override def outputEncoder: Encoder[Seq[(Double, Long, Int)]] = ExpressionEncoder()
   }
 
+  /** [[TopKByScore]] with an exact BIGINT score — for rankings whose score
+    * is a scaled integer (priority sampling's floor-division priorities):
+    * a Double score silently loses exactness past 2^53, which a scaled
+    * w·1e12 priority can exceed. Same bounded-buffer mergeable shape
+    * (#groups × k rows cross the wire), ties break like
+    * `ORDER BY score DESC, id ASC`.
+    */
+  final class TopKByLongScore(k: Int)
+      extends Aggregator[(Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
+
+    private def beats(a: (Long, Long), b: (Long, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+    override def zero: Seq[(Long, Long)] = Vector.empty
+
+    override def reduce(buf: Seq[(Long, Long)], x: (Long, Long)): Seq[(Long, Long)] = {
+      if (buf.length >= k && !beats(x, buf.last)) buf
+      else {
+        val i = buf.indexWhere(b => beats(x, b)) match {
+          case -1 => buf.length
+          case j => j
+        }
+        (buf.take(i) :+ x) ++ buf.drop(i).take(k - i - 1)
+      }
+    }
+
+    override def merge(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Seq[(Long, Long)] =
+      b.foldLeft(a)(reduce)
+
+    override def finish(buf: Seq[(Long, Long)]): Seq[(Long, Long)] = buf
+
+    override def bufferEncoder: Encoder[Seq[(Long, Long)]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[(Long, Long)]] = ExpressionEncoder()
+  }
+
   /** Misra-Gries frequent-items summary with `capacity` counters. The
     * mergeable formulation (Agarwal et al., "Mergeable Summaries", PODS'12):
     * point updates run classic MG (hit += 1; miss inserts if a counter is
@@ -150,7 +185,8 @@ object SketchAggregators {
   }
 
   /** Register the sketch UDAFs on a session (`minhash_union(sig_array)`,
-    * `top7_by_score(score, id, tag)`, `mg63(item)`).
+    * `top7_by_score(score, id, tag)`, `top11_by_long(score, id)`,
+    * `mg63(item)`).
     */
   def register(spark: SparkSession): Unit = {
     implicit val inEnc: Encoder[Seq[Long]] = ExpressionEncoder()
@@ -159,6 +195,9 @@ object SketchAggregators {
     implicit val topkEnc: Encoder[(Double, Long, Int)] = ExpressionEncoder()
     spark.udf.register("top7_by_score",
       org.apache.spark.sql.functions.udaf(new TopKByScore(7)))
+    implicit val topkLongEnc: Encoder[(Long, Long)] = ExpressionEncoder()
+    spark.udf.register("top11_by_long",
+      org.apache.spark.sql.functions.udaf(new TopKByLongScore(11)))
     implicit val strEnc: Encoder[String] = ExpressionEncoder()
     spark.udf.register("mg63",
       org.apache.spark.sql.functions.udaf(new MisraGries(63)))

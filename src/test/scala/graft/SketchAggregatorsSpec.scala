@@ -39,6 +39,29 @@ class SketchAggregatorsSpec extends AnyFunSuite {
     assert(run(Nil) == Nil)
   }
 
+  // ----- TopKByLongScore: the exact-integer twin priority sampling uses ----
+
+  private val lagg = new functions.SketchAggregators.TopKByLongScore(3)
+  private def lrun(xs: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    xs.foldLeft(lagg.zero)(lagg.reduce)
+
+  test("long-score top-k: (score desc, id asc) order, exact past 2^53") {
+    // scores differing by 1 at 2^60 — a Double buffer would collapse them
+    val big = 1L << 60
+    val xs = Seq((big, 4L), (big + 1, 9L), (big + 1, 2L), (big - 1, 1L), (5L, 7L))
+    assert(lrun(xs) == Seq((big + 1, 2L), (big + 1, 9L), (big, 4L)))
+  }
+
+  test("long-score top-k: merge invariant to partial-buffer split") {
+    val rnd = new scala.util.Random(11)
+    val xs = Seq.fill(50)((rnd.nextInt(6).toLong, rnd.nextLong().abs % 40))
+    val whole = lrun(xs)
+    for (cut <- Seq(0, 7, 25, 49, 50)) {
+      val (l, r) = xs.splitAt(cut)
+      assert(lagg.merge(lrun(l), lrun(r)) == whole, s"split at $cut diverged")
+    }
+  }
+
   // ----- MisraGries: the guarantee the heavy-hitters query stands on -------
   // Any item with true frequency > n/(capacity+1) must survive — under
   // single-pass reduce AND under every split-into-partials-then-merge
