@@ -111,6 +111,22 @@ object DupGraph {
     graft.CacheTracker.releaseAll()
   }
 
+  /** Remove a set of doc_ids from the graph (retention / takedown): every
+    * edge TOUCHING a deleted doc drops — an edge is evidence about two
+    * documents, and serving it after either endpoint's deletion leaks that
+    * the deleted text near-duplicated the survivor. Connected components
+    * over the surviving edges equal components computed on a graph the
+    * docs never joined, minus any connectivity they alone provided (a
+    * star's hub deletion correctly splits its clique — those pairs were
+    * only ever sighted through the hub). Propagates to the co-located
+    * [[buildFrom]] signature store so future [[append]] batches can no
+    * longer collide with deleted docs either.
+    */
+  def delete(spark: SparkSession, indexPath: String, ids: DataFrame): Unit = {
+    StoreDelete(spark, edgeDir(indexPath), Seq("doc_a", "doc_b"), ids, Seq("batch_id"))
+    MinHashIndex.delete(spark, s"$indexPath/sig", ids)
+  }
+
   /** Deterministic per-corpus store location for registry queries: keyed by
     * the documents table's (length, mtime) fingerprint + [[FormatVersion]],
     * so a regenerated corpus or a changed edge scheme gets a fresh build

@@ -146,6 +146,18 @@ object IvfIndex {
       .parquet(s"$indexPath/vectors")
   }
 
+  /** Remove a set of vec_ids from the index (retention / takedown): probes
+    * can never return them again, and every other vector's probe result is
+    * unchanged (assignments are per-vector under the frozen centroids — no
+    * cross-vector state to re-derive). Only the cell partitions holding
+    * deleted vectors rewrite (the same file-level pruning the probe path
+    * uses). Centroids stay frozen — mass deletion shifts the corpus
+    * distribution exactly like mass append does, and the same [[cellStats]]
+    * drift monitor covers it.
+    */
+  def delete(spark: SparkSession, indexPath: String, ids: DataFrame): Unit =
+    StoreDelete(spark, s"$indexPath/vectors", "vec_id", ids, Seq("cell", "batch_id"))
+
   /** Which cell each of `emb`'s vectors lands in under the STORED
     * centroids — (vec_id, cell). The routing decision [[append]] persists,
     * exposed for inspection and for the spec's store≡assignment proof.

@@ -74,6 +74,15 @@ object MinHashIndex {
   def signatures(spark: SparkSession, indexPath: String): DataFrame =
     spark.read.parquet(sigDir(indexPath))
 
+  /** Remove a set of doc_ids from the index (retention / takedown): the
+    * next [[newPairs]] batch can no longer collide with them — identical
+    * to an index they were never ingested into, because signature rows are
+    * independent per doc (no cross-doc statistics to re-derive). Batch-
+    * partitioned stores rewrite only the partitions holding deleted docs.
+    */
+  def delete(spark: SparkSession, indexPath: String, ids: DataFrame): Unit =
+    StoreDelete(spark, sigDir(indexPath), "doc_id", ids, Seq("batch_id"))
+
   /** Whether a usable index exists at `indexPath`. Flat [[build]] output is
     * complete iff the root `_SUCCESS` marker exists (a killed build leaves
     * no marker and is rebuilt). [[appendBatch]]'s dynamic partition

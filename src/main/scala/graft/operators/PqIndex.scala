@@ -112,6 +112,14 @@ object PqIndex {
   }
 
   /** Stored codebooks (m, cell, ce) — PqM×PqK rows. */
+  /** Remove a set of vec_ids from the code store (retention / takedown):
+    * ADC scans can never rank them again; codebooks stay frozen (they are
+    * trained statistics, not per-vector state — same freeze contract as
+    * [[append]]). Cell-partitioned stores rewrite only affected cells.
+    */
+  def delete(spark: SparkSession, indexPath: String, ids: DataFrame): Unit =
+    StoreDelete(spark, codeDir(indexPath), "vec_id", ids, Seq("cell"))
+
   def codebooks(spark: SparkSession, indexPath: String): DataFrame =
     spark.read.parquet(cbDir(indexPath))
 

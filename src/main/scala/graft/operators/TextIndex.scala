@@ -87,6 +87,21 @@ object TextIndex {
       .parquet(doclenDir(indexPath))
   }
 
+  /** Remove a set of doc_ids from the index (retention / takedown).
+    * Postings AND doc lengths drop; the BM25 statistics (N, avgdl, df)
+    * re-derive from surviving rows at query time, so post-delete scoring —
+    * including every OTHER document's normalization — is identical to an
+    * index the deleted docs were never ingested into. Batch-partitioned
+    * stores rewrite only the partitions holding deleted docs (a doc lives
+    * entirely in one batch). Postings drop first: if the second rewrite is
+    * interrupted, an orphan doclen row changes no search result (scoring
+    * joins through postings), while orphan postings would.
+    */
+  def delete(spark: SparkSession, indexPath: String, ids: DataFrame): Unit = {
+    StoreDelete(spark, postingsDir(indexPath), "doc_id", ids, Seq("batch_id"))
+    StoreDelete(spark, doclenDir(indexPath), "doc_id", ids, Seq("batch_id"))
+  }
+
   /** The stored posting rows (doc_id, w, tf). */
   def postings(spark: SparkSession, indexPath: String): DataFrame =
     spark.read.parquet(postingsDir(indexPath))

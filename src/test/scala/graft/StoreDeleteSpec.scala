@@ -1,0 +1,142 @@
+package graft
+
+import graft.operators.{DupGraph, IvfIndex, MinHashIndex, PqIndex, TextIndex}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Deletion propagation across the persistent derived stores: after
+  * `delete(ids)`, every store must behave exactly as if the ids were never
+  * ingested — search/probe results equal a fresh build over the survivors,
+  * no stale partition keeps serving deleted rows, and fully-emptied
+  * partitions disappear from disk (the dynamic-overwrite blind spot).
+  */
+class StoreDeleteSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docs = Tables.t(spark, sf, "documents").select("doc_id", "text")
+  private def emb = Tables.t(spark, sf, "embeddings")
+
+  private def tmp(tag: String) =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
+  private def idFrame(ids: Seq[Long], name: String) = {
+    import spark.implicits._
+    ids.toDF(name)
+  }
+
+  test("text index: post-delete search equals a fresh build over survivors") {
+    val idx = tmp("ti_del")
+    val ref = tmp("ti_del_ref")
+    val deleted = Seq(3L, 7L, 11L, 42L)
+    TextIndex.build(docs, idx)
+    TextIndex.delete(spark, idx, idFrame(deleted, "doc_id"))
+    TextIndex.build(docs.filter(!col("doc_id").isin(deleted: _*)), ref)
+    val qids = idFrame(Seq(0L, 5L, 20L), "qid")
+    val got = TextIndex.search(spark, idx, qids, k = 5).collect().toSet
+    val want = TextIndex.search(spark, ref, qids, k = 5).collect().toSet
+    graft.CacheTracker.releaseAll()
+    // N/avgdl/df re-derive from surviving rows, so scores — including other
+    // docs' normalization — must be BIT-identical to the never-ingested index
+    assert(want.nonEmpty && got == want)
+  }
+
+  test("batched text index: only affected partitions rewrite; emptied batch dir vanishes") {
+    val idx = tmp("ti_del_batched")
+    val b0 = docs.filter(col("doc_id") < 100)
+    val b1 = docs.filter(col("doc_id") >= 100 && col("doc_id") < 120)
+    val b2 = docs.filter(col("doc_id") >= 120 && col("doc_id") < 200)
+    TextIndex.appendBatch(b0, idx, 0L)
+    TextIndex.appendBatch(b1, idx, 1L)
+    TextIndex.appendBatch(b2, idx, 2L)
+    val untouched = new java.io.File(s"$idx/postings/batch_id=2")
+      .listFiles().map(f => f.getName -> f.lastModified()).toMap
+    // delete a slice of batch 0 and ALL of batch 1
+    val deleted = (Seq(3L, 7L) ++ (100L until 120L)).map(Long.box).map(Long.unbox)
+    TextIndex.delete(spark, idx, idFrame(deleted, "doc_id"))
+    // batch 1 emptied entirely -> its partition dirs must be gone
+    assert(!new java.io.File(s"$idx/postings/batch_id=1").exists())
+    assert(!new java.io.File(s"$idx/doclens/batch_id=1").exists())
+    // batch 2 held no deleted docs -> its files must be byte-untouched
+    val after = new java.io.File(s"$idx/postings/batch_id=2")
+      .listFiles().map(f => f.getName -> f.lastModified()).toMap
+    assert(after == untouched, "unaffected partition was rewritten")
+    // and no surviving row references a deleted doc
+    assert(TextIndex.postings(spark, idx)
+      .filter(col("doc_id").isin(deleted: _*)).count() == 0)
+    assert(TextIndex.docLengths(spark, idx)
+      .filter(col("doc_id").isin(deleted: _*)).count() == 0)
+  }
+
+  test("minhash index: deleted docs can never pair with a later batch") {
+    val idx = tmp("mh_del")
+    val existing = docs.filter(col("doc_id") % 10 =!= 0)
+    MinHashIndex.build(existing, idx)
+    val sigBefore = MinHashIndex.signatures(spark, idx)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val deleted = sigBefore.take(30).toSeq
+    MinHashIndex.delete(spark, idx, idFrame(deleted, "doc_id"))
+    val sigAfter = MinHashIndex.signatures(spark, idx)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sigAfter == sigBefore -- deleted)
+    val pairs = MinHashIndex.newPairs(docs.filter(col("doc_id") % 10 === 0), idx)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    graft.CacheTracker.releaseAll()
+    assert(pairs.forall { case (a, b) => !deleted.contains(a) && !deleted.contains(b) })
+  }
+
+  test("ivf index: probes exclude deleted vectors; emptied cell dir vanishes") {
+    val idx = tmp("ivf_del")
+    IvfIndex.build(emb, idx, nCells = 8, iters = 2)
+    val byCell = spark.read.parquet(s"$idx/vectors")
+      .select("vec_id", "cell").collect()
+      .groupBy(_.getInt(1)).view.mapValues(_.map(_.getLong(0)).toSet).toMap
+    // empty one whole cell, plus a couple of vectors from another
+    val (deadCell, deadIds) = byCell.minBy(_._2.size)
+    val partial = byCell.filter(_._1 != deadCell).head._2.take(2)
+    val deleted = (deadIds ++ partial).toSeq
+    IvfIndex.delete(spark, idx, idFrame(deleted, "vec_id"))
+    assert(!new java.io.File(s"$idx/vectors/cell=$deadCell").exists())
+    val remaining = spark.read.parquet(s"$idx/vectors")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(remaining == byCell.values.flatten.toSet -- deleted)
+    val probed = IvfIndex.probe(spark, idx,
+        emb.filter(col("vec_id") < 3), k = 5, nProbe = 8)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    graft.CacheTracker.releaseAll()
+    assert(probed.nonEmpty && probed.intersect(deleted.toSet).isEmpty)
+  }
+
+  test("pq index: deleted codes leave the ADC scan; codebooks stay frozen") {
+    val idx = tmp("pq_del")
+    PqIndex.build(emb, idx)
+    val cbBefore = PqIndex.codebooks(spark, idx).collect().toSet
+    val deleted = Seq(10L, 11L, 12L)
+    PqIndex.delete(spark, idx, idFrame(deleted, "vec_id"))
+    assert(PqIndex.codes(spark, idx)
+      .filter(col("vec_id").isin(deleted: _*)).count() == 0)
+    assert(PqIndex.codebooks(spark, idx).collect().toSet == cbBefore)
+  }
+
+  test("dup graph: edges touching deleted docs drop from edges AND signatures") {
+    val idx = tmp("dg_del")
+    DupGraph.buildFrom(docs, idx)
+    val before = DupGraph.edges(spark, idx)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(before.nonEmpty, "fixture must contain near-dup edges")
+    val deleted = Seq(before.head._1, before.last._2).distinct
+    DupGraph.delete(spark, idx, idFrame(deleted, "doc_id"))
+    val after = DupGraph.edges(spark, idx)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    graft.CacheTracker.releaseAll()
+    // surviving edges = exactly the original minus those touching deleted
+    assert(after.toSet == before.filterNot { case (a, b) =>
+      deleted.contains(a) || deleted.contains(b) }.toSet)
+    val sigs = MinHashIndex.signatures(spark, s"$idx/sig")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sigs.intersect(deleted.toSet).isEmpty)
+  }
+}
