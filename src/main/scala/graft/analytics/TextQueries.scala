@@ -72,6 +72,107 @@ object TextQueries {
              |FROM c GROUP BY lang ORDER BY lang""".stripMargin)
     ),
 
+    // ----- BPE tokenizer TRAINING: learn the merge table in-engine ----------
+    // The step before txt_bpe_token_count's counting: learn the merges.
+    // Classic word-frequency BPE (Sennrich et al., ACL'16): one corpus pass
+    // reduces the text to a (word, count) vocabulary table, and training
+    // loops over THAT — each round counts adjacent symbol pairs weighted by
+    // word frequency, picks the most frequent pair (ties lexicographic),
+    // and greedily merges its non-overlapping left-to-right occurrences in
+    // every word. This is the actual scale shape of tokenizer training: the
+    // 100 TB corpus is touched once (a map-side-combined word count); the
+    // rounds run over the vocabulary, orders of magnitude smaller, with the
+    // pair count a distributed explode+groupBy and the merge application a
+    // narrow HOF fold projection. The per-round argmax (ONE row) is the
+    // only thing the driver ever holds.
+    //
+    // Three unrolled rounds, and the oracle replays ALL of it — pair
+    // counting, tie-broken argmax, and the greedy fold (as a separator-
+    // delimited string reduce, DuckDB's list_reduce being init-less) — so
+    // the row hash-checks the learned tokenizer, not just a count. Output:
+    // (rank, a, b, merged, cnt, corpus_symbols_after) per merge — the merge
+    // table plus the compression trajectory.
+    "txt_bpe_train" -> QuerySpec(
+      (s, d) => {
+        import s.implicits._
+        // vocabulary table: BPE trains on word counts, not the corpus
+        val w0 = graft.CacheTracker.track(docs(s, d)
+          .select(explode(expr(tokensS("text"))).as("wd"))
+          .filter(length(col("wd")) > 0)
+          .groupBy(col("wd")).agg(count(lit(1)).as("n"))
+          .withColumn("syms",
+            expr("transform(sequence(1, length(wd)), i -> substring(wd, i, 1))"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        // words fully merged down to one symbol contribute no pairs; the
+        // filter also keeps sequence() ascending (Spark's sequence(1, 0)
+        // DESCENDS rather than returning empty)
+        def bestPair(w: org.apache.spark.sql.DataFrame) = w
+          .filter(size(col("syms")) >= 2)
+          .select(col("n"), explode(expr(
+            "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(element_at(syms, i) as a, element_at(syms, i + 1) as b))")).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("n")).as("cnt"))
+          .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+        def esc(x: String) = x.replace("\\", "\\\\").replace("'", "\\'")
+        var w = w0
+        val out = (1 to 3).map { r =>
+          val bp = bestPair(w).collect()(0)
+          val (a, b, cnt) = (bp.getString(0), bp.getString(1), bp.getLong(2))
+          val (ea, eb) = (esc(a), esc(b))
+          // greedy left-to-right non-overlapping merge: fold each word's
+          // symbols, replacing a trailing `a` followed by `b` with `ab` —
+          // a just-produced `ab` can't re-match as `a`, which is exactly
+          // the non-overlap rule
+          w = w.withColumn("syms", expr(
+            "aggregate(syms, cast(array() as array<string>), (acc, x) -> " +
+            s"IF(size(acc) > 0 AND element_at(acc, -1) = '$ea' AND x = '$eb', " +
+            s"concat(slice(acc, 1, size(acc) - 1), array('$ea$eb')), " +
+            "concat(acc, array(x))))"))
+          val after = w.agg(sum(col("n") * size(col("syms"))).cast("bigint"))
+            .collect()(0).getLong(0)
+          (r, a, b, a + b, cnt, after)
+        }
+        out.toDF("rank", "a", "b", "merged", "cnt", "corpus_symbols_after")
+          .orderBy(col("rank"))
+      },
+      Some {
+        // one oracle round: pairs -> tie-broken argmax -> greedy fold.
+        // DuckDB's list_reduce has no initial accumulator, so the fold runs
+        // over a chr(1)-separated string with '' prepended as the seed; the
+        // separator prefix makes suffix-matching exact for multi-char
+        // symbols (…\x01"th" never matches pair-left "h").
+        def round(i: Int, prev: String): String = {
+          val (p, bq, sq, aq) = (s"p$i", s"b$i", s"s$i", s"a$i")
+          s"""$p AS (SELECT pr.a AS a, pr.b AS b, CAST(SUM(n) AS BIGINT) AS cnt
+             |  FROM (SELECT n, unnest(list_transform(generate_series(1, len(syms) - 1),
+             |      i -> {'a': syms[i], 'b': syms[i + 1]})) AS pr FROM $prev) z
+             |  GROUP BY pr.a, pr.b),
+             |$bq AS (SELECT a, b, cnt FROM $p ORDER BY cnt DESC, a, b LIMIT 1),
+             |$sq AS (SELECT wd, n, string_split(substr(list_reduce(list_prepend('', syms),
+             |    (acc, x) -> CASE WHEN ends_with(acc, chr(1) || bb.a) AND x = bb.b
+             |      THEN left(acc, length(acc) - length(bb.a) - 1) ||
+             |        chr(1) || bb.a || bb.b
+             |      ELSE acc || chr(1) || x END), 2), chr(1)) AS syms
+             |  FROM $prev CROSS JOIN $bq bb),
+             |$aq AS (SELECT CAST(SUM(n * len(syms)) AS BIGINT) AS cs FROM $sq)""".stripMargin
+        }
+        s"""WITH toks AS (SELECT unnest(${tokensD("text")}) AS wd FROM documents),
+           |w0 AS (SELECT wd, CAST(COUNT(*) AS BIGINT) AS n FROM toks
+           |  WHERE length(wd) > 0 GROUP BY wd),
+           |s0 AS (SELECT wd, n,
+           |    list_transform(generate_series(1, length(wd)), i -> wd[i:i]) AS syms FROM w0),
+           |${round(1, "s0")},
+           |${round(2, "s1")},
+           |${round(3, "s2")}
+           |SELECT 1 AS rank, a, b, a || b AS merged, cnt,
+           |  (SELECT cs FROM a1) AS corpus_symbols_after FROM b1
+           |UNION ALL SELECT 2, a, b, a || b, cnt, (SELECT cs FROM a2) FROM b2
+           |UNION ALL SELECT 3, a, b, a || b, cnt, (SELECT cs FROM a3) FROM b3
+           |ORDER BY rank""".stripMargin
+      }
+    ),
+
     // ----- token counting: whitespace tokens + regex token classes ----------
     "txt_token_stats" -> QuerySpec(
       (s, d) => {
