@@ -353,6 +353,44 @@ object DocumentStream {
       }
       .start()
 
+  /** Continuous takedown: a stream of removal requests (doc ids) applied
+    * per micro-batch to the WHOLE derived surface of an ingestion pipeline
+    * — the signature index (future batches can no longer collide with
+    * removed docs), the BM25 retrieval index if one is maintained (removed
+    * docs can no longer be served, every survivor's scoring re-normalizes),
+    * and the curated lake itself. The streaming half of the
+    * [[graft.operators.StoreDelete]] retention story: a takedown that
+    * arrives as an event is effective at the next micro-batch boundary,
+    * with each store rewriting only the partitions that held the removed
+    * docs. Idempotent under foreachBatch's at-least-once replay — deleting
+    * an already-deleted id rewrites nothing — so a replayed request batch
+    * converges to the same store state.
+    */
+  def takedownContinuous(
+      requests: Dataset[java.lang.Long],
+      indexPath: String,
+      lakePath: String,
+      checkpointDir: String,
+      textIndexPath: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    requests.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[java.lang.Long], _: Long) =>
+        takedownBatch(batch.toDF("doc_id"), indexPath, lakePath, textIndexPath)
+      }
+      .start()
+
+  /** The per-micro-batch body of [[takedownContinuous]] — exposed so the
+    * propagation set and replay idempotence are directly testable.
+    */
+  def takedownBatch(ids: DataFrame, indexPath: String, lakePath: String,
+      textIndexPath: Option[String] = None): Unit = {
+    val spark = ids.sparkSession
+    graft.operators.MinHashIndex.delete(spark, indexPath, ids)
+    textIndexPath.foreach(graft.operators.TextIndex.delete(spark, _, ids))
+    // the lake lands docs as (docId, …) partitioned by (day, batch_id)
+    graft.operators.StoreDelete(spark, lakePath, "docId", ids, Seq("day", "batch_id"))
+  }
+
   /** The per-micro-batch body of [[curateContinuous]] — exposed so stage
     * semantics and the replay path are directly testable.
     */

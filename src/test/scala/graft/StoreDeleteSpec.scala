@@ -119,6 +119,35 @@ class StoreDeleteSpec extends AnyFunSuite {
     assert(PqIndex.codebooks(spark, idx).collect().toSet == cbBefore)
   }
 
+  test("streaming takedown: one request batch reaches index, BM25 store, and lake; replay is idempotent") {
+    import java.sql.Timestamp
+    import graft.streaming.DocumentStream
+    val idx = tmp("td_idx")
+    val ti = tmp("td_text")
+    val lake = tmp("td_lake")
+    import spark.implicits._
+    val b0 = Seq(
+      DocumentStream.DocEvent(1L, "alpha beta gamma delta epsilon zeta", Timestamp.valueOf("2024-07-23 10:00:00")),
+      DocumentStream.DocEvent(2L, "one two three four five six seven", Timestamp.valueOf("2024-07-23 10:00:10")),
+      DocumentStream.DocEvent(3L, "red orange yellow green blue indigo", Timestamp.valueOf("2024-07-23 10:00:20"))).toDF()
+    DocumentStream.ingestBatch(b0, 0L, idx, lake)
+    TextIndex.appendBatch(b0.select(col("docId").as("doc_id"), col("text")), ti, 0L)
+
+    DocumentStream.takedownBatch(idFrame(Seq(2L), "doc_id"), idx, lake, Some(ti))
+    def lakeIds = spark.read.parquet(lake).select("docId")
+      .collect().map(_.getLong(0)).toSet
+    def sigIds = MinHashIndex.signatures(spark, idx).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    def postIds = TextIndex.postings(spark, ti).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(lakeIds == Set(1L, 3L) && sigIds == Set(1L, 3L) && postIds == Set(1L, 3L))
+
+    // at-least-once replay of the same request batch: same state, no error
+    DocumentStream.takedownBatch(idFrame(Seq(2L), "doc_id"), idx, lake, Some(ti))
+    assert(lakeIds == Set(1L, 3L) && sigIds == Set(1L, 3L) && postIds == Set(1L, 3L))
+    graft.CacheTracker.releaseAll()
+  }
+
   test("dup graph: edges touching deleted docs drop from edges AND signatures") {
     val idx = tmp("dg_del")
     DupGraph.buildFrom(docs, idx)
