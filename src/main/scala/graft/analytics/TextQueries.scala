@@ -1684,6 +1684,111 @@ object TextQueries {
              |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
     ),
 
+    // ----- late-interaction retrieval: MaxSim over chunk sets ---------------
+    // The ColBERT scoring shape (Khattab & Zaharia, SIGIR'20) re-expressed
+    // set-wise: a document is a BAG of chunk representations, a query is
+    // too, and score(q, d) = sum over q-chunks of max over d-chunks of
+    // chunk similarity — fine-grained matching that rewards a doc covering
+    // EVERY aspect of the query, where single-vector retrieval averages
+    // them away and maxP (txt_chunk_search) keeps only the best passage.
+    // Chunk similarity here is exact bigram-set Jaccard in integer micro
+    // units ((inter * 1e6) div union — engine-exact), standing in for the
+    // token-embedding dot of the neural form with the same data flow.
+    //
+    // Scale shape: candidate (q-chunk, d-chunk) pairs come from a
+    // DF-capped chunk-level inverted index (bigrams above chunk-df 100 are
+    // dropped from candidate generation ONLY — the dedup_span rule,
+    // rendered into the oracle identically), so pair mass is bounded by
+    // #query-bigrams x cap, never corpus x query; the exact verify then
+    // joins the full chunk sets back for true Jaccard. The sum-of-max
+    // aggregates per (q-chunk, doc) before the per-doc sum, both map-side
+    // combinable.
+    "txt_maxsim_search" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val chunks = graft.CacheTracker.track(docs(s, d)
+          .withColumn("t", expr(tokensS("text")))
+          .filter(expr("size(t) > 1"))
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, cast((size(t) - 1) div 48 as int)), " +
+              "i -> struct(i as idx, slice(t, i * 48 + 1, 64) as ct))")).as("c"))
+          .select(col("doc_id"), expr("c.idx").as("idx"), expr(
+            "array_distinct(if(size(c.ct) < 2, cast(array() as array<string>), " +
+              "transform(sequence(1, size(c.ct) - 1), " +
+              "j -> concat(element_at(c.ct, j), ' ', element_at(c.ct, j + 1)))))").as("bset"))
+          .filter(size(col("bset")) > 0)
+          .withColumn("bn", size(col("bset")))
+          .persist(MEMORY_AND_DISK))
+        val qids = docs(s, d).filter(col("source") === "src0")
+          .select(col("doc_id").as("qid")).orderBy(col("qid")).limit(3)
+        val inv = chunks.select(col("doc_id"), col("idx"), explode(col("bset")).as("w"))
+        val wdf = inv.groupBy(col("w")).agg(count(lit(1)).as("cdf"))
+          .filter(col("cdf") <= graft.analytics.DedupQueries.ShingleDfCap)
+        val invc = inv.join(broadcast(wdf.select(col("w"))), Seq("w"))
+        val qinv = invc.join(broadcast(qids), col("doc_id") === col("qid"))
+          .select(col("qid"), col("idx").as("qidx"), col("w"))
+        val cand = invc.join(broadcast(qinv), Seq("w"))
+          .filter(col("doc_id") =!= col("qid"))
+          .select(col("qid"), col("qidx"), col("doc_id"), col("idx").as("didx"))
+          .distinct()
+        val qch = chunks.join(broadcast(qids), col("doc_id") === col("qid"))
+          .select(col("qid"), col("idx").as("qidx"),
+            col("bset").as("qb"), col("bn").as("qn"))
+        val ver = cand
+          .join(broadcast(qch), Seq("qid", "qidx"))
+          .join(chunks.select(col("doc_id"), col("idx").as("didx"),
+            col("bset"), col("bn")), Seq("doc_id", "didx"))
+          .withColumn("inter", expr("cast(size(array_intersect(qb, bset)) as bigint)"))
+          .withColumn("jmicro", expr("(inter * 1000000) div (qn + bn - inter)"))
+        val best = ver.groupBy(col("qid"), col("qidx"), col("doc_id"))
+          .agg(max(col("jmicro")).as("bj"))
+        best.groupBy(col("qid"), col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks_hit"), sum(col("bj")).cast("bigint").as("maxsim_micro"))
+          .withColumn("rank", row_number().over(Window.partitionBy(col("qid"))
+            .orderBy(col("maxsim_micro").desc, col("doc_id"))))
+          .filter(col("rank") <= 5)
+          .select(col("qid").as("query_id"), col("rank"), col("doc_id"),
+            col("n_chunks_hit"), col("maxsim_micro"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, ${tokensD("text")} AS t FROM documents),
+             |ch AS (SELECT doc_id,
+             |    unnest(list_transform(generate_series(0, (len(t) - 1) // 48),
+             |      i -> struct_pack(idx := i, ct := t[i * 48 + 1 : i * 48 + 64]))) AS c
+             |  FROM toks WHERE len(t) > 1),
+             |cbn AS (SELECT doc_id, idx, bset, CAST(len(bset) AS BIGINT) AS bn FROM (
+             |    SELECT doc_id, c.idx AS idx,
+             |      list_distinct(list_transform(generate_series(1, greatest(len(c.ct) - 1, 0)),
+             |        j -> c.ct[j] || ' ' || c.ct[j + 1])) AS bset FROM ch) z
+             |  WHERE len(bset) > 0),
+             |inv AS (SELECT doc_id, idx, unnest(bset) AS w FROM cbn),
+             |wdf AS (SELECT w FROM (SELECT w, COUNT(*) AS cdf FROM inv GROUP BY w) z
+             |  WHERE cdf <= ${graft.analytics.DedupQueries.ShingleDfCap}),
+             |invc AS (SELECT i.* FROM inv i JOIN wdf ON i.w = wdf.w),
+             |qids AS (SELECT doc_id AS qid FROM documents WHERE source = 'src0'
+             |    ORDER BY doc_id LIMIT 3),
+             |qinv AS (SELECT q.qid, i.idx AS qidx, i.w
+             |  FROM invc i JOIN qids q ON i.doc_id = q.qid),
+             |cand AS (SELECT DISTINCT qi.qid, qi.qidx, i.doc_id, i.idx AS didx
+             |  FROM invc i JOIN qinv qi ON i.w = qi.w WHERE i.doc_id <> qi.qid),
+             |qch AS (SELECT q.qid, c.idx AS qidx, c.bset AS qb, c.bn AS qn
+             |  FROM cbn c JOIN qids q ON c.doc_id = q.qid),
+             |ver AS (SELECT cd.qid, cd.qidx, cd.doc_id,
+             |    CAST(len(list_intersect(qc.qb, c.bset)) AS BIGINT) AS inter, qc.qn, c.bn
+             |  FROM cand cd JOIN qch qc ON cd.qid = qc.qid AND cd.qidx = qc.qidx
+             |    JOIN cbn c ON cd.doc_id = c.doc_id AND cd.didx = c.idx),
+             |bj AS (SELECT qid, qidx, doc_id,
+             |    MAX((inter * 1000000) // (qn + bn - inter)) AS bj FROM ver GROUP BY 1, 2, 3),
+             |sc AS (SELECT qid, doc_id, COUNT(*) AS n_chunks_hit,
+             |    CAST(SUM(bj) AS BIGINT) AS maxsim_micro FROM bj GROUP BY 1, 2),
+             |r AS (SELECT qid, doc_id, n_chunks_hit, maxsim_micro,
+             |    ROW_NUMBER() OVER (PARTITION BY qid
+             |      ORDER BY maxsim_micro DESC, doc_id) AS rank FROM sc)
+             |SELECT qid AS query_id, rank, doc_id, n_chunks_hit, maxsim_micro
+             |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
+    ),
+
     // ----- exact heavy hitters via a Misra-Gries candidate pass -------------
     // Tokens with frequency > N/64 — the "is one template/boilerplate string
     // dominating my corpus" diagnostic — computed the way it must be at
