@@ -699,65 +699,39 @@ object SimilarityQueries {
              |GROUP BY d.depth ORDER BY d.depth""".stripMargin)
     ),
 
-    // ----- fully-indexed hybrid retrieval: BM25 store x IVF probe, RRF ------
-    // hyb_rrf_search's production form: BOTH legs run the way a serving
-    // stack runs them — the text leg reads the persistent BM25 inverted
-    // index (TextIndex store, built once per corpus), and the vector leg
-    // takes the IVF route (probe the 2 nearest cells, rank only their
-    // members) instead of the brute-force corpus pass. The fusion is the
-    // same integer RRF. This is the query whose cost model survives
-    // 100 TB: text-side work is bounded by query-term postings, vector-
-    // side by probed-cell occupancy, and neither leg ever scans the full
-    // corpus at query time. Top-50 pools per leg, fused to top-10; IVF
-    // cell assignment is integer-exact, so the oracle replays the exact
-    // probe selection and the hash match is bit-for-bit.
+    // ----- fully-indexed hybrid retrieval: BM25 store x IVF store, RRF ------
+    // hyb_rrf_search's production form: BOTH legs read a persistent store —
+    // the text leg the BM25 inverted index (TextIndex, built once per
+    // corpus), the vector leg the Lloyd-trained cell-partitioned IvfIndex
+    // (the SAME store dedup_semantic_kmeans maintains — one index serves
+    // dedup and retrieval, which is the point of persisting it). Probe = 2
+    // nearest cells, rank only their members; fusion is integer RRF. This
+    // is the query whose cost model survives 100 TB: text-side work is
+    // bounded by query-term postings, vector-side by probed-cell occupancy
+    // (file-level partition pruning), and neither leg ever scans the full
+    // corpus at query time. Top-50 pools per leg, fused to top-10. The
+    // oracle replays the whole vector lifecycle — Lloyd init, both rounds,
+    // assignment, probe selection — in exact integers, so the row pins
+    // store ≡ recompute bit-for-bit (the sim_ivf_incremental contract).
     "hyb_rrf_indexed" -> QuerySpec(
       (s, d) => {
         graft.functions.VectorExpressions.register(s)
-        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
         val qids = emb(s, d).filter(col("vec_id") < 4)
           .select(col("vec_id").as("qid"))
         val idx = graft.operators.TextIndex.registryPath(s, d)
         graft.operators.TextIndex.ensureBuilt(Tables.t(s, d, "documents"), idx)
         val text = graft.operators.TextIndex.search(s, idx, qids, 50)
           .select(col("qid"), col("doc_id"), col("rank"))
-        // vector leg: label-centroid IVF, 2-cell probe (sim_ivf_topk shape)
-        val n = graft.CacheTracker.track(Tables.spread(emb(s, d), "vec_id")
-          .select(col("vec_id"), col("label"), expr(quantizeS("embedding")).as("qe"))
-          .withColumn("nrm", expr("long_dot(qe, qe)"))
-          .persist(MEMORY_AND_DISK))
-        val cent = graft.CacheTracker.track(n
-          .select(col("label"), posexplode(col("qe")).as(Seq("j", "v")))
-          .groupBy(col("label").as("c_id"), col("j"))
-          .agg(expr("cast(round(sum(v) / count(1)) as bigint)").as("cj"))
-          .groupBy(col("c_id"))
-          .agg(transform(array_sort(collect_list(struct(col("j"), col("cj")))),
-            x => x.getField("cj")).as("ce"))
-          .persist(MEMORY_AND_DISK))
-        val l2 = "long_l2(%s, %s)"
-        val assigned = n.crossJoin(broadcast(cent))
-          .withColumn("dist", expr(l2.format("qe", "ce")))
-          .groupBy(col("vec_id"))
-          .agg(first(col("qe")).as("qe"), first(col("nrm")).as("nrm"),
-            min(struct(col("dist"), col("c_id"))).as("m"))
-          .select(col("vec_id"), col("qe"), col("nrm"), col("m.c_id").as("cell"))
-        val wp = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("c_id"))
-        val probes = n.filter(col("vec_id") < 4)
-          .select(col("vec_id").as("q_id"), col("qe").as("qa"), col("nrm").as("na"))
-          .crossJoin(broadcast(cent))
-          .withColumn("dist", expr(l2.format("qa", "ce")))
-          .withColumn("prn", row_number().over(wp))
-          .filter(col("prn") <= 2)
-          .select(col("q_id"), col("qa"), col("na"), col("c_id").as("cell"))
-        val wr = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("doc_id"))
-        val vec = broadcast(probes)
-          .join(assigned, Seq("cell"))
-          .filter(col("vec_id") =!= col("q_id"))
-          .withColumn("c", expr("long_dot(qa, qe) / (sqrt(na) * sqrt(nrm))"))
-          .select(col("q_id").as("qid"), col("vec_id").as("doc_id"), col("c"))
-          .withColumn("rank", row_number().over(wr))
-          .filter(col("rank") <= 50)
-          .select(col("qid"), col("doc_id"), col("rank"))
+        // vector leg: the persistent Lloyd IVF store, 2-cell probe
+        val ividx = graft.operators.IvfIndex.registryPath(s, d, "semk16")
+        graft.operators.IvfIndex.ensure(s, ividx) {
+          graft.operators.IvfIndex.build(emb(s, d), ividx,
+            nCells = graft.analytics.DedupQueries.SemKCells, iters = 2)
+        }
+        val vec = graft.operators.IvfIndex.probe(s, ividx,
+            emb(s, d).filter(col("vec_id") < 4), k = 50, nProbe = 2)
+          .select(col("q_id").as("qid"), col("vec_id").as("doc_id"),
+            col("rn").as("rank"))
         text.unionByName(vec)
           .select(col("qid"), col("doc_id"), expr("1000000 div (60 + rank)").as("pts"))
           .groupBy(col("qid"), col("doc_id"))
@@ -771,23 +745,21 @@ object SimilarityQueries {
           .orderBy(col("query_id"), col("rank"))
       },
       Some(s"""$OracleQ,
-             |cent AS (SELECT label AS c_id,
-             |    list_transform($LaneSeries, j -> CAST(round(
-             |      CAST(list_sum(list_transform(list(qe), v -> v[j])) AS BIGINT) / COUNT(*)) AS BIGINT)) AS ce
-             |  FROM q GROUP BY label),
-             |vad AS (SELECT n.vec_id, n.qe, n.nrm, c.c_id,
-             |    CAST(list_sum(list_transform($LaneSeries,
-             |      j -> (n.qe[j] - c.ce[j]) * (n.qe[j] - c.ce[j]))) AS BIGINT) AS dist
-             |  FROM n CROSS JOIN cent c),
-             |vassigned AS (SELECT vec_id, qe, nrm, c_id AS cell FROM (
-             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c_id) AS arn FROM vad) z
+             |old AS (SELECT vec_id, qe FROM n),
+             |c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, qe AS ce
+             |  FROM (SELECT vec_id, qe FROM old ORDER BY vec_id LIMIT ${graft.analytics.DedupQueries.SemKCells}) z),
+             |${lloydRoundD(1, "c0", "c1")},
+             |${lloydRoundD(2, "c1", "c2")},
+             |vad AS (SELECT n.vec_id, n.qe, n.nrm, c.cell, ${l2D("n.qe", "c.ce")} AS dist
+             |  FROM n CROSS JOIN c2 c),
+             |vassigned AS (SELECT vec_id, qe, nrm, cell FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS arn FROM vad) z
              |  WHERE arn = 1),
-             |vpd AS (SELECT n.vec_id AS q_id, n.qe AS qa, n.nrm AS na, c.c_id,
-             |    CAST(list_sum(list_transform($LaneSeries,
-             |      j -> (n.qe[j] - c.ce[j]) * (n.qe[j] - c.ce[j]))) AS BIGINT) AS dist
-             |  FROM n CROSS JOIN cent c WHERE n.vec_id < 4),
-             |vprobes AS (SELECT q_id, qa, na, c_id AS cell FROM (
-             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist, c_id) AS prn FROM vpd) z
+             |vpd AS (SELECT n.vec_id AS q_id, n.qe AS qa, n.nrm AS na, c.cell,
+             |    ${l2D("n.qe", "c.ce")} AS dist
+             |  FROM n CROSS JOIN c2 c WHERE n.vec_id < 4),
+             |vprobes AS (SELECT q_id, qa, na, cell FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist, cell) AS prn FROM vpd) z
              |  WHERE prn <= 2),
              |vres AS (SELECT p.q_id AS qid, a.vec_id AS doc_id,
              |    ${dotD("p.qa", "a.qe")} / (sqrt(p.na) * sqrt(a.nrm)) AS c

@@ -243,11 +243,12 @@ object IvfIndex {
     // filter (the file-level seek a native IVF does with its inverted file)
     val cells = probes.select(col("cell").cast("long")).distinct()
       .collect().map(_.getLong(0)).sorted
-    // the persist existed to share `probes` between the cell collect above
-    // and the final join; release it now so a long-lived probe-many session
-    // doesn't accumulate one cached projection per call — the final join
-    // recomputes the (query-sized) lineage instead
-    probes.unpersist(blocking = false)
+    // the persist shares `probes` between the cell collect above and the
+    // final join (recomputing it would re-run the query quantization +
+    // centroid window). Weak-ref tracked: callers that drain
+    // CacheTracker after their action (Bench/Verify/streaming jobs do)
+    // release it deterministically; anyone else waits for GC
+    graft.CacheTracker.track(probes)
     val idx = spark.read.parquet(s"$indexPath/vectors")
       .filter(col("cell").isin(cells: _*))
     val wr = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("vec_id"))
