@@ -75,4 +75,70 @@ object LakeLayout {
     (if (cfg.partitionCols.isEmpty) writer
      else writer.partitionBy(cfg.partitionCols: _*)).parquet(path)
   }
+
+  final case class CompactReport(
+      partitionsSeen: Int, partitionsCompacted: Int,
+      filesBefore: Int, filesAfter: Int)
+
+  /** Compact the small files a streaming lake accumulates: every
+    * micro-batch append writes its own files, so a partition touched by k
+    * batches holds >= k files and scan cost grows with file COUNT (open +
+    * footer + seek per file) long before it grows with bytes. This walks
+    * the partition tree, and for each leaf holding at least
+    * `minFilesPerPartition` files rewrites JUST that leaf — read the
+    * leaf's rows, re-cluster on `clusterCols` (restoring the zone-map
+    * locality interleaved appends destroyed), write one file per
+    * `maxRecordsPerFile` rows, stage-and-swap the directory. Leaves below
+    * the threshold are not touched at all (byte-identical files — the
+    * spec pins it), so repeated compaction is idempotent and cheap, and
+    * the rewrite unit is one partition: a 100 TB lake compacts
+    * incrementally, partition by partition, never as a whole.
+    *
+    * `clusterCols` must be data columns (partition values are constant
+    * within a leaf and live in the directory name, not the files).
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      clusterCols: Seq[Column], minFilesPerPartition: Int = 4,
+      maxRecordsPerFile: Long = 1000000L): CompactReport = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return CompactReport(0, 0, 0, 0)
+    // leaf = a directory directly holding parquet files
+    def leaves(dir: Path): Seq[Path] = {
+      val st = fs.listStatus(dir)
+      val subdirs = st.filter(_.isDirectory)
+        .filterNot(_.getPath.getName.startsWith("."))
+      val hasParquet = st.exists(f =>
+        f.isFile && f.getPath.getName.endsWith(".parquet"))
+      (if (hasParquet) Seq(dir) else Nil) ++ subdirs.flatMap(s => leaves(s.getPath))
+    }
+    var seen = 0; var compacted = 0; var before = 0; var after = 0
+    leaves(root).foreach { leaf =>
+      val files = fs.listStatus(leaf)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      seen += 1; before += files.length
+      if (files.length >= minFilesPerPartition) {
+        val df = spark.read.parquet(leaf.toString)
+        val rows = df.count()
+        val nOut = math.max(1L, (rows + maxRecordsPerFile - 1) / maxRecordsPerFile).toInt
+        val ranged =
+          if (clusterCols.isEmpty) df.coalesce(nOut)
+          else df.repartitionByRange(nOut, clusterCols: _*)
+            .sortWithinPartitions(clusterCols: _*)
+        val staged = new Path(leaf.toString + ".compact")
+        fs.delete(staged, true)
+        ranged.write.mode("overwrite")
+          .option("maxRecordsPerFile", maxRecordsPerFile)
+          .parquet(staged.toString)
+        fs.delete(leaf, true)
+        if (!fs.rename(staged, leaf))
+          throw new java.io.IOException(s"rename $staged -> $leaf failed")
+        compacted += 1
+        after += fs.listStatus(leaf)
+          .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      } else after += files.length
+    }
+    CompactReport(seen, compacted, before, after)
+  }
 }

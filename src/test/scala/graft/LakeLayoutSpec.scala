@@ -132,4 +132,44 @@ class LakeLayoutSpec extends AnyFunSuite {
     val got = spark.read.parquet(s"$dir/z").filter($"y" < 8).count()
     assert(got == 16L * 8)
   }
+
+  test("compact: fragmented partitions merge content-equal; quiet partitions untouched") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lake_compact").toString
+    // three "micro-batch" appends fragment day=1 (each append further split
+    // into 4 tasks -> 12 files); day=2 gets one small clean append
+    for (b <- 0 until 3)
+      (0 until 40).map(i => (1, b * 100 + i, s"v$i")).toDF("day", "k", "v")
+        .repartition(4).write.mode("append").partitionBy("day").parquet(dir)
+    (0 until 10).map(i => (2, i, s"w$i")).toDF("day", "k", "v")
+      .coalesce(1).write.mode("append").partitionBy("day").parquet(dir)
+
+    def files(p: String) = new java.io.File(p).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    val frag = files(s"$dir/day=1").length
+    assert(frag >= 8, s"fixture should fragment day=1, got $frag files")
+    val quietBefore = files(s"$dir/day=2").map(f => f.getName -> f.lastModified()).toMap
+    val contentBefore = spark.read.parquet(dir).select("day", "k", "v")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSet
+
+    val rep = LakeLayout.compact(spark, dir, Seq(col("k")),
+      minFilesPerPartition = 4, maxRecordsPerFile = 1000)
+    assert(rep.partitionsSeen == 2 && rep.partitionsCompacted == 1)
+    assert(files(s"$dir/day=1").length == 1, "fragmented partition should merge to one file")
+    // the quiet partition's files are byte-untouched
+    val quietAfter = files(s"$dir/day=2").map(f => f.getName -> f.lastModified()).toMap
+    assert(quietAfter == quietBefore)
+    // content is exactly preserved
+    val contentAfter = spark.read.parquet(dir).select("day", "k", "v")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSet
+    assert(contentAfter == contentBefore)
+    // re-clustering restored zone locality: the one file is sorted by k
+    val ks = spark.read.parquet(s"$dir/day=1").select("k")
+      .collect().map(_.getInt(0))
+    // single range partition -> global sort within the file
+    assert(ks.sameElements(ks.sorted), "compacted file should be clustered on k")
+    // idempotent: a second pass finds nothing to do
+    val rep2 = LakeLayout.compact(spark, dir, Seq(col("k")), minFilesPerPartition = 4)
+    assert(rep2.partitionsCompacted == 0)
+  }
 }
