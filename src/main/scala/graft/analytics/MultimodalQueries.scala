@@ -268,6 +268,73 @@ object MultimodalQueries {
              |ORDER BY doc_a, doc_b""".stripMargin)
     ),
 
+    // ----- shot-boundary detection: per-video scene segmentation ------------
+    // The intra-video twin of mm_video_pairs' cross-video clip matching:
+    // segment each video into SHOTS by comparing consecutive frames'
+    // feature sets — a hard cut is a frame-to-frame similarity collapse.
+    // Frames are the same 32-unit slices as mm_video_pairs; each frame's
+    // feature set is its distinct 4-gram hashes (a bag-of-visual-words
+    // stand-in), consecutive similarity is exact set Jaccard in integer
+    // micro units, and a boundary fires when it drops under 0.05 — calibrated to the corpus: adjacent in-shot frames of this featurization sit at median Jaccard ~0.055, so the cut rule splits the population instead of firing everywhere. Per
+    // video: frame count, shot count (1 + boundaries), mean shot length.
+    //
+    // Scale shape: one narrow projection builds per-frame feature sets, the
+    // lag() window partitions BY VIDEO (each video's frames sort
+    // independently — thousands of tasks at corpus scale, no global sort),
+    // and the per-video aggregate is map-side combinable. Everything is
+    // integer, so the hash contract is exact.
+    "mm_shot_boundaries" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val fr = Tables.spread(docs(s, d).select("doc_id", "text"), "doc_id")
+          .withColumn("body", trim(col("text")))
+          .filter(length(col("body")) > 0)
+          .select(col("doc_id"),
+            explode(expr("sequence(1, cast(ceil(length(body) / 32.0) as int))")).as("fi"),
+            col("body"))
+          .withColumn("f", expr("substring(body, (fi - 1) * 32 + 1, 32)"))
+          .withColumn("ss", expr(
+            "array_distinct(transform(sequence(1, greatest(length(f) - 3, 1)), " +
+              s"p -> ${strHashS("substring(f, p, 4)")}))"))
+          .select(col("doc_id"), col("fi"), col("ss"))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("fi"))
+        fr.withColumn("prev", lag(col("ss"), 1).over(w))
+          .withColumn("jmicro", expr(
+            "CASE WHEN prev IS NULL THEN NULL ELSE " +
+              "(cast(size(array_intersect(ss, prev)) as bigint) * 1000000) div " +
+              "(size(ss) + size(prev) - size(array_intersect(ss, prev))) END"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_frames"),
+            (lit(1L) + sum(when(col("jmicro").isNotNull && col("jmicro") < 50000, 1L)
+              .otherwise(0L))).as("n_shots"))
+          .withColumn("avg_shot_len_micro",
+            expr("(n_frames * 1000000) div n_shots"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH b AS (SELECT doc_id, trim(text) AS body FROM documents
+             |  WHERE length(trim(text)) > 0),
+             |f0 AS (SELECT doc_id, body,
+             |    unnest(generate_series(1, CAST(ceil(length(body) / 32.0) AS INT))) AS fi
+             |  FROM b),
+             |fr AS (SELECT doc_id, fi, substr(body, (fi - 1) * 32 + 1, 32) AS f FROM f0),
+             |sh AS (SELECT doc_id, fi,
+             |    list_distinct(list_transform(generate_series(1, greatest(length(f) - 3, 1)),
+             |      p -> ${strHashD("substr(f, p, 4)")})) AS ss FROM fr),
+             |lg AS (SELECT doc_id, fi, ss,
+             |    lag(ss) OVER (PARTITION BY doc_id ORDER BY fi) AS prev FROM sh),
+             |jm AS (SELECT doc_id, CASE WHEN prev IS NULL THEN NULL ELSE
+             |      (CAST(len(list_intersect(ss, prev)) AS BIGINT) * 1000000) //
+             |      (len(ss) + len(prev) - len(list_intersect(ss, prev))) END AS jmicro
+             |  FROM lg),
+             |agg AS (SELECT doc_id, COUNT(*) AS n_frames,
+             |    1 + CAST(SUM(CASE WHEN jmicro IS NOT NULL AND jmicro < 50000
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_shots
+             |  FROM jm GROUP BY doc_id)
+             |SELECT doc_id, n_frames, n_shots,
+             |  (n_frames * 1000000) // n_shots AS avg_shot_len_micro
+             |FROM agg ORDER BY doc_id""".stripMargin)
+    ),
+
     // ----- audio-fingerprint near-dup over a pseudo-PCM stand-in -----------
     // The audio-dedup shape: frame the sample stream into 8 windows,
     // compute 8 difference-order band energies per window (each
