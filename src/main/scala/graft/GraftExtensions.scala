@@ -33,6 +33,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // portable HOF dot products run through the native codegen'd loop
     ext.injectOptimizerRule(_ => graft.plans.RewriteLongDot)
+    // the native AS-OF join operator (custom LogicalPlan -> physical merge)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 

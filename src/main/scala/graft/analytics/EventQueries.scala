@@ -486,6 +486,46 @@ object EventQueries {
              |ORDER BY user_id, event_id""".stripMargin)
     ),
 
+    // ----- native AS-OF join: click -> latest prior view --------------------
+    // The same backward-looking "state at time t" semantics as
+    // evt_asof_last_click, but through the engine's NATIVE as-of operator
+    // ([[graft.plans.AsOfJoinPlan]] / AsOfJoinExec — a custom LogicalPlan +
+    // SparkStrategy + physical merge): each side hash-exchanges on
+    // user_id (the same single shuffle a plain equi-join pays — the
+    // union+window form instead funnels BOTH relations through one sort
+    // and drags every right column through window state), planner-inserted
+    // spillable sorts order each partition by (user, ts), and one O(|L|+|R|)
+    // forward merge per partition emits each click's latest at-or-before
+    // view with constant state. The right side dedups to one row per
+    // (user, ts) first — keep max event_id — so the operator's tie rule
+    // cannot differ from DuckDB's ASOF JOIN, which is the oracle here:
+    // this row hash-checks the custom physical operator against another
+    // engine's native implementation of the same operator.
+    "evt_asof_native" -> QuerySpec(
+      (s, d) => {
+        val e = ev(s, d)
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").as("click_ts"))
+        val views = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id").as("v_user"), col("ts").as("view_ts"))
+          .agg(max(col("event_id")).as("view_id"))
+        graft.plans.AsOfJoin.join(clicks, views,
+            "user_id", "v_user", "click_ts", "view_ts")
+          .select(col("click_id"), col("user_id"), col("click_ts"),
+            col("view_id"), col("view_ts"))
+          .orderBy(col("click_id"))
+      },
+      Some("""SELECT c.click_id, c.user_id, c.click_ts, v.view_id, v.view_ts
+             |FROM (SELECT event_id AS click_id, user_id, ts AS click_ts
+             |      FROM events WHERE event_type = 'click') c
+             |ASOF LEFT JOIN (SELECT user_id AS v_user, ts AS view_ts,
+             |      MAX(event_id) AS view_id
+             |    FROM events WHERE event_type = 'view' GROUP BY 1, 2) v
+             |  ON c.user_id = v.v_user AND v.view_ts <= c.click_ts
+             |ORDER BY c.click_id""".stripMargin)
+    ),
+
     // ----- range join: lineitems shipped within 30 days of their order ------
     "rel_range_join_ship_window" -> QuerySpec(
       (s, d) => {
