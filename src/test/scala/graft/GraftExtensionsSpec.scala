@@ -80,6 +80,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
         s.sql(s"SELECT $hof AS d FROM ($big)").collect())).contains("overflow"))
       assert(msgs(intercept[Exception](
         base.sql(s"SELECT $hof AS d FROM ($big)").collect())).contains("overflow"))
+      // ---- AsOfJoinStrategy planner injection --------------------------
+      // the extension path must plan AsOfJoinPlan with NO imperative
+      // strategy registration (AsOfJoin.join registers on the session it
+      // runs in; here the df is built against the extension session whose
+      // strategies came solely from injectPlannerStrategy)
+      import s.implicits._
+      val lt = Seq((1L, 10L), (1L, 20L)).toDF("k", "t")
+      val rt = Seq((1L, 5L, "x"), (1L, 15L, "y")).toDF("rk", "rt", "v")
+      val asof = graft.plans.AsOfJoin.join(lt, rt, "k", "rk", "t", "rt")
+      assert(asof.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+      assert(asof.select($"t", $"v").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet == Set((10L, "x"), (20L, "y")))
     } finally {
       // do NOT s.stop(): that would stop the shared SparkContext;
       // just restore the shared session as default/active for other suites
