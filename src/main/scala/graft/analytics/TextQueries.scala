@@ -607,28 +607,37 @@ object TextQueries {
     "txt_priority_sample" -> QuerySpec(
       (s, d) => {
         graft.functions.SketchAggregators.register(s)
-        val base = docs(s, d)
+        // ONE corpus pass tokenizes: the per-stratum totals AND the bounded
+        // top-(k+1) come out of the same groupBy (three 64×-probed scans
+        // collapsed to one — tokenization is the whole per-row cost here)
+        val agg = docs(s, d)
           .withColumn("w", expr(s"size(${tokensS("text")})").cast("long"))
           .withColumn("u", expr("(doc_id * 48271) % 2147483647 + 1"))
           .withColumn("q12", expr("(w * 1000000000000) div u"))
-        val tops = base
           .groupBy(col("source"))
-          .agg(expr("top11_by_long(q12, doc_id)").as("top"))
+          .agg(expr("top11_by_long(q12, doc_id)").as("top"),
+            count(lit(1)).as("n_docs"), sum(col("w")).as("true_tokens"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        graft.CacheTracker.track(agg)
+        val tops = agg
           .select(col("source"), posexplode(col("top")).as(Seq("pos", "t")))
           .select(col("source"), (col("pos") + 1).as("rn"),
             col("t._1").as("q12"), col("t._2").as("doc_id"))
         val tau = tops.filter(col("rn") === 11).select(col("source"), col("q12").as("tau12"))
-        // sampled ids and taus are #strata-sized — broadcast both back over
-        // the corpus scan rather than shuffling the corpus to 50 rows
-        val est = base.select(col("doc_id"), col("w"))
-          .join(broadcast(tops.filter(col("rn") <= 10)), Seq("doc_id"))
+        // the sampled ids are #strata × k rows — broadcast them INTO the
+        // doc scan and tokenize after the join, so only the ~200 sampled
+        // documents pay the weight recomputation
+        val sampledW = docs(s, d).select(col("doc_id"), col("text"))
+          .join(broadcast(tops.filter(col("rn") <= 10).select(col("source"), col("doc_id"))),
+            Seq("doc_id"))
+          .withColumn("w", expr(s"size(${tokensS("text")})").cast("long"))
+        val est = sampledW
           .join(broadcast(tau), Seq("source"), "left")
           .withColumn("inc12", greatest(col("w") * lit(1000000000000L),
             coalesce(col("tau12"), lit(0L))))
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_sample"), sum(col("inc12")).as("est12"))
-        base.groupBy(col("source"))
-          .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("true_tokens"))
+        agg.select(col("source"), col("n_docs"), col("true_tokens"))
           .join(est, Seq("source"))
           .select(col("source"), col("n_docs"), col("true_tokens"), col("n_sample"),
             expr("est12 div 1000000").as("est_microtokens"),
