@@ -31,7 +31,9 @@ object Verify {
         s"selects ${selected.size}/${SparkEntry.queries.size} queries " +
         s"(${SparkEntry.queries.size - selected.size} skipped)")
     }
-    selected.foreach { case (name, fn) =>
+    // deterministic dump order: if the harness ever cuts a run short, what
+    // was and wasn't dumped is reproducible rather than HashMap-ordered
+    selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
