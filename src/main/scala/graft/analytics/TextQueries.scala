@@ -583,6 +583,64 @@ object TextQueries {
              |FROM f GROUP BY lang, thresh ORDER BY lang""".stripMargin)
     ),
 
+    // ----- budgeted source mix: fractional knapsack under a token budget ----
+    // The selection step a token-budgeted training run actually makes:
+    // given per-source mean quality and token mass, spend a budget (half
+    // the corpus here) greedily from the highest-quality source down, the
+    // marginal source contributing a FRACTIONAL take — the continuous
+    // relaxation whose greedy solution is optimal (fractional knapsack).
+    // Complements the share-shaping mixers (temperature / DSIR / epoch
+    // replication): those reweight, this one decides the cutoff.
+    //
+    // One corpus pass (map-side-combined per-source aggregate of token
+    // counts and the standard integer quality metric); the knapsack itself
+    // runs over the #sources-row table — the single-partition cumulative
+    // window is over ~dozens of rows by construction, never the corpus.
+    "txt_budget_mix" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val qmExpr = s"floor((0.3 * ${stopRatioS("t")} + 0.4 * ${distinctRatioS("t")} " +
+          s"+ 0.3 * ${lenScoreS("text")}) * 1e6 + 0.5)"
+        val src = docs(s, d)
+          .withColumn("t", expr(tokensS("text")))
+          .withColumn("qm", expr(qmExpr).cast("long"))
+          .withColumn("w", expr("cast(size(t) as bigint)"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("tokens"),
+            sum(col("qm")).as("qsum"))
+          .withColumn("avg_q_micro", expr("qsum div n_docs"))
+        val total = src.agg((sum(col("tokens")) / 2).cast("bigint").as("budget"))
+        val ord = Window.orderBy(col("avg_q_micro").desc, col("source"))
+        src.crossJoin(broadcast(total))
+          .withColumn("rank", row_number().over(ord))
+          .withColumn("cum", sum(col("tokens")).over(
+            ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("take_tokens", expr(
+            "greatest(cast(0 as bigint), least(tokens, budget - (cum - tokens)))"))
+          .withColumn("take_frac_micro", expr("take_tokens * 1000000 div tokens"))
+          .select(col("rank"), col("source"), col("n_docs"), col("tokens"),
+            col("avg_q_micro"), col("take_tokens"), col("take_frac_micro"))
+          .orderBy(col("rank"))
+      },
+      Some(s"""WITH f AS (SELECT source, ${tokensD("text")} AS t, text FROM documents),
+             |qv AS (SELECT source,
+             |    CAST(floor((0.3 * (floor(len(list_filter(t, w -> list_contains(['the','a','of','and','is','to'], w))) / len(t) * 1e6 + 0.5) / 1e6)
+             |      + 0.4 * (floor(len(list_distinct(t)) / len(t) * 1e6 + 0.5) / 1e6)
+             |      + 0.3 * (floor(least(length(trim(text)), 400) / 400 * 1e6 + 0.5) / 1e6)) * 1e6 + 0.5) AS BIGINT) AS qm,
+             |    CAST(len(t) AS BIGINT) AS w FROM f),
+             |src AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(w) AS BIGINT) AS tokens,
+             |    CAST(SUM(qm) AS BIGINT) AS qsum FROM qv GROUP BY source),
+             |a AS (SELECT *, qsum // n_docs AS avg_q_micro FROM src),
+             |tt AS (SELECT CAST(SUM(tokens) AS BIGINT) // 2 AS budget FROM a),
+             |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY avg_q_micro DESC, source) AS rank,
+             |    CAST(SUM(tokens) OVER (ORDER BY avg_q_micro DESC, source
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM a)
+             |SELECT rank, source, n_docs, tokens, avg_q_micro,
+             |  greatest(0, least(tokens, (SELECT budget FROM tt) - (cum - tokens))) AS take_tokens,
+             |  greatest(0, least(tokens, (SELECT budget FROM tt) - (cum - tokens))) * 1000000 // tokens AS take_frac_micro
+             |FROM r ORDER BY rank""".stripMargin)
+    ),
+
     // ----- priority sampling: weighted sample + unbiased subset-sum sketch --
     // Weight-proportional sampling WITHOUT replacement with an unbiased
     // total estimator (Duffield/Lund/Thorup, "Priority sampling", JACM'07):
