@@ -367,14 +367,14 @@ object DocumentStream {
     * converges to the same store state.
     */
   def takedownContinuous(
-      requests: Dataset[java.lang.Long],
+      requests: Dataset[Long],
       indexPath: String,
       lakePath: String,
       checkpointDir: String,
       textIndexPath: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
     requests.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[java.lang.Long], _: Long) =>
+      .foreachBatch { (batch: Dataset[Long], _: Long) =>
         takedownBatch(batch.toDF("doc_id"), indexPath, lakePath, textIndexPath)
       }
       .start()

@@ -148,6 +148,35 @@ class StoreDeleteSpec extends AnyFunSuite {
     graft.CacheTracker.releaseAll()
   }
 
+  test("takedownContinuous: requests stream through foreachBatch to the stores") {
+    import java.sql.Timestamp
+    import graft.streaming.DocumentStream
+    val idx = tmp("tdc_idx")
+    val lake = tmp("tdc_lake")
+    val ckpt = tmp("tdc_ckpt")
+    import spark.implicits._
+    DocumentStream.ingestBatch(Seq(
+      DocumentStream.DocEvent(1L, "alpha beta gamma delta epsilon zeta", Timestamp.valueOf("2024-07-23 10:00:00")),
+      DocumentStream.DocEvent(2L, "one two three four five six seven", Timestamp.valueOf("2024-07-23 10:00:10")),
+      DocumentStream.DocEvent(3L, "red orange yellow green blue indigo", Timestamp.valueOf("2024-07-23 10:00:20"))).toDF(),
+      0L, idx, lake)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val q = DocumentStream.takedownContinuous(ms.toDS(), idx, lake, ckpt)
+    try {
+      ms.addData(1L)
+      q.processAllAvailable()
+      ms.addData(3L)
+      q.processAllAvailable()
+      val sig = MinHashIndex.signatures(spark, idx).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      val lk = spark.read.parquet(lake).select("docId")
+        .collect().map(_.getLong(0)).toSet
+      assert(sig == Set(2L) && lk == Set(2L))
+    } finally q.stop()
+    graft.CacheTracker.releaseAll()
+  }
+
   test("dup graph: edges touching deleted docs drop from edges AND signatures") {
     val idx = tmp("dg_del")
     DupGraph.buildFrom(docs, idx)
