@@ -1369,27 +1369,45 @@ object DedupQueries {
         // block stats are #blocks rows — broadcast to both branches
         val stats = broadcast(f.groupBy(col("fp"))
           .agg(count(lit(1)).as("bs"), min(col("doc_id")).as("rep")))
-        val a = f.select(col("fp"), col("doc_id").as("doc_a"),
-          col("text").as("ta"), col("n_chars").as("la"))
-        val b = f.select(col("fp"), col("doc_id").as("doc_b"),
-          col("text").as("tb"), col("n_chars").as("lb"))
-        val small = a.join(b, Seq("fp")).join(stats, Seq("fp"))
-          .filter(col("bs") <= EditBlockCap && col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b"), col("ta"), col("tb"),
-            col("la"), col("lb"))
-        val hot = b.join(stats, Seq("fp"))
+        // Length prefilter BEFORE any text moves: Levenshtein distance is
+        // bounded below by |len_a - len_b|, so a pair whose length gap
+        // already violates either match condition (gap > cap, or
+        // gap * 10 > the longer length) can never match — drop it while
+        // the join still carries 3 narrow columns. The candidate self-join
+        // then shuffles (fp, doc_id, n_chars) instead of full documents
+        // (the 32x probe moved 2.5M full-text pair rows to verification);
+        // texts join back only for the survivors. n_chars IS the text
+        // length (the corpus derives it) — the same equivalence the final
+        // 10%-rule predicate already leans on, so the prefilter is a
+        // semantic no-op the oracle need not mirror.
+        val lens = f.select(col("fp"), col("doc_id"), col("n_chars"))
+        val lenOk = abs(col("la") - col("lb")) <= EditDistanceCap &&
+          abs(col("la") - col("lb")) * 10 <= greatest(col("la"), col("lb"))
+        val smallIds = lens
+          .select(col("fp"), col("doc_id").as("doc_a"), col("n_chars").as("la"))
+          .join(lens.select(col("fp"), col("doc_id").as("doc_b"),
+            col("n_chars").as("lb")), Seq("fp"))
+          .join(stats, Seq("fp"))
+          .filter(col("bs") <= EditBlockCap && col("doc_a") < col("doc_b") && lenOk)
+          .select(col("doc_a"), col("doc_b"), col("la"), col("lb"))
+        val hotIds = lens
+          .select(col("fp"), col("doc_id").as("doc_b"), col("n_chars").as("lb"))
+          .join(stats, Seq("fp"))
           .filter(col("bs") > EditBlockCap && col("doc_b") =!= col("rep"))
-          .select(col("rep").as("doc_a"), col("doc_b"), col("tb"), col("lb"))
-          .join(a.select(col("doc_a"), col("ta"), col("la")), Seq("doc_a"))
-          .select(col("doc_a"), col("doc_b"), col("ta"), col("tb"),
-            col("la"), col("lb"))
+          .join(lens.select(col("doc_id").as("rep"), col("n_chars").as("la")),
+            Seq("rep"))
+          .filter(lenOk)
+          .select(col("rep").as("doc_a"), col("doc_b"), col("la"), col("lb"))
+        val cand = smallIds.unionByName(hotIds)
+          .join(f.select(col("doc_id").as("doc_a"), col("text").as("ta")), Seq("doc_a"))
+          .join(f.select(col("doc_id").as("doc_b"), col("text").as("tb")), Seq("doc_b"))
         // equality fast path before the banded DP: byte-identical texts
         // (exact duplicates — the single most common near-dup shape, and
         // ALL of a replicated block's pairs) cost one O(len) compare
         // instead of the O(len·cap) Levenshtein band. Measured at the 32×
         // probe's under-cap worst case (every block = 32 identical
         // copies): 183 s → 36 s. Semantics identical: levenshtein(x, x) = 0.
-        small.unionByName(hot)
+        cand
           .withColumn("dist",
             when(col("ta") === col("tb"), lit(0))
               .otherwise(expr(s"levenshtein(ta, tb, $EditDistanceCap)")))

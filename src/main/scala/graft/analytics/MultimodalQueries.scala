@@ -162,9 +162,24 @@ object MultimodalQueries {
     "mm_phash_pairs" -> QuerySpec(
       (s, d) => {
         import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-        val h = graft.CacheTracker.track(docs(s, d)
+        val base = docs(s, d)
           .withColumn("body", trim(col("text")))
           .filter(length(col("body")) >= 2)
+          .select(col("doc_id"), col("body"))
+        // Near-identical pseudo-docs derived in-query (the
+        // dedup_containment_pairs move): every 5th doc gets a twin
+        // (id + 1e6) with ONE mid-body character replaced. The dHash
+        // samples at most a couple of grid cells through that position, so
+        // each twin lands within the hamming <= 6 verify of its original —
+        // the sf0.01 differential check exercises real banded candidates
+        // and real verifications instead of the vacuous 0 = 0 rows the
+        // as-generated corpus produced (no two documents hash within 6
+        // bits). The oracle replays the same derivation.
+        val pert = base.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+            expr("concat(substring(body, 1, length(body) div 2 - 1), 'z', " +
+              "substring(body, length(body) div 2 + 1))").as("body"))
+        val h = graft.CacheTracker.track(base.unionByName(pert)
           .withColumn("pix", expr("transform(sequence(0, 63), i -> " +
             "ascii(substring(body, cast(1 + (cast(i as bigint) * (length(body) - 1)) div 63 as int), 1)))"))
           .select(col("doc_id"), expr("aggregate(sequence(0, 55), cast(0 as bigint), (a, i) -> " +
@@ -175,8 +190,14 @@ object MultimodalQueries {
         phashPairsFromHashes(h)
           .orderBy(col("doc_a"), col("doc_b"))
       },
-      Some(s"""WITH b0 AS (SELECT doc_id, trim(text) AS body FROM documents
+      Some(s"""WITH base AS (SELECT doc_id, trim(text) AS body FROM documents
              |  WHERE length(trim(text)) >= 2),
+             |b0 AS (SELECT doc_id, body FROM base
+             |  UNION ALL
+             |  SELECT doc_id + 1000000 AS doc_id,
+             |    substr(body, 1, length(body) // 2 - 1) || 'z' ||
+             |      substr(body, length(body) // 2 + 1) AS body
+             |  FROM base WHERE doc_id % 5 = 0),
              |p AS (SELECT doc_id, list_transform(generate_series(0, 63), i ->
              |    ascii(substr(body, CAST(1 + (i::BIGINT * (length(body) - 1)) // 63 AS INT), 1))) AS pix
              |  FROM b0),

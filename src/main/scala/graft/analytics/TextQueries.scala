@@ -652,16 +652,28 @@ object TextQueries {
     // second corpus scan — the estimator is near-optimal among k-sample
     // subset-sum estimators.
     //
-    // Engine-exact contract: u is a Lehmer hash (doc_id*48271 % (2^31-1))+1
-    // and priorities compare as the exact BIGINT floor-division w*1e12 div u
-    // — no libm, no float ranking, so the sampled SET (not just the
-    // estimate) hash-matches across engines. Scale shape: the top-(k+1)
-    // per stratum comes from the bounded mergeable top11_by_long aggregator
-    // — #strata x 11 rows cross the wire, where a row_number window would
-    // shuffle-sort the whole corpus through #strata partitions (the skew
-    // trap a 5-source 100 TB corpus springs); the sampled ids then join
-    // back broadcast. The oracle replays the identical ranking as a window
-    // (correct at oracle scale, pinned to the same ORDER BY q12 DESC, id).
+    // Engine-exact contract: u is a triple-iterated Lehmer hash of
+    // (doc_id + 1) mod M (M = 2^31 - 1) — one step is monotone in doc_id
+    // below ~44k (no wraparound: 48271 * 44486 < 2^31), which would make
+    // the "uniform" draw just the smallest ids; three steps wrap twice so
+    // u spreads over [1, M] even for small sequential ids. The priority is
+    // the exact BIGINT floor-division q = (w * M) div u — this is DIRECTLY
+    // the DLT priority w/(u/M) in TOKEN units, so tau (the 11th priority)
+    // compares against the sampled w with no unit conversion and no
+    // overflow headroom problem (w * M fits int64 for any w < 4.3e9
+    // tokens/doc; est sums k priorities ~ stratum total, fine to 1e12+
+    // corpus tokens). No libm, no float ranking: the sampled SET (not just
+    // the estimate) hash-matches across engines. Scale shape: the
+    // top-(k+1) per stratum comes from the bounded mergeable top11_by_long
+    // aggregator — #strata x 11 rows cross the wire, where a row_number
+    // window would shuffle-sort the whole corpus through #strata
+    // partitions (the skew trap a 5-source 100 TB corpus springs); the
+    // sampled ids then join back broadcast. The oracle replays the
+    // identical ranking as a window (correct at oracle scale, pinned to
+    // the same ORDER BY q DESC, id). `PrioritySampleSpec` asserts the
+    // estimator actually estimates: ratio within 35% of 1 on every
+    // stratum of the fixture, and the unit discipline (inc = max(w, tau)
+    // with both in tokens) is what makes that hold.
     "txt_priority_sample" -> QuerySpec(
       (s, d) => {
         graft.functions.SketchAggregators.register(s)
@@ -670,18 +682,19 @@ object TextQueries {
         // collapsed to one — tokenization is the whole per-row cost here)
         val agg = docs(s, d)
           .withColumn("w", expr(s"size(${tokensS("text")})").cast("long"))
-          .withColumn("u", expr("(doc_id * 48271) % 2147483647 + 1"))
-          .withColumn("q12", expr("(w * 1000000000000) div u"))
+          .withColumn("u", expr(
+            "((((doc_id + 1) * 48271) % 2147483647 * 48271) % 2147483647 * 48271) % 2147483647 + 1"))
+          .withColumn("q", expr("(w * 2147483647) div u"))
           .groupBy(col("source"))
-          .agg(expr("top11_by_long(q12, doc_id)").as("top"),
+          .agg(expr("top11_by_long(q, doc_id)").as("top"),
             count(lit(1)).as("n_docs"), sum(col("w")).as("true_tokens"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         graft.CacheTracker.track(agg)
         val tops = agg
           .select(col("source"), posexplode(col("top")).as(Seq("pos", "t")))
           .select(col("source"), (col("pos") + 1).as("rn"),
-            col("t._1").as("q12"), col("t._2").as("doc_id"))
-        val tau = tops.filter(col("rn") === 11).select(col("source"), col("q12").as("tau12"))
+            col("t._1").as("q"), col("t._2").as("doc_id"))
+        val tau = tops.filter(col("rn") === 11).select(col("source"), col("q").as("tau"))
         // the sampled ids are #strata × k rows — broadcast them INTO the
         // doc scan and tokenize after the join, so only the ~200 sampled
         // documents pay the weight recomputation
@@ -691,33 +704,32 @@ object TextQueries {
           .withColumn("w", expr(s"size(${tokensS("text")})").cast("long"))
         val est = sampledW
           .join(broadcast(tau), Seq("source"), "left")
-          .withColumn("inc12", greatest(col("w") * lit(1000000000000L),
-            coalesce(col("tau12"), lit(0L))))
+          .withColumn("inc", greatest(col("w"), coalesce(col("tau"), lit(0L))))
           .groupBy(col("source"))
-          .agg(count(lit(1)).as("n_sample"), sum(col("inc12")).as("est12"))
+          .agg(count(lit(1)).as("n_sample"), sum(col("inc")).cast("bigint").as("est"))
         agg.select(col("source"), col("n_docs"), col("true_tokens"))
           .join(est, Seq("source"))
           .select(col("source"), col("n_docs"), col("true_tokens"), col("n_sample"),
-            expr("est12 div 1000000").as("est_microtokens"),
-            expr("floor((est12 div true_tokens) / 1e6 + 0.5) / 1e6").as("ratio"))
+            expr("est * 1000000").as("est_microtokens"),
+            expr("((est * 2000000 + true_tokens) div (true_tokens * 2)) / 1e6").as("ratio"))
           .orderBy(col("source"))
       },
       Some(s"""WITH b AS (SELECT doc_id, source,
              |    CAST(len(${tokensD("text")}) AS BIGINT) AS w FROM documents),
-             |p AS (SELECT *, (doc_id * 48271) % 2147483647 + 1 AS u FROM b),
-             |q AS (SELECT *, (w * 1000000000000) // u AS q12 FROM p),
-             |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY q12 DESC, doc_id) AS rn FROM q),
-             |tau AS (SELECT source, q12 AS tau12 FROM r WHERE rn = 11),
+             |p AS (SELECT *, ((((doc_id + 1) * 48271) % 2147483647 * 48271) % 2147483647 * 48271) % 2147483647 + 1 AS u FROM b),
+             |q AS (SELECT *, (w * 2147483647) // u AS q FROM p),
+             |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS rn FROM q),
+             |tau AS (SELECT source, q AS tau FROM r WHERE rn = 11),
              |sm AS (SELECT r.source,
-             |    greatest(r.w * 1000000000000, COALESCE(t.tau12, 0)) AS inc12
+             |    greatest(r.w, COALESCE(t.tau, 0)) AS inc
              |  FROM r LEFT JOIN tau t ON r.source = t.source WHERE r.rn <= 10),
              |est AS (SELECT source, COUNT(*) AS n_sample,
-             |    CAST(SUM(inc12) AS BIGINT) AS est12 FROM sm GROUP BY source),
+             |    CAST(SUM(inc) AS BIGINT) AS est FROM sm GROUP BY source),
              |tot AS (SELECT source, COUNT(*) AS n_docs,
              |    CAST(SUM(w) AS BIGINT) AS true_tokens FROM b GROUP BY source)
              |SELECT tot.source, n_docs, true_tokens, n_sample,
-             |  est12 // 1000000 AS est_microtokens,
-             |  floor((est12 // true_tokens) / 1e6 + 0.5) / 1e6 AS ratio
+             |  est * 1000000 AS est_microtokens,
+             |  ((est * 2000000 + true_tokens) // (true_tokens * 2)) / 1e6 AS ratio
              |FROM tot JOIN est ON tot.source = est.source ORDER BY tot.source""".stripMargin)
     ),
 
@@ -1003,13 +1015,18 @@ object TextQueries {
     "txt_dsir_weights" -> QuerySpec(
       (s, d) => {
         import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        // same (doc_id, token, k) pre-aggregation as perplexityFor: the
+        // hot/cold lambda lookup moves distinct (doc, token) pairs, not
+        // token instances; n_tok = sum(k), sm = sum(k * lm)
         val tok = graft.CacheTracker.track(
           docs(s, d).select(col("doc_id"), col("lang"),
             explode(expr(tokensS("text"))).as("w"))
+            .groupBy(col("doc_id"), col("lang"), col("w"))
+            .agg(count(lit(1)).as("k"))
             .persist(MEMORY_AND_DISK))
-        val cr = tok.groupBy(col("w")).agg(count(lit(1)).as("c_r"))
+        val cr = tok.groupBy(col("w")).agg(sum(col("k")).cast("bigint").as("c_r"))
         val ct = tok.filter(col("lang") === "en")
-          .groupBy(col("w")).agg(count(lit(1)).as("c_t"))
+          .groupBy(col("w")).agg(sum(col("k")).cast("bigint").as("c_t"))
         val tots = cr.agg(sum(col("c_r")).cast("bigint").as("r"), count(lit(1)).as("v"))
         val ttot = ct.agg(sum(col("c_t")).cast("bigint").as("t")).na.fill(0L, Seq("t"))
         val lam = graft.CacheTracker.track(
@@ -1026,7 +1043,8 @@ object TextQueries {
         val scored = tok.join(broadcast(hot), Seq("w"))
           .unionByName(tok.join(cold, Seq("w")))
         scored.groupBy(col("doc_id"), (col("lang") === "en").as("is_target"))
-          .agg(count(lit(1)).as("n_tok"), sum(col("lm")).as("sm"))
+          .agg(sum(col("k")).cast("bigint").as("n_tok"),
+            sum(expr("k * lm")).cast("bigint").as("sm"))
           .select(col("doc_id"), col("is_target"), col("n_tok"),
             expr("(sm - pmod(sm, n_tok)) div n_tok").as("dsir_micro"))
           .withColumn("kept", col("dsir_micro") > 0)
@@ -2040,12 +2058,18 @@ object TextQueries {
   private[graft] def perplexityFor(
       s: org.apache.spark.sql.SparkSession, d: String, hotK: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // (doc_id, token) occurrences: two consumers (vocab counts + the score
-    // join) — persist so tokenization runs once
+    // (doc_id, token, k) — occurrences pre-aggregated per doc BEFORE any
+    // join: the hot/cold lookup then moves one row per distinct (doc,
+    // token) pair instead of one per token INSTANCE, shrinking the cold
+    // shuffle by the per-doc repetition factor (the 32x probe's spill came
+    // from shuffling instances verbatim). Semantics identical:
+    // n_tok = sum(k), doc cost = sum(k * cm). Two consumers (vocab counts
+    // + the score join) — persist so tokenization runs once.
     val tok = graft.CacheTracker.track(
       docs(s, d).select(col("doc_id"), explode(expr(tokensS("text"))).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("k"))
         .persist(MEMORY_AND_DISK))
-    val cnt = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val cnt = tok.groupBy(col("w")).agg(sum(col("k")).cast("bigint").as("c"))
     val tot = cnt.agg(sum(col("c")).as("total"))
     // fixed-point per-token cost; three consumers (head topK, tail
     // anti-join, and nothing else re-derives it) — persist
@@ -2061,7 +2085,8 @@ object TextQueries {
     val scored = tok.join(broadcast(hot), Seq("w"))
       .unionByName(tok.join(cold, Seq("w")))
     scored.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tok"), sum(col("cm")).as("sc"))
+      .agg(sum(col("k")).cast("bigint").as("n_tok"),
+        sum(expr("k * cm")).cast("bigint").as("sc"))
       .select(col("doc_id"), col("n_tok"), expr("sc div n_tok").as("xent_micro"))
       .orderBy(col("doc_id"))
   }
