@@ -50,10 +50,33 @@ object DupGraph {
     graft.CacheTracker.releaseAll()
   }
 
-  /** Whether a completed edge store exists (atomic `_SUCCESS` marker). */
+  /** Whether a completed edge store exists. Flat [[build]] output is
+    * complete iff the root `_SUCCESS` marker exists; a batch-driven store
+    * ([[appendBatch]]) commits per-partition with no root marker, so it
+    * counts as existing when any `batch_id=` partition holds data — a
+    * partially written batch is safe because its replay overwrites exactly
+    * that partition.
+    */
   def exists(spark: SparkSession, indexPath: String): Boolean = {
-    val marker = new Path(edgeDir(indexPath), "_SUCCESS")
-    marker.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(marker)
+    val dir = new Path(edgeDir(indexPath))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(dir, "_SUCCESS"))) true
+    else if (fs.exists(dir) && fs.listStatus(dir).exists { st =>
+      st.isDirectory && st.getPath.getName.startsWith("batch_id=") &&
+        fs.listStatus(st.getPath).exists(f => f.getPath.getName.endsWith(".parquet"))
+    }) true
+    // a batch-driven graph whose batches found no pairs yet has a
+    // batch-partitioned SIGNATURE store but no edge partitions (an empty
+    // DataFrame under dynamic overwrite writes nothing) — that graph
+    // exists, with zero edges. The sig check is batch-layout-specific, so
+    // a killed [[buildFrom]] (flat sig written, edges not) still reads as
+    // absent and rebuilds.
+    else {
+      val sig = new Path(s"$indexPath/sig/signatures")
+      fs.exists(sig) && fs.listStatus(sig).exists { st =>
+        st.isDirectory && st.getPath.getName.startsWith("batch_id=")
+      }
+    }
   }
 
   /** [[build]] unless a completed store is already present. */
@@ -61,10 +84,30 @@ object DupGraph {
     if (!exists(spark, indexPath)) build(spark, dir, indexPath)
 
   /** The stored verified edges (doc_a < doc_b, j >= 0.5) — a bare columnar
-    * scan; consumers that only need structure prune to (doc_a, doc_b).
+    * scan; consumers that only need structure prune to (doc_a, doc_b). A
+    * batch-driven graph whose batches found no pairs yet has no edge files
+    * at all (dynamic overwrite writes nothing for an empty batch) — that
+    * reads as the empty edge set, not an error.
     */
-  def edges(spark: SparkSession, indexPath: String): DataFrame =
-    spark.read.parquet(edgeDir(indexPath))
+  def edges(spark: SparkSession, indexPath: String): DataFrame = {
+    val dir = new Path(edgeDir(indexPath))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // an empty-batch dynamic overwrite can leave the root dir with a
+    // commit marker but zero data files — only a store with actual
+    // parquet (flat or under batch_id= partitions) is readable
+    val hasData = fs.exists(dir) && fs.listStatus(dir).exists { st =>
+      (st.isFile && st.getPath.getName.endsWith(".parquet")) ||
+        (st.isDirectory && st.getPath.getName.startsWith("batch_id=") &&
+          fs.listStatus(st.getPath).exists(_.getPath.getName.endsWith(".parquet")))
+    }
+    if (hasData) spark.read.parquet(edgeDir(indexPath))
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_a", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("doc_b", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("j", org.apache.spark.sql.types.DoubleType))))
+  }
 
   /** [[build]] plus a co-located [[MinHashIndex]] signature store, enabling
     * incremental maintenance: a graph that took a full-corpus LSH pipeline
@@ -108,6 +151,46 @@ object DupGraph {
       .select(col("doc_a"), col("doc_b"), col("j"))
       .write.mode(SaveMode.Append).parquet(edgeDir(indexPath))
     MinHashIndex.append(newDocs, s"$indexPath/sig")
+    graft.CacheTracker.releaseAll()
+  }
+
+  /** [[append]] for at-least-once callers (streaming `foreachBatch`): the
+    * batch's verified new-touching edges land under their own `batch_id=N`
+    * partition via dynamic partition overwrite, and the co-located
+    * signature store folds through [[MinHashIndex.appendBatch]] (same
+    * idempotence), so a REPLAYED batch rewrites exactly its own partitions
+    * instead of double-inserting edges. Replay determinism: the stored
+    * signature side anti-joins the batch's own doc_ids out before pairing,
+    * so a replay whose first attempt already folded the signatures sees
+    * exactly the pre-batch corpus — without the guard, the doubled
+    * signature rows would duplicate verify-join output and inflate bucket
+    * sizes past the cap. A graph driven through this method must use it
+    * for EVERY write including the first (as [[MinHashIndex.appendBatch]]:
+    * flat and partitioned layouts must not mix under one root).
+    */
+  def appendBatch(newDocs: DataFrame, indexPath: String, batchId: Long): Unit = {
+    val spark = newDocs.sparkSession
+    graft.functions.VectorExpressions.register(spark)
+    val sigPath = s"$indexPath/sig"
+    val newSig = graft.CacheTracker.track(
+      graft.analytics.DedupQueries.signatureRows(newDocs)
+        .select("doc_id", "hs", "sig")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val nid = newSig.select("doc_id").distinct()
+    val all =
+      if (MinHashIndex.exists(spark, sigPath))
+        MinHashIndex.signatures(spark, sigPath).select("doc_id", "hs", "sig")
+          .join(broadcast(nid), Seq("doc_id"), "left_anti")
+          .unionByName(newSig)
+      else newSig
+    graft.analytics.DedupQueries.minhashPairsTouchingFromSig(all, nid)
+      .select(col("doc_a"), col("doc_b"), col("j"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(edgeDir(indexPath))
+    MinHashIndex.appendBatch(newDocs, sigPath, batchId)
     graft.CacheTracker.releaseAll()
   }
 

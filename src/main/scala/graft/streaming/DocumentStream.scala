@@ -237,6 +237,35 @@ object DocumentStream {
       }
       .start()
 
+  /** Continuous dup-graph maintenance: every micro-batch's verified
+    * new-touching near-dup edges fold into the persistent
+    * [[graft.operators.DupGraph]] edge store and its co-located signature
+    * index ([[graft.operators.DupGraph.appendBatch]] — both writes land
+    * under the batch's own `batch_id=N` partition via dynamic overwrite,
+    * so foreachBatch's at-least-once replay is exactly-once on the store).
+    * Every batch doc is indexed — the graph AUDITS duplication structure
+    * (degree stats, clusters, PageRank stay fresh as the crawl lands)
+    * while the keep/drop decision stays with [[ingestContinuous]] /
+    * [[curateContinuous]]; a store that only indexed survivors could never
+    * answer "how duplicated was the raw crawl". While every band bucket
+    * stays under the cap the accumulated store equals a from-scratch
+    * [[graft.analytics.DedupQueries.minhashPairs]] run over everything
+    * ingested (`DupGraphIngestSpec` pins it), the same log semantics as
+    * [[graft.operators.DupGraph.append]].
+    */
+  def graphContinuous(
+      docs: Dataset[DocEvent],
+      graphPath: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[DocEvent], batchId: Long) =>
+        graft.operators.DupGraph.appendBatch(
+          batch.toDF().select(col("docId").as("doc_id"), col("text")),
+          graphPath, batchId)
+      }
+      .start()
+
   /** The per-micro-batch body of [[ingestContinuous]] — exposed so dedup
     * semantics and the replay path are directly testable without a running
     * query.
