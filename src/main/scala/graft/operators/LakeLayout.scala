@@ -104,8 +104,11 @@ object LakeLayout {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return CompactReport(0, 0, 0, 0)
-    // leaf = a directory directly holding parquet files
+    // leaf = a directory directly holding parquet files; each level first
+    // repairs any crashed prior swap (missing leaf with its `.old` copy
+    // aside -> restored; post-swap residue / stale stages -> cleared)
     def leaves(dir: Path): Seq[Path] = {
+      DirSwap.recoverIn(fs, dir)
       val st = fs.listStatus(dir)
       val subdirs = st.filter(_.isDirectory)
         .filterNot(_.getPath.getName.startsWith("."))
@@ -126,14 +129,15 @@ object LakeLayout {
           if (clusterCols.isEmpty) df.coalesce(nOut)
           else df.repartitionByRange(nOut, clusterCols: _*)
             .sortWithinPartitions(clusterCols: _*)
-        val staged = new Path(leaf.toString + ".compact")
+        // stage dot-prefixed (discovery-invisible), swap rename-rename-
+        // delete: the worst crash state is a recoverable duplicate, never
+        // a missing partition or a bogus `day=1.compact` partition dir
+        val staged = DirSwap.stagePath(leaf)
         fs.delete(staged, true)
         ranged.write.mode("overwrite")
           .option("maxRecordsPerFile", maxRecordsPerFile)
           .parquet(staged.toString)
-        fs.delete(leaf, true)
-        if (!fs.rename(staged, leaf))
-          throw new java.io.IOException(s"rename $staged -> $leaf failed")
+        DirSwap.swapInto(fs, staged, leaf)
         compacted += 1
         after += fs.listStatus(leaf)
           .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))

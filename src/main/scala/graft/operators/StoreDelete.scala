@@ -44,6 +44,10 @@ object StoreDelete {
       ids: DataFrame, partCols: Seq[String]): Unit = {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // before anything else, repair a crashed prior flat-store swap (store
+    // missing, its `.old` copy aside) — otherwise the absent-store bail
+    // below would treat a recoverable store as gone
+    if (root.getParent != null) DirSwap.recoverIn(fs, root.getParent)
     if (!fs.exists(root)) return
     val full = spark.read.parquet(dir)
     val del = broadcast(ids.select(col(ids.columns.head).as("__del_id")).distinct())
@@ -82,12 +86,14 @@ object StoreDelete {
       survivors.unpersist(blocking = false)
     } else {
       val survivors = dropMatches(full)
-      val staged = new Path(dir + ".staged")
+      // dot-prefixed stage + rename-rename-delete swap (DirSwap): the
+      // pre-round-8 delete-then-rename order had a window where the only
+      // copy of the store sat at a non-dot sibling — a crash there lost
+      // the store from reads
+      val staged = DirSwap.stagePath(root)
       fs.delete(staged, true)
       survivors.write.mode(SaveMode.Overwrite).parquet(staged.toString)
-      fs.delete(root, true)
-      if (!fs.rename(staged, root))
-        throw new java.io.IOException(s"rename $staged -> $root failed")
+      DirSwap.swapInto(fs, staged, root)
     }
   }
 

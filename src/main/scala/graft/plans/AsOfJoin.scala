@@ -34,8 +34,13 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * nulls on no match; ties on right time resolve to the LAST right row in
   * `(key, time)` sort order, so callers wanting determinism under
   * duplicate timestamps dedup the right side first (the registry query
-  * keeps max event_id per (key, ts) in both engines). Times must be
-  * non-null ordered longs under the hood (timestamp/long columns).
+  * keeps max event_id per (key, ts) in both engines). Times are ordered
+  * longs under the hood (timestamp/long columns). Nulls follow SQL join
+  * semantics (= DuckDB's native ASOF JOIN): a NULL key equals nothing —
+  * null-keyed left rows emit the null-right row, null-keyed right rows
+  * match no one — and a NULL time makes the as-of predicate unknown, so a
+  * null-time left row emits null-right and a null-time right row is
+  * skipped (`AsOfJoinSpec`'s null matrix pins all four).
   */
 case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
@@ -108,11 +113,22 @@ case class AsOfJoinExec(
         private var lastMatch: InternalRow = _
         private var lastMatchKey: UnsafeRow = _
 
-        private def advanceRight(): Unit =
-          if (rIter.hasNext) {
-            rHead = rIter.next()
-            rHeadKey = rKeyProj(rHead).copy()
-          } else { rHead = null; rHeadKey = null }
+        // SQL join semantics: a NULL key equals nothing, so null-keyed
+        // right rows can never match — skip them wherever the cursor
+        // meets them (with ascending nulls-first child ordering they sit
+        // at the head of their prefix group, so skipping keeps the merge
+        // monotone). The natural ordering below would otherwise treat
+        // NULL = NULL as a match, which no equi-join does.
+        private def advanceRight(): Unit = {
+          var settled = false
+          while (!settled) {
+            if (rIter.hasNext) {
+              rHead = rIter.next()
+              rHeadKey = rKeyProj(rHead).copy()
+              settled = !rHeadKey.anyNull
+            } else { rHead = null; rHeadKey = null; settled = true }
+          }
+        }
 
         advanceRight()
 
@@ -121,7 +137,14 @@ case class AsOfJoinExec(
         override def next(): InternalRow = {
           val l = lIter.next()
           val lk = lKeyProj(l).copy()
-          val lt = ltBound.eval(l).asInstanceOf[Long]
+          // NULL left key or NULL left time: the as-of predicate is
+          // unknown for every right row — left-outer semantics emit the
+          // null-right row (previously a null time silently unboxed to
+          // 0L). The right cursor is not moved: null-first ordering puts
+          // these rows before their group's real work.
+          val ltEval = ltBound.eval(l)
+          if (lk.anyNull || ltEval == null) return resultProj(joined(l, nullRight))
+          val lt = ltEval.asInstanceOf[Long]
           // a match buffered for an earlier key can never serve this one
           if (lastMatchKey != null && keyOrd.compare(lastMatchKey, lk) != 0) {
             lastMatch = null; lastMatchKey = null
@@ -132,8 +155,12 @@ case class AsOfJoinExec(
             val c = keyOrd.compare(rHeadKey, lk)
             if (c < 0) { advanceRight(); continue = rHead != null }
             else if (c == 0) {
-              val rt = rtBound.eval(rHead).asInstanceOf[Long]
-              if (rt <= lt) {
+              val rtEval = rtBound.eval(rHead)
+              if (rtEval == null) {
+                // null right time never satisfies rt <= lt — skip, don't
+                // stall the cursor behind an unmatched row
+                advanceRight(); continue = rHead != null
+              } else if (rtEval.asInstanceOf[Long] <= lt) {
                 lastMatch = rHead.copy(); lastMatchKey = rHeadKey
                 advanceRight(); continue = rHead != null
               } else continue = false

@@ -86,4 +86,27 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(plan.contains("Exchange hashpartitioning"), s"expected hash exchanges in:\n$plan")
     assert(plan.contains("Sort "), s"expected planner-inserted sorts in:\n$plan")
   }
+
+  test("null matrix follows SQL join semantics, never NULL = NULL") {
+    import spark.implicits._
+    // left: a null-keyed row, a null-time row, and two live rows on key 1
+    val left = Seq(
+      (10L, Option(1L), Option(10L)),   // matches right t=5
+      (11L, Option(1L), Option(30L)),   // matches right t=25 (skipping null-time right row)
+      (12L, Option.empty[Long], Option(10L)), // null key -> no match
+      (13L, Option(1L), Option.empty[Long])   // null time -> no match
+    ).toDF("lid", "k", "t")
+    // right: a null-keyed row and a null-time row that must match NOTHING,
+    // plus two live rows
+    val right = Seq(
+      (100L, Option(1L), Option(5L)),
+      (101L, Option(1L), Option(25L)),
+      (102L, Option.empty[Long], Option(4L)),  // null key: NULL = NULL must not fire
+      (103L, Option(1L), Option.empty[Long])   // null time: rt <= lt is unknown
+    ).toDF("rid", "rk", "rt")
+    val got = AsOfJoin.join(left, right, "k", "rk", "t", "rt")
+      .select(col("lid"), col("rid"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got == Map(10L -> 100L, 11L -> 101L, 12L -> -1L, 13L -> -1L))
+  }
 }

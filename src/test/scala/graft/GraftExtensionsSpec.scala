@@ -82,16 +82,30 @@ class GraftExtensionsSpec extends AnyFunSuite {
         base.sql(s"SELECT $hof AS d FROM ($big)").collect())).contains("overflow"))
       // ---- AsOfJoinStrategy planner injection --------------------------
       // the extension path must plan AsOfJoinPlan with NO imperative
-      // strategy registration (AsOfJoin.join registers on the session it
-      // runs in; here the df is built against the extension session whose
-      // strategies came solely from injectPlannerStrategy)
+      // strategy registration. AsOfJoin.join would itself call
+      // GraftPlanBridge.addStrategy (making the assertion vacuous — round
+      // 7 advice), so the logical node is built and planned DIRECTLY via
+      // the bridge here, and the session's imperative strategy list is
+      // pinned empty of AsOfJoinStrategy before and after: the ONLY way
+      // the plan below can execute is through injectPlannerStrategy.
       import s.implicits._
+      def noImperative() = assert(
+        !s.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy),
+        "AsOfJoinStrategy must not be imperatively registered in this test")
+      noImperative()
       val lt = Seq((1L, 10L), (1L, 20L)).toDF("k", "t")
       val rt = Seq((1L, 5L, "x"), (1L, 15L, "y")).toDF("rk", "rt", "v")
-      val asof = graft.plans.AsOfJoin.join(lt, rt, "k", "rk", "t", "rt")
+      val lp = lt.queryExecution.analyzed
+      val rp = rt.queryExecution.analyzed
+      def att(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+        p.output.find(_.name == n).get
+      val asof = org.apache.spark.sql.GraftPlanBridge.ofRows(s,
+        graft.plans.AsOfJoinPlan(lp, rp, Seq(att(lp, "k")), Seq(att(rp, "rk")),
+          att(lp, "t"), att(rp, "rt")))
       assert(asof.queryExecution.executedPlan.toString.contains("AsOfJoin"))
       assert(asof.select($"t", $"v").collect()
         .map(r => (r.getLong(0), r.getString(1))).toSet == Set((10L, "x"), (20L, "y")))
+      noImperative()
     } finally {
       // do NOT s.stop(): that would stop the shared SparkContext;
       // just restore the shared session as default/active for other suites

@@ -172,4 +172,50 @@ class LakeLayoutSpec extends AnyFunSuite {
     val rep2 = LakeLayout.compact(spark, dir, Seq(col("k")), minFilesPerPartition = 4)
     assert(rep2.partitionsCompacted == 0)
   }
+
+  test("compact swap is crash-safe: every interrupted state recovers, none is discoverable") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("lake_crash").toString
+    (0 until 20).map(i => (1, i, s"v$i")).toDF("day", "k", "v")
+      .repartition(4).write.mode("append").partitionBy("day").parquet(dir)
+    val content = spark.read.parquet(dir).select("day", "k", "v")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSet
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leaf = new Path(s"$dir/day=1")
+
+    // crash state A: a half-written stage was left behind — it must be
+    // invisible to partition discovery (dot-prefixed) and cleared by the
+    // next compact, with the live partition untouched
+    val stage = new Path(s"$dir/.day=1.stage")
+    fs.mkdirs(stage)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(stage.toString, "garbage.parquet"), "not parquet")
+    assert(spark.read.parquet(dir).select("day", "k", "v")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSet == content,
+      "a leftover stage dir must not poison lake reads")
+    LakeLayout.compact(spark, dir, Seq(col("k")), minFilesPerPartition = 4)
+    assert(!fs.exists(stage), "stale stage must be cleared")
+
+    // crash state B: mid-swap — the partition was renamed aside and the
+    // process died before the stage renamed in. The next compact restores
+    // the partition; no rows are lost.
+    assert(fs.rename(leaf, new Path(s"$dir/.day=1.old")))
+    LakeLayout.compact(spark, dir, Seq(col("k")), minFilesPerPartition = 4)
+    assert(fs.exists(leaf), "mid-swap crash must restore the partition")
+    assert(spark.read.parquet(dir).select("day", "k", "v")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSet == content)
+
+    // crash state C: post-swap residue — the swap completed but the old
+    // copy's delete didn't run. The copy must be ignored by reads and
+    // cleared by the next compact, never restored over the new data.
+    val old = new Path(s"$dir/.day=1.old")
+    fs.mkdirs(old)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(old.toString, "stale.parquet"), "stale")
+    LakeLayout.compact(spark, dir, Seq(col("k")), minFilesPerPartition = 4)
+    assert(!fs.exists(old), "post-swap residue must be cleared")
+    assert(spark.read.parquet(dir).select("day", "k", "v")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSet == content)
+  }
 }
