@@ -106,12 +106,39 @@ object DedupQueries {
     v
   }
 
+  /** Containment edges (doc_a, doc_b) of an arbitrary (doc_id, text) slice
+    * `u`: the dedup_containment_pairs rule — shingle containment >= 0.8
+    * with Jaccard < 0.6 (a proper excerpt, not a near-identical twin) —
+    * through the same DF-capped inverted-index join. Shared with
+    * [[GraphQueries]]' link-prediction query, whose wedges need this
+    * bipartite-ish excerpt→parent structure.
+    */
+  private[analytics] def containmentEdges(u: DataFrame): DataFrame = {
+    val sh = withShingles(u).select("doc_id", "hs")
+    val e0 = sh.select(col("doc_id"), explode(col("hs")).as("h"))
+    val hot = e0.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > ShingleDfCap).select(col("h"))
+    val e = graft.CacheTracker.track(e0.join(hot, Seq("h"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val shared = e.as("x")
+      .join(e.as("y"), col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    val n = e.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    shared
+      .join(n.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(n.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .filter(expr("shared / least(na, nb)") >= 0.8 &&
+        expr("shared / (na + nb - shared)") < 0.6)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
   /** doc_id + distinct 3-gram shingle hashes (the dedup unit). The explicit
     * repartition spreads the per-doc signature computation: a small parquet
     * file arrives as ONE split (a 100 TB corpus has thousands), and the HOF
     * projections are the dominant cost at bench scale.
     */
-  private def withShingles(df: DataFrame): DataFrame = {
+  private[analytics] def withShingles(df: DataFrame): DataFrame = {
     graft.functions.VectorExpressions.register(df.sparkSession)
     Tables.spread(df, "doc_id")
       .withColumn("t", expr(tokensS("text")))

@@ -50,6 +50,13 @@ object GraphQueries {
   /** Synchronous power iterations (fixed — both engines unroll the same). */
   val PrIters = 8
 
+  /** graph_common_neighbors: wedge centers above this degree are excluded
+    * from candidate generation — a hub's wedge fan-out is degree² and a
+    * star rep's neighborhood is its whole bucket (no discriminative
+    * signal). Degrees in the Jaccard denominator stay full-graph.
+    */
+  val CnHubCap = 50
+
   /** Undirected near-dup edges (doc_a < doc_b), Jaccard-verified — read
     * from the persistent [[graft.operators.DupGraph]] store (built on first
     * use per corpus), so each graph query's input is a 2-column parquet
@@ -209,6 +216,100 @@ object GraphQueries {
            |$iters
            |SELECT node, r AS rank_e12 FROM pr$PrIters ORDER BY node""".stripMargin
       }
+    ),
+
+    // ----- common-neighbor link prediction over the containment graph ------
+    // The classic structural link-prediction primitive (Liben-Nowell &
+    // Kleinberg 2003): two documents that share graph neighbors but are
+    // NOT themselves connected are the graph's best guesses for missing
+    // relations. Run over the CONTAINMENT graph (excerpt → parent edges,
+    // the dedup_containment_pairs rule) this surfaces exactly the
+    // fragmented-document shape a curation pipeline wants reassembled:
+    // two DISJOINT excerpts of one source are never each other's near-dup
+    // or containment pair — every pairwise metric scores them unrelated —
+    // but both connect to the parent, so the open wedge predicts the
+    // link. The sf0.01 differential derives two non-overlapping excerpt
+    // pseudo-docs per sampled parent in-query (tokens 1-12 → id+500000,
+    // tokens 7-18 → id+600000 — overlapping enough to share a parent,
+    // disjoint enough to fail the containment rule against each other),
+    // so the oracle verifies real predicted links, not 0 = 0. Score =
+    // neighbor-set Jaccard cn / (deg_a + deg_b − cn) as the exact integer
+    // micro-ratio.
+    //
+    // Scale design: wedges enumerate at the CENTER vertex, and centers
+    // with degree > CnHubCap are excluded from wedge generation (a hub's
+    // wedge fan-out is degree², and a boilerplate hub's neighborhood
+    // carries no discriminative signal — the standard common-neighbor
+    // sparsification). Degrees in the denominator stay FULL-graph, so the
+    // score is exact for every pair the capped wedge pass surfaces; the
+    // final top-20 is a group-limit over candidate pairs bounded by
+    // Σ_under-cap deg(v)².
+    "graph_common_neighbors" -> QuerySpec(
+      (s, d) => {
+        val base = graft.Tables.t(s, d, "documents").select("doc_id", "text")
+        def excerpt(off: Long, from: Int) = base.filter(col("doc_id") % 17 === 0)
+          .withColumn("t", expr(graft.functions.TextFunctions.tokensS("text")))
+          .select((col("doc_id") + off).as("doc_id"),
+            expr(s"array_join(slice(t, $from, 12), ' ')").as("text"))
+        val e = graft.CacheTracker.track(
+          DedupQueries.containmentEdges(
+            base.unionByName(excerpt(500000L, 1)).unionByName(excerpt(600000L, 7)))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val und = arcs(e)
+        val deg = graft.CacheTracker.track(degrees(e)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val centers = und.select(col("src").as("ctr"), col("dst").as("x"))
+          .join(broadcast(deg.filter(col("degree") > CnHubCap)
+            .select(col("node").as("ctr"))), Seq("ctr"), "left_anti")
+        val cn = centers.as("p")
+          .join(centers.as("q"),
+            col("p.ctr") === col("q.ctr") && col("p.x") < col("q.x"))
+          .groupBy(col("p.x").as("doc_a"), col("q.x").as("doc_b"))
+          .agg(count(lit(1)).as("cn"))
+          .join(e, Seq("doc_a", "doc_b"), "left_anti")
+        cn.join(deg.select(col("node").as("doc_a"), col("degree").as("da")), "doc_a")
+          .join(deg.select(col("node").as("doc_b"), col("degree").as("db")), "doc_b")
+          .select(col("doc_a"), col("doc_b"), col("cn"),
+            expr("cn * 1000000 div (da + db - cn)").as("jac_micro"))
+          .orderBy(col("jac_micro").desc, col("doc_a"), col("doc_b"))
+          .limit(20)
+      },
+      Some(s"""WITH basetok AS (SELECT doc_id, text, ${graft.functions.TextFunctions.tokensD("text")} AS t FROM documents),
+             |u AS (SELECT doc_id, text FROM documents
+             |  UNION ALL SELECT doc_id + 500000 AS doc_id,
+             |    array_to_string(t[1 : 12], ' ') AS text
+             |  FROM basetok WHERE doc_id % 17 = 0
+             |  UNION ALL SELECT doc_id + 600000 AS doc_id,
+             |    array_to_string(t[7 : 18], ' ') AS text
+             |  FROM basetok WHERE doc_id % 17 = 0),
+             |toks AS (SELECT doc_id, ${graft.functions.TextFunctions.tokensD("text")} AS t FROM u),
+             |th AS (SELECT doc_id, ${graft.functions.TextFunctions.tokenHashesD("t")} AS th FROM toks),
+             |sh AS (SELECT doc_id, list_distinct(${graft.functions.TextFunctions.shingleHashesD("th")}) AS hs FROM th),
+             |ei AS (SELECT doc_id, h FROM (SELECT doc_id, unnest(hs) AS h FROM sh) z
+             |  QUALIFY COUNT(*) OVER (PARTITION BY h) <= ${DedupQueries.ShingleDfCap}),
+             |c AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS shared
+             |  FROM ei x JOIN ei y ON x.h = y.h AND x.doc_id < y.doc_id GROUP BY 1, 2),
+             |nn AS (SELECT doc_id, COUNT(*) AS n FROM ei GROUP BY doc_id),
+             |e AS (SELECT c.doc_a, c.doc_b FROM c
+             |  JOIN nn na ON c.doc_a = na.doc_id JOIN nn nb ON c.doc_b = nb.doc_id
+             |  WHERE c.shared / least(na.n, nb.n) >= 0.8
+             |    AND c.shared / (na.n + nb.n - c.shared) < 0.6),
+             |sym AS (SELECT doc_a AS src, doc_b AS dst FROM e
+             |  UNION ALL SELECT doc_b, doc_a FROM e),
+             |deg AS (SELECT src AS node, COUNT(*) AS degree FROM sym GROUP BY src),
+             |ctrs AS (SELECT s.src AS ctr, s.dst AS x FROM sym s
+             |  JOIN deg ON deg.node = s.src WHERE deg.degree <= $CnHubCap),
+             |cn AS (SELECT p.x AS doc_a, q.x AS doc_b, COUNT(*) AS cn
+             |  FROM ctrs p JOIN ctrs q ON p.ctr = q.ctr AND p.x < q.x
+             |  GROUP BY 1, 2),
+             |cand AS (SELECT cn.* FROM cn
+             |  LEFT JOIN e ON cn.doc_a = e.doc_a AND cn.doc_b = e.doc_b
+             |  WHERE e.doc_a IS NULL)
+             |SELECT c.doc_a, c.doc_b, c.cn,
+             |  c.cn * 1000000 // (da.degree + db.degree - c.cn) AS jac_micro
+             |FROM cand c JOIN deg da ON da.node = c.doc_a
+             |  JOIN deg db ON db.node = c.doc_b
+             |ORDER BY jac_micro DESC, c.doc_a, c.doc_b LIMIT 20""".stripMargin)
     )
   )
 }

@@ -1682,6 +1682,157 @@ object SimilarityQueries {
              |    ORDER BY rrf_micro DESC, doc_id) AS rank FROM f)
              |SELECT qid AS query_id, rank, doc_id, n_lists, rrf_micro
              |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)
+    ),
+
+    // ----- scalar-quantized ANN (SQ8): per-dimension 8-bit codes ------------
+    // The FAISS-ScalarQuantizer shape — the third standard compression
+    // lever next to IVF (routing) and PQ (subspace codebooks): per-LANE
+    // uniform quantization to one byte. Train = per-lane (min, max) over
+    // the corpus (the whole "codebook" is 2·dim integers, no clustering
+    // pass at all), encode = affine map to [0, 255], search = asymmetric
+    // reconstruction dot against the uncompressed query — 64 B/vector, the
+    // always-applicable 4x-over-float32 baseline a pipeline reaches for
+    // before PQ's training cost is justified.
+    //
+    // Engine-exact contract: everything is BIGINT. Reconstruction avoids
+    // the half-step fraction by scaling 510 = 2·255:
+    //   510·x̂_j = 510·mn_j + (2·c_j + 1)·(mx_j − mn_j)   (midpoint rule)
+    // so ip510 = Σ_j q_j · 510·x̂_j is exact in both engines (|q_j| ≤ ~3e6
+    // quantized, |510·x̂_j| ≤ ~3e9, 64-lane sum ≪ 2^63). The code map's
+    // integer division has non-negative operands (x ≥ mn), so Spark's
+    // truncating `div` and DuckDB's flooring `//` agree.
+    //
+    // Scale design: training is ONE map-side-combined per-lane min/max
+    // aggregate (dim groups — 64 rows total); the stats broadcast
+    // everywhere; encoding rides a single corpus scan; scoring is
+    // broadcast-query × corpus scan with the per-query top-k group-limit —
+    // the only shuffle anywhere is the |Q|-partition ranking window.
+    "sim_sq8_topk" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val q = graft.CacheTracker.track(Tables.spread(emb(s, d), "vec_id")
+          .select(col("vec_id"), expr(quantizeS("embedding")).as("qe"))
+          .persist(MEMORY_AND_DISK))
+        val lanes = q.select(posexplode(col("qe")).as(Seq("j", "v")))
+          .groupBy(col("j")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+        val stats = lanes.agg(
+          expr("transform(array_sort(collect_list(struct(j, mn))), s -> s.mn)").as("mnl"),
+          expr("transform(array_sort(collect_list(struct(j, mx))), s -> s.mx)").as("mxl"))
+        val codes = q.crossJoin(broadcast(stats))
+          .select(col("vec_id"), col("mnl"), col("mxl"),
+            expr("transform(sequence(1, size(qe)), j -> " +
+              "least(cast(255 as bigint), greatest(cast(0 as bigint), " +
+              "if(element_at(mxl, j) = element_at(mnl, j), cast(0 as bigint), " +
+              "((element_at(qe, j) - element_at(mnl, j)) * 255) div " +
+              "(element_at(mxl, j) - element_at(mnl, j))))))").as("code"))
+        val queries = q.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("qe").as("qq"))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("ip510").desc, col("vec_id"))
+        codes.crossJoin(broadcast(queries))
+          .select(col("q_id"), col("vec_id"),
+            expr("cast(aggregate(transform(sequence(1, size(code)), j -> " +
+              "element_at(qq, j) * (510 * element_at(mnl, j) + " +
+              "(2 * element_at(code, j) + 1) * (element_at(mxl, j) - element_at(mnl, j)))), " +
+              "cast(0 as bigint), (a, x) -> a + x) as bigint)").as("ip510"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("q_id"), col("vec_id"), col("ip510"), col("rn"))
+          .orderBy(col("q_id"), col("rn"))
+      },
+      Some(s"""$OracleQ,
+             |lanes AS (SELECT j, MIN(qe[j]) AS mn, MAX(qe[j]) AS mx
+             |  FROM n, (SELECT unnest($LaneSeries) AS j) s GROUP BY j),
+             |st AS (SELECT (SELECT list(mn ORDER BY j) FROM lanes) AS mnl,
+             |               (SELECT list(mx ORDER BY j) FROM lanes) AS mxl),
+             |codes AS (SELECT vec_id, mnl, mxl, list_transform($LaneSeries, j ->
+             |    least(255, greatest(0, CASE WHEN mxl[j] = mnl[j] THEN 0
+             |      ELSE ((qe[j] - mnl[j]) * 255) // (mxl[j] - mnl[j]) END))) AS code
+             |  FROM n CROSS JOIN st),
+             |qs AS (SELECT vec_id AS q_id, qe AS qq FROM n WHERE vec_id < 5),
+             |sc AS (SELECT q.q_id, c.vec_id,
+             |    CAST(list_sum(list_transform($LaneSeries, j ->
+             |      qq[j] * (510 * mnl[j] + (2 * code[j] + 1) * (mxl[j] - mnl[j])))) AS BIGINT) AS ip510
+             |  FROM codes c CROSS JOIN qs q),
+             |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+             |    ORDER BY ip510 DESC, vec_id) AS rn FROM sc)
+             |SELECT q_id, vec_id, ip510, rn FROM r WHERE rn <= 5
+             |ORDER BY q_id, rn""".stripMargin)
+    ),
+
+    // ----- SQ8 quality: recall@5 vs the exact integer-dot ground truth ------
+    // Same recall contract as sim_pq_recall's pure-compressed tier: of the
+    // exact top-5 (by the full quantized integer dot), what fraction does
+    // the 8-bit reconstruction keep? 20 probe queries — an EVAL query,
+    // sample-sized in production. The answer positions SQ8 between raw
+    // floats and PQ on the memory/recall curve: per-lane uniform codes
+    // keep far more of the dot's mass than PqM subspace centroids, at 4x
+    // the bytes of the 16-bit PQ code.
+    "sim_sq8_recall" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        graft.functions.VectorExpressions.register(s)
+        val q = graft.CacheTracker.track(Tables.spread(emb(s, d), "vec_id")
+          .select(col("vec_id"), expr(quantizeS("embedding")).as("qe"))
+          .persist(MEMORY_AND_DISK))
+        val lanes = q.select(posexplode(col("qe")).as(Seq("j", "v")))
+          .groupBy(col("j")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+        val stats = lanes.agg(
+          expr("transform(array_sort(collect_list(struct(j, mn))), s -> s.mn)").as("mnl"),
+          expr("transform(array_sort(collect_list(struct(j, mx))), s -> s.mx)").as("mxl"))
+        val queries = q.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("qe").as("qq"))
+        val scored = graft.CacheTracker.track(
+          q.crossJoin(broadcast(stats)).crossJoin(broadcast(queries))
+            .filter(col("vec_id") =!= col("q_id"))
+            .select(col("q_id"), col("vec_id"),
+              expr("long_dot(qq, qe)").as("xdot"),
+              expr("cast(aggregate(transform(sequence(1, size(qe)), j -> " +
+                "element_at(qq, j) * (510 * element_at(mnl, j) + " +
+                "(2 * least(cast(255 as bigint), greatest(cast(0 as bigint), " +
+                "if(element_at(mxl, j) = element_at(mnl, j), cast(0 as bigint), " +
+                "((element_at(qe, j) - element_at(mnl, j)) * 255) div " +
+                "(element_at(mxl, j) - element_at(mnl, j))))) + 1) * " +
+                "(element_at(mxl, j) - element_at(mnl, j)))), " +
+                "cast(0 as bigint), (a, x) -> a + x) as bigint)").as("ip510"))
+            .persist(MEMORY_AND_DISK))
+        val wx = Window.partitionBy(col("q_id")).orderBy(col("xdot").desc, col("vec_id"))
+        val wa = Window.partitionBy(col("q_id")).orderBy(col("ip510").desc, col("vec_id"))
+        val exact5 = scored.withColumn("rn", row_number().over(wx))
+          .filter(col("rn") <= 5).select(col("q_id"), col("vec_id"))
+        val sq5 = scored.withColumn("rn", row_number().over(wa))
+          .filter(col("rn") <= 5).select(col("q_id"), col("vec_id"))
+        exact5.join(sq5.withColumn("hit", lit(1L)), Seq("q_id", "vec_id"), "left")
+          .groupBy(col("q_id"))
+          .agg(count(lit(1)).as("n_true"),
+            sum(coalesce(col("hit"), lit(0L))).cast("bigint").as("n_hit"))
+          .withColumn("recall_micro", expr("n_hit * 1000000 div n_true"))
+          .orderBy(col("q_id"))
+      },
+      Some(s"""$OracleQ,
+             |lanes AS (SELECT j, MIN(qe[j]) AS mn, MAX(qe[j]) AS mx
+             |  FROM n, (SELECT unnest($LaneSeries) AS j) s GROUP BY j),
+             |st AS (SELECT (SELECT list(mn ORDER BY j) FROM lanes) AS mnl,
+             |               (SELECT list(mx ORDER BY j) FROM lanes) AS mxl),
+             |qs AS (SELECT vec_id AS q_id, qe AS qq FROM n WHERE vec_id < 20),
+             |sc AS (SELECT q.q_id, c.vec_id,
+             |    ${dotD("qq", "c.qe")} AS xdot,
+             |    CAST(list_sum(list_transform($LaneSeries, j ->
+             |      qq[j] * (510 * mnl[j] + (2 * least(255, greatest(0,
+             |        CASE WHEN mxl[j] = mnl[j] THEN 0
+             |        ELSE ((c.qe[j] - mnl[j]) * 255) // (mxl[j] - mnl[j]) END)) + 1)
+             |        * (mxl[j] - mnl[j])))) AS BIGINT) AS ip510
+             |  FROM n c CROSS JOIN qs q CROSS JOIN st WHERE c.vec_id <> q.q_id),
+             |ex AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+             |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY xdot DESC, vec_id) AS rn
+             |  FROM sc) z WHERE rn <= 5),
+             |ap AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+             |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ip510 DESC, vec_id) AS rn
+             |  FROM sc) z WHERE rn <= 5)
+             |SELECT ex.q_id, COUNT(*) AS n_true,
+             |  CAST(SUM(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+             |  CAST(SUM(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // COUNT(*) AS recall_micro
+             |FROM ex LEFT JOIN ap ON ex.q_id = ap.q_id AND ex.vec_id = ap.vec_id
+             |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin)
     )
   )
 }

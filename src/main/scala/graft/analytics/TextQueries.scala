@@ -1068,6 +1068,177 @@ object TextQueries {
              |FROM agg ORDER BY doc_id""".stripMargin)
     ),
 
+    // ----- bigram-LM cross-entropy: the order-2 quality filter --------------
+    // txt_perplexity's unigram model scores WHAT words a document uses;
+    // the bigram model scores whether they occur in plausible ORDER — the
+    // signal that separates fluent text from shuffled-bag spam with an
+    // identical unigram profile (KenLM-style filters are n-gram models for
+    // exactly this reason). Model: add-one-smoothed conditional
+    // P(w2 | w1) = (c(w1 w2) + 1) / (c(w1 ·) + V), per-bigram cost
+    // ln(1/P) floored to micro-nat BIGINTs, per-doc mean via exact floor
+    // division — the same integer discipline (and the same residual ~1-ulp
+    // libm ln caveat) as txt_perplexity. V is the vocabulary observed in
+    // bigram context (either position) — derived from the BIGRAM count
+    // table, never a second corpus scan; both engines state the identical
+    // contract so the hash is exact. Docs with < 2 tokens have no bigrams
+    // and drop out (no defined order-2 score).
+    //
+    // Scale design, round-8 form from the start: the corpus reduces to
+    // (doc_id, bigram, k) in ONE pass (map-side combined) before ANY join,
+    // so the model lookup moves distinct pairs, not occurrences; the cost
+    // table is vocabulary²-bounded and takes the same hot/cold split as
+    // the unigram twin (top-K head broadcast — Zipf puts most bigram mass
+    // there — unskewed tail shuffle-joined); c(w1 ·) is a second
+    // vocabulary-sized aggregate of the count table, never of the corpus.
+    "txt_bigram_perplexity" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val bgk = graft.CacheTracker.track(docs(s, d)
+          .withColumn("t", expr(tokensS("text")))
+          .select(col("doc_id"), explode(expr(
+            "if(size(t) < 2, cast(array() as array<string>), " +
+              "transform(sequence(1, size(t) - 1), " +
+              "j -> concat(element_at(t, j), ' ', element_at(t, j + 1))))")).as("b"))
+          .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("k"))
+          .persist(MEMORY_AND_DISK))
+        val cnt = graft.CacheTracker.track(
+          bgk.groupBy(col("b")).agg(sum(col("k")).cast("bigint").as("cb"))
+            .persist(MEMORY_AND_DISK))
+        val c1 = cnt.withColumn("w1", expr("substring_index(b, ' ', 1)"))
+          .groupBy(col("w1")).agg(sum(col("cb")).cast("bigint").as("c1"))
+        val vocab = cnt.select(explode(array(
+            expr("substring_index(b, ' ', 1)"),
+            expr("substring_index(b, ' ', -1)"))).as("w"))
+          .agg(countDistinct(col("w")).as("v"))
+        val cost = graft.CacheTracker.track(
+          cnt.withColumn("w1", expr("substring_index(b, ' ', 1)"))
+            .join(c1, Seq("w1"))
+            .crossJoin(broadcast(vocab))
+            .select(col("b"), col("cb"),
+              expr("cast(floor(ln(cast(c1 + v as double) / (cb + 1)) * 1e6) as bigint)").as("cm"))
+            .persist(MEMORY_AND_DISK))
+        val hot = cost.orderBy(col("cb").desc, col("b").asc).limit(HotVocab)
+          .select(col("b"), col("cm"))
+        val cold = cost.join(hot.select(col("b")), Seq("b"), "left_anti")
+          .select(col("b"), col("cm"))
+        bgk.join(broadcast(hot), Seq("b"))
+          .unionByName(bgk.join(cold, Seq("b")))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("k")).cast("bigint").as("n_bigram"),
+            sum(expr("k * cm")).cast("bigint").as("sc"))
+          .select(col("doc_id"), col("n_bigram"),
+            expr("sc div n_bigram").as("xent2_micro"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, ${tokensD("text")} AS t FROM documents),
+             |bga AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+             |    j -> t[j] || ' ' || t[j + 1]) AS bs FROM toks),
+             |tok AS (SELECT doc_id, unnest(bs) AS b FROM bga),
+             |bgk AS (SELECT doc_id, b, COUNT(*) AS k FROM tok GROUP BY 1, 2),
+             |cnt AS (SELECT b, CAST(SUM(k) AS BIGINT) AS cb FROM bgk GROUP BY b),
+             |c1 AS (SELECT split_part(b, ' ', 1) AS w1, CAST(SUM(cb) AS BIGINT) AS c1
+             |  FROM cnt GROUP BY 1),
+             |vocab AS (SELECT COUNT(DISTINCT w) AS v FROM (
+             |  SELECT split_part(b, ' ', 1) AS w FROM cnt
+             |  UNION ALL SELECT substr(b, strpos(b, ' ') + 1) FROM cnt) u),
+             |cost AS (SELECT cnt.b,
+             |    CAST(floor(ln(CAST(c1.c1 + v AS DOUBLE) / (cnt.cb + 1)) * 1e6) AS BIGINT) AS cm
+             |  FROM cnt JOIN c1 ON split_part(cnt.b, ' ', 1) = c1.w1 CROSS JOIN vocab)
+             |SELECT g.doc_id, CAST(SUM(g.k) AS BIGINT) AS n_bigram,
+             |  CAST(SUM(g.k * c.cm) AS BIGINT) // CAST(SUM(g.k) AS BIGINT) AS xent2_micro
+             |FROM bgk g JOIN cost c ON g.b = c.b
+             |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin)
+    ),
+
+    // ----- DoReMi-style domain reweighting: multiplicative weights ----------
+    // Domain-mixture optimization in the DoReMi shape (Xie et al. 2023,
+    // arXiv:2305.10429): start from uniform domain weights and repeatedly
+    // tilt toward domains with EXCESS loss under a proxy model, so the
+    // final mixture upsamples what the corpus finds hard instead of what
+    // is merely abundant. Reductions that keep it engine-exact: the proxy
+    // is the corpus-trained unigram LM (per-domain mean token cost L_i in
+    // micro-nats — the txt_perplexity arithmetic aggregated by source),
+    // and the exponentiated-gradient update is linearized to integer
+    // multiplicative weights, w'_i = w_i · (1e6 + (L_i − L̄)) in micro
+    // fixed-point (the small-η limit of exp(η·excess), η = 1/nat),
+    // renormalized to Σ = 1e6 by exact floor division each round, T = 4
+    // rounds unrolled identically in both engines — every update is BIGINT
+    // multiply/divide, so the oracle matches bit-for-bit. Output carries
+    // (round, source, weight) so the trajectory itself is checked, not
+    // just the fixed point.
+    //
+    // Scale: one corpus pass pre-aggregates (source, token, k); everything
+    // after runs on #domains × vocab rows, then #domains rows per round —
+    // driver never sees data, rounds are tiny self-joins on a 20-row
+    // frame.
+    "txt_domain_reweight" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val tok = graft.CacheTracker.track(docs(s, d)
+          .select(col("source"), explode(expr(tokensS("text"))).as("w"))
+          .groupBy(col("source"), col("w")).agg(count(lit(1)).as("k"))
+          .persist(MEMORY_AND_DISK))
+        val cnt = tok.groupBy(col("w")).agg(sum(col("k")).cast("bigint").as("c"))
+        val tot = cnt.agg(sum(col("c")).cast("bigint").as("total"))
+        val cost = cnt.crossJoin(broadcast(tot))
+          .select(col("w"),
+            expr("cast(floor(ln(cast(total as double) / c) * 1e6) as bigint)").as("cm"))
+        // per-domain mean token cost: #domains rows from a vocab-sized join
+        val lm = graft.CacheTracker.track(tok.join(cost, Seq("w"))
+          .groupBy(col("source"))
+          .agg(expr("cast(sum(k * cm) as bigint)").as("sc"),
+            sum(col("k")).cast("bigint").as("nt"))
+          .select(col("source"), expr("sc div nt").as("l_micro"))
+          .persist(MEMORY_AND_DISK))
+        val lbar = lm.agg(expr("cast(sum(l_micro) as bigint) div count(1)").as("lbar"))
+        val base = lm.crossJoin(broadcast(lbar))
+          .select(col("source"), col("l_micro"),
+            (col("l_micro") - col("lbar")).as("excess_micro"))
+        // T unrolled multiplicative-weights rounds over the #domains frame
+        var cur = base.crossJoin(broadcast(lm.agg(count(lit(1)).as("nd"))))
+          .select(col("source"), col("l_micro"), col("excess_micro"),
+            expr("cast(1000000 as bigint) div nd").as("w"))
+        val rounds = (1 to 4).map { r =>
+          val upd = cur.select(col("source"), col("l_micro"), col("excess_micro"),
+            expr("w * greatest(cast(0 as bigint), 1000000 + excess_micro)").as("wu"))
+          val norm = upd.agg(sum(col("wu")).cast("bigint").as("z"))
+          cur = upd.crossJoin(broadcast(norm))
+            .select(col("source"), col("l_micro"), col("excess_micro"),
+              expr("wu * 1000000 div z").as("w"))
+          cur.select(lit(r).cast("int").as("round"), col("source"),
+            col("l_micro"), col("excess_micro"), col("w").as("weight_micro"))
+        }
+        rounds.reduce(_ unionByName _).orderBy(col("round"), col("source"))
+      },
+      Some {
+        val roundCtes = (1 to 4).map { r =>
+          val prev = if (r == 1) "w0" else s"w${r - 1}"
+          s"""u$r AS (SELECT source, l_micro, excess_micro, w * greatest(0, 1000000 + excess_micro) AS wu FROM $prev),
+             |z$r AS (SELECT CAST(SUM(wu) AS BIGINT) AS z FROM u$r),
+             |w$r AS (SELECT source, l_micro, excess_micro, wu * 1000000 // z AS w
+             |  FROM u$r CROSS JOIN z$r)""".stripMargin
+        }.mkString(",\n")
+        val roundSelects = (1 to 4).map { r =>
+          s"SELECT $r AS round, source, l_micro, excess_micro, w AS weight_micro FROM w$r"
+        }.mkString("\nUNION ALL ")
+        s"""WITH toks AS (SELECT source, ${tokensD("text")} AS t FROM documents),
+           |tokk AS (SELECT source, w, COUNT(*) AS k FROM
+           |  (SELECT source, unnest(t) AS w FROM toks) u GROUP BY 1, 2),
+           |cnt AS (SELECT w, CAST(SUM(k) AS BIGINT) AS c FROM tokk GROUP BY w),
+           |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM cnt),
+           |cost AS (SELECT w, CAST(floor(ln(CAST(total AS DOUBLE) / c) * 1e6) AS BIGINT) AS cm
+           |  FROM cnt CROSS JOIN tot),
+           |lm AS (SELECT source, CAST(SUM(k * cm) AS BIGINT) // CAST(SUM(k) AS BIGINT) AS l_micro
+           |  FROM tokk JOIN cost USING (w) GROUP BY source),
+           |lb AS (SELECT CAST(SUM(l_micro) AS BIGINT) // COUNT(*) AS lbar, COUNT(*) AS nd FROM lm),
+           |w0 AS (SELECT source, l_micro, l_micro - lbar AS excess_micro,
+           |    CAST(1000000 AS BIGINT) // nd AS w FROM lm CROSS JOIN lb),
+           |$roundCtes
+           |$roundSelects
+           |ORDER BY round, source""".stripMargin
+      }
+    ),
+
     // ----- vocabulary coverage curve: tokenizer-budget sizing ---------------
     // "What vocab size covers X% of token occurrences" — the sizing input
     // for tokenizer training. Scale design: NO corpus- or vocab-sized
