@@ -526,6 +526,41 @@ object EventQueries {
              |ORDER BY c.click_id""".stripMargin)
     ),
 
+    // ----- native interval join: events inside each signup's 7-day window ---
+    // The stream-enrichment shape through the custom
+    // [[graft.plans.IntervalJoin]] physical operator: for each signup, ALL
+    // events of that user within [ts, ts + 7 days]. Spark's built-in plan
+    // for equi-key + range is SMJ with the range as a per-key post-filter —
+    // every |Lk| x |Rk| pair of a user enumerated then discarded — where
+    // the native exec binary-searches the time-sorted right group and
+    // touches only matches (per key group O((|Lk|+|Rk|) log + output)).
+    // The oracle is the plain declarative range join: bit-equal output,
+    // different physical cost — exactly the custom-operator contract.
+    "evt_interval_native" -> QuerySpec(
+      (s, d) => {
+        val e = ev(s, d)
+        val sess = e.filter(col("event_type") === "signup")
+          .select(col("event_id").as("signup_id"), col("user_id"),
+            col("ts").as("lo"),
+            (col("ts") + expr("INTERVAL 7 DAYS")).as("hi"))
+        val ev2 = e.select(col("event_id"), col("user_id").as("e_user"),
+          col("event_type"), col("ts").as("e_ts"))
+        graft.plans.IntervalJoin.join(sess, ev2,
+            "user_id", "e_user", "lo", "hi", "e_ts")
+          .select(col("signup_id"), col("user_id"), col("event_id"),
+            col("event_type"), col("e_ts"))
+          .orderBy(col("signup_id"), col("event_id"))
+      },
+      Some("""SELECT s.signup_id, s.user_id, e.event_id, e.event_type,
+             |  e.ts AS e_ts
+             |FROM (SELECT event_id AS signup_id, user_id, ts AS lo,
+             |      ts + INTERVAL 7 DAY AS hi
+             |    FROM events WHERE event_type = 'signup') s
+             |JOIN events e ON e.user_id = s.user_id
+             |  AND e.ts >= s.lo AND e.ts <= s.hi
+             |ORDER BY signup_id, event_id""".stripMargin)
+    ),
+
     // ----- range join: lineitems shipped within 30 days of their order ------
     "rel_range_join_ship_window" -> QuerySpec(
       (s, d) => {

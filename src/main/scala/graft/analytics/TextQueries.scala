@@ -103,73 +103,87 @@ object TextQueries {
           .withColumn("syms",
             expr("transform(sequence(1, length(wd)), i -> substring(wd, i, 1))"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-        // words fully merged down to one symbol contribute no pairs; the
-        // filter also keeps sequence() ascending (Spark's sequence(1, 0)
-        // DESCENDS rather than returning empty)
-        def bestPair(w: org.apache.spark.sql.DataFrame) = w
-          .filter(size(col("syms")) >= 2)
-          .select(col("n"), explode(expr(
-            "transform(sequence(1, size(syms) - 1), " +
-            "i -> struct(element_at(syms, i) as a, element_at(syms, i + 1) as b))")).as("p"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(sum(col("n")).as("cnt"))
-          .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
-        def esc(x: String) = x.replace("\\", "\\\\").replace("'", "\\'")
-        var w = w0
-        val out = (1 to 3).map { r =>
-          val bp = bestPair(w).collect()(0)
-          val (a, b, cnt) = (bp.getString(0), bp.getString(1), bp.getLong(2))
-          val (ea, eb) = (esc(a), esc(b))
-          // greedy left-to-right non-overlapping merge: fold each word's
-          // symbols, replacing a trailing `a` followed by `b` with `ab` —
-          // a just-produced `ab` can't re-match as `a`, which is exactly
-          // the non-overlap rule
-          w = w.withColumn("syms", expr(
-            "aggregate(syms, cast(array() as array<string>), (acc, x) -> " +
-            s"IF(size(acc) > 0 AND element_at(acc, -1) = '$ea' AND x = '$eb', " +
-            s"concat(slice(acc, 1, size(acc) - 1), array('$ea$eb')), " +
-            "concat(acc, array(x))))"))
-          val after = w.agg(sum(col("n") * size(col("syms"))).cast("bigint"))
-            .collect()(0).getLong(0)
-          (r, a, b, a + b, cnt, after)
-        }
-        out.toDF("rank", "a", "b", "merged", "cnt", "corpus_symbols_after")
+        val (_, rounds) = bpeMergeRounds(w0, 3)
+        rounds.map { case (r, a, b, cnt, after) => (r, a, b, a + b, cnt, after) }
+          .toDF("rank", "a", "b", "merged", "cnt", "corpus_symbols_after")
           .orderBy(col("rank"))
       },
       Some {
-        // one oracle round: pairs -> tie-broken argmax -> greedy fold.
-        // DuckDB's list_reduce has no initial accumulator, so the fold runs
-        // over a chr(1)-separated string with '' prepended as the seed; the
-        // separator prefix makes suffix-matching exact for multi-char
-        // symbols (…\x01"th" never matches pair-left "h").
-        def round(i: Int, prev: String): String = {
-          val (p, bq, sq, aq) = (s"p$i", s"b$i", s"s$i", s"a$i")
-          s"""$p AS (SELECT pr.a AS a, pr.b AS b, CAST(SUM(n) AS BIGINT) AS cnt
-             |  FROM (SELECT n, unnest(list_transform(generate_series(1, len(syms) - 1),
-             |      i -> {'a': syms[i], 'b': syms[i + 1]})) AS pr FROM $prev) z
-             |  GROUP BY pr.a, pr.b),
-             |$bq AS (SELECT a, b, cnt FROM $p ORDER BY cnt DESC, a, b LIMIT 1),
-             |$sq AS (SELECT wd, n, string_split(substr(list_reduce(list_prepend('', syms),
-             |    (acc, x) -> CASE WHEN ends_with(acc, chr(1) || bb.a) AND x = bb.b
-             |      THEN left(acc, length(acc) - length(bb.a) - 1) ||
-             |        chr(1) || bb.a || bb.b
-             |      ELSE acc || chr(1) || x END), 2), chr(1)) AS syms
-             |  FROM $prev CROSS JOIN $bq bb),
-             |$aq AS (SELECT CAST(SUM(n * len(syms)) AS BIGINT) AS cs FROM $sq)""".stripMargin
-        }
         s"""WITH toks AS (SELECT unnest(${tokensD("text")}) AS wd FROM documents),
            |w0 AS (SELECT wd, CAST(COUNT(*) AS BIGINT) AS n FROM toks
            |  WHERE length(wd) > 0 GROUP BY wd),
            |s0 AS (SELECT wd, n,
            |    list_transform(generate_series(1, length(wd)), i -> wd[i:i]) AS syms FROM w0),
-           |${round(1, "s0")},
-           |${round(2, "s1")},
-           |${round(3, "s2")}
+           |${bpeOracleRound(1, "s0")},
+           |${bpeOracleRound(2, "s1")},
+           |${bpeOracleRound(3, "s2")}
            |SELECT 1 AS rank, a, b, a || b AS merged, cnt,
            |  (SELECT cs FROM a1) AS corpus_symbols_after FROM b1
            |UNION ALL SELECT 2, a, b, a || b, cnt, (SELECT cs FROM a2) FROM b2
            |UNION ALL SELECT 3, a, b, a || b, cnt, (SELECT cs FROM a3) FROM b3
            |ORDER BY rank""".stripMargin
+      }
+    ),
+
+    // ----- BPE apply: price the corpus under the LEARNED tokenizer ----------
+    // Completes the tokenizer lifecycle txt_bpe_train starts and
+    // txt_bpe_token_count approximates: apply the trained merge table to
+    // the corpus and report per-source token pricing under the learned
+    // vocabulary — fertility (pieces per word) and chars per piece, the
+    // numbers a training-budget owner actually buys with a bigger vocab.
+    // The merges re-learn from the same word-count table (deterministic:
+    // identical argmax chain to txt_bpe_train), then the per-word piece
+    // count joins back to the (source, word, k) pre-aggregation —
+    // applying a tokenizer at 100 TB is a VOCABULARY-sized join, never a
+    // per-token pass: the corpus reduces to per-source word counts in one
+    // map-side-combined pass, the merged vocabulary is the only thing the
+    // fold ever touches, and the final rollup is #sources rows. All-
+    // integer outputs (floor-division micro ratios), oracle replays the
+    // training chain + join exactly.
+    "txt_bpe_apply" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val swk = graft.CacheTracker.track(docs(s, d)
+          .select(col("source"), explode(expr(tokensS("text"))).as("wd"))
+          .filter(length(col("wd")) > 0)
+          .groupBy(col("source"), col("wd")).agg(count(lit(1)).as("k"))
+          .persist(MEMORY_AND_DISK))
+        val w0 = graft.CacheTracker.track(
+          swk.groupBy(col("wd")).agg(sum(col("k")).cast("bigint").as("n"))
+            .withColumn("syms",
+              expr("transform(sequence(1, length(wd)), i -> substring(wd, i, 1))"))
+            .persist(MEMORY_AND_DISK))
+        val (merged, _) = bpeMergeRounds(w0, 3)
+        val ap = merged.select(col("wd"), size(col("syms")).cast("long").as("np"))
+        swk.join(ap, Seq("wd"))
+          .groupBy(col("source"))
+          .agg(sum(col("k")).cast("bigint").as("n_words"),
+            sum(expr("k * np")).cast("bigint").as("n_pieces"),
+            sum(expr("k * length(wd)")).cast("bigint").as("n_chars"))
+          .select(col("source"), col("n_words"), col("n_pieces"),
+            expr("n_pieces * 1000000 div n_words").as("fertility_micro"),
+            expr("n_chars * 1000000 div n_pieces").as("chars_per_piece_micro"))
+          .orderBy(col("source"))
+      },
+      Some {
+        s"""WITH toks AS (SELECT source, unnest(${tokensD("text")}) AS wd FROM documents),
+           |swk AS (SELECT source, wd, CAST(COUNT(*) AS BIGINT) AS k FROM toks
+           |  WHERE length(wd) > 0 GROUP BY 1, 2),
+           |w0 AS (SELECT wd, CAST(SUM(k) AS BIGINT) AS n FROM swk GROUP BY wd),
+           |s0 AS (SELECT wd, n,
+           |    list_transform(generate_series(1, length(wd)), i -> wd[i:i]) AS syms FROM w0),
+           |${bpeOracleRound(1, "s0")},
+           |${bpeOracleRound(2, "s1")},
+           |${bpeOracleRound(3, "s2")},
+           |ap AS (SELECT wd, CAST(len(syms) AS BIGINT) AS np FROM s3),
+           |g AS (SELECT source, CAST(SUM(k) AS BIGINT) AS n_words,
+           |    CAST(SUM(k * np) AS BIGINT) AS n_pieces,
+           |    CAST(SUM(k * length(swk.wd)) AS BIGINT) AS n_chars
+           |  FROM swk JOIN ap ON swk.wd = ap.wd GROUP BY source)
+           |SELECT source, n_words, n_pieces,
+           |  n_pieces * 1000000 // n_words AS fertility_micro,
+           |  n_chars * 1000000 // n_pieces AS chars_per_piece_micro
+           |FROM g ORDER BY source""".stripMargin
       }
     ),
 
@@ -2225,6 +2239,74 @@ object TextQueries {
        |    CAST(SUM(contrib) AS BIGINT) AS score_micro FROM sc GROUP BY 1, 2),
        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
        |    ORDER BY score_micro DESC, doc_id) AS rank FROM agg)""".stripMargin
+
+  /** The BPE training loop shared by txt_bpe_train (reports the rounds) and
+    * txt_bpe_apply (uses the final merged vocabulary): `rounds` greedy
+    * merges over a (wd, n, syms) vocabulary table. Returns the final table
+    * and per-round (rank, a, b, pairCount, corpusSymbolsAfter). The driver
+    * holds only each round's argmax row — the vocabulary itself never
+    * leaves the cluster (the BPE scale contract SURVEY §2 documents).
+    */
+  private def bpeMergeRounds(
+      w0: org.apache.spark.sql.DataFrame, rounds: Int)
+      : (org.apache.spark.sql.DataFrame, Seq[(Int, String, String, Long, Long)]) = {
+    // words fully merged down to one symbol contribute no pairs; the
+    // filter also keeps sequence() ascending (Spark's sequence(1, 0)
+    // DESCENDS rather than returning empty)
+    def bestPair(w: org.apache.spark.sql.DataFrame) = w
+      .filter(size(col("syms")) >= 2)
+      .select(col("n"), explode(expr(
+        "transform(sequence(1, size(syms) - 1), " +
+        "i -> struct(element_at(syms, i) as a, element_at(syms, i + 1) as b))")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("n")).as("cnt"))
+      .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+    def esc(x: String) = x.replace("\\", "\\\\").replace("'", "\\'")
+    var w = w0
+    val out = (1 to rounds).map { r =>
+      val bp = bestPair(w).collect()(0)
+      val (a, b, cnt) = (bp.getString(0), bp.getString(1), bp.getLong(2))
+      val (ea, eb) = (esc(a), esc(b))
+      // greedy left-to-right non-overlapping merge: fold each word's
+      // symbols, replacing a trailing `a` followed by `b` with `ab` —
+      // a just-produced `ab` can't re-match as `a`, which is exactly
+      // the non-overlap rule
+      w = w.withColumn("syms", expr(
+        "aggregate(syms, cast(array() as array<string>), (acc, x) -> " +
+        s"IF(size(acc) > 0 AND element_at(acc, -1) = '$ea' AND x = '$eb', " +
+        s"concat(slice(acc, 1, size(acc) - 1), array('$ea$eb')), " +
+        "concat(acc, array(x))))"))
+      val after = w.agg(sum(col("n") * size(col("syms"))).cast("bigint"))
+        .collect()(0).getLong(0)
+      (r, a, b, cnt, after)
+    }
+    (w, out)
+  }
+
+  /** One BPE oracle round (pairs -> tie-broken argmax -> greedy fold) as a
+    * CTE group over vocabulary CTE `prev`, producing `s$i` (merged vocab),
+    * `b$i` (the chosen pair) and `a$i` (corpus symbols after). DuckDB's
+    * list_reduce has no initial accumulator, so the fold runs over a
+    * chr(1)-separated string with '' prepended as the seed; the separator
+    * prefix makes suffix-matching exact for multi-char symbols
+    * (…\\x01"th" never matches pair-left "h"). Shared by the
+    * txt_bpe_train and txt_bpe_apply oracles.
+    */
+  private def bpeOracleRound(i: Int, prev: String): String = {
+    val (p, bq, sq, aq) = (s"p$i", s"b$i", s"s$i", s"a$i")
+    s"""$p AS (SELECT pr.a AS a, pr.b AS b, CAST(SUM(n) AS BIGINT) AS cnt
+       |  FROM (SELECT n, unnest(list_transform(generate_series(1, len(syms) - 1),
+       |      i -> {'a': syms[i], 'b': syms[i + 1]})) AS pr FROM $prev) z
+       |  GROUP BY pr.a, pr.b),
+       |$bq AS (SELECT a, b, cnt FROM $p ORDER BY cnt DESC, a, b LIMIT 1),
+       |$sq AS (SELECT wd, n, string_split(substr(list_reduce(list_prepend('', syms),
+       |    (acc, x) -> CASE WHEN ends_with(acc, chr(1) || bb.a) AND x = bb.b
+       |      THEN left(acc, length(acc) - length(bb.a) - 1) ||
+       |        chr(1) || bb.a || bb.b
+       |      ELSE acc || chr(1) || x END), 2), chr(1)) AS syms
+       |  FROM $prev CROSS JOIN $bq bb),
+       |$aq AS (SELECT CAST(SUM(n * len(syms)) AS BIGINT) AS cs FROM $sq)""".stripMargin
+  }
 
   private[graft] def perplexityFor(
       s: org.apache.spark.sql.SparkSession, d: String, hotK: Int): org.apache.spark.sql.DataFrame = {
