@@ -30,6 +30,11 @@ object SimilarityQueries {
 
   private def emb(s: SparkSession, d: String) = Tables.t(s, d, "embeddings")
 
+  /** sim_kcenter_coreset: selected-set size (unrolled identically in the
+    * oracle — k scans, k argmaxes, the driver holds k ids).
+    */
+  val KCenterK = 8
+
   /** Number of hyperplanes (2^Planes buckets) — THE scale lever of every
     * LSH consumer (sim_lsh_ann / sim_lsh_recall / sim_knn_classify /
     * dedup_embedding_lsh): candidate generation is an equi-join on the
@@ -1682,6 +1687,83 @@ object SimilarityQueries {
              |    ORDER BY rrf_micro DESC, doc_id) AS rank FROM f)
              |SELECT qid AS query_id, rank, doc_id, n_lists, rrf_micro
              |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)
+    ),
+
+    // ----- k-center coreset: greedy farthest-point diversity selection ------
+    // The diversity-selection primitive for training-data curation (the
+    // k-Center coreset of Sener & Savarese, ICLR'18 active learning, via
+    // the classic Gonzalez'85 2-approximation): grow the selected set by
+    // repeatedly taking the point FARTHEST from everything selected so
+    // far. Dedup removes near-twins; this is the complementary lever —
+    // pick the k embeddings that COVER the corpus (max-min distance), the
+    // subset you label, eval on, or seed clusters with. Deterministic
+    // engine-exact contract: seed = vec_id 0, distances are exact integer
+    // L2² over the quantized lanes (native `long_l2`), argmax tie-breaks
+    // on vec_id; output = the selection TRAJECTORY (rank, vec_id, the
+    // max-min d² that step attained — the running covering-radius curve).
+    //
+    // Scale shape: k rounds, each ONE corpus scan joined against the ≤ k
+    // broadcast selected centers + a map-side-combined per-vector min and
+    // a top-1 argmax — the driver only ever holds the k chosen ids
+    // (the BPE-argmax pattern); nothing is ever all-pairs. The oracle
+    // unrolls the same k rounds with incremental min-distance CTEs
+    // (dmin_r = least(dmin_{r-1}, l2(v, c_r))), exact to the bit.
+    "sim_kcenter_coreset" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        import s.implicits._
+        graft.functions.VectorExpressions.register(s)
+        val q = graft.CacheTracker.track(Tables.spread(emb(s, d), "vec_id")
+          .select(col("vec_id"), expr(quantizeS("embedding")).as("qe"))
+          .persist(MEMORY_AND_DISK))
+        var selected = Vector(0L)
+        val picks = Vector.newBuilder[(Int, Long, Long)]
+        picks += ((1, 0L, 0L))
+        for (r <- 2 to KCenterK) {
+          val centers = q.filter(col("vec_id").isin(selected: _*))
+            .select(col("qe").as("ce"))
+          val far = q.crossJoin(broadcast(centers))
+            .select(col("vec_id"), expr("long_l2(qe, ce)").as("d2"))
+            .groupBy(col("vec_id")).agg(min(col("d2")).as("dmin"))
+            .orderBy(col("dmin").desc, col("vec_id")).limit(1)
+            .collect()(0)
+          selected = selected :+ far.getLong(0)
+          picks += ((r, far.getLong(0), far.getLong(1)))
+        }
+        picks.result().toDF("rank", "vec_id", "d2_to_selected")
+          .orderBy(col("rank"))
+      },
+      Some {
+        val rounds = (2 to KCenterK).map { r =>
+          val prevD = if (r == 2) s"d1" else s"d${r - 1}"
+          val newC = s"c${r - 1}"
+          val pick = s"pk$r"
+          val dcur = s"d$r"
+          // the (r-1)-th center: round 1's is vec 0; later ones come from
+          // the previous round's argmax
+          val centerDef =
+            if (r == 2) s"$newC AS (SELECT qe AS ce FROM n WHERE vec_id = 0)"
+            else s"$newC AS (SELECT n.qe AS ce FROM n JOIN pk${r - 1} p ON n.vec_id = p.vec_id)"
+          val dminExpr =
+            if (r == 2) SimilarityQueries.l2D("n.qe", "ce")
+            else s"least(p.dmin, ${SimilarityQueries.l2D("n.qe", "ce")})"
+          val dJoin =
+            if (r == 2) s"FROM n CROSS JOIN $newC"
+            else s"FROM n JOIN $prevD p ON n.vec_id = p.vec_id CROSS JOIN $newC"
+          s"""$centerDef,
+             |$dcur AS (SELECT n.vec_id, $dminExpr AS dmin $dJoin),
+             |$pick AS (SELECT vec_id, dmin FROM $dcur ORDER BY dmin DESC, vec_id LIMIT 1)""".stripMargin
+        }.mkString(",\n")
+        val selects = (2 to KCenterK).map { r =>
+          s"UNION ALL SELECT $r, vec_id, dmin FROM pk$r"
+        }.mkString("\n")
+        s"""$OracleQ,
+           |$rounds
+           |SELECT CAST(1 AS INT) AS rank, CAST(0 AS BIGINT) AS vec_id,
+           |  CAST(0 AS BIGINT) AS d2_to_selected
+           |$selects
+           |ORDER BY rank""".stripMargin
+      }
     ),
 
     // ----- scalar-quantized ANN (SQ8): per-dimension 8-bit codes ------------
