@@ -536,6 +536,65 @@ object EventQueries {
     // touches only matches (per key group O((|Lk|+|Rk|) log + output)).
     // The oracle is the plain declarative range join: bit-equal output,
     // different physical cost — exactly the custom-operator contract.
+    // ----- multi-touch attribution over the native interval join ------------
+    // The marketing-analytics classic, composed ON the custom operator:
+    // for each purchase, the view/click touches of the same user in the
+    // prior 7 days get credit — LAST-touch (most recent touch takes the
+    // whole conversion) and LINEAR (1/n each), reported per touch type.
+    // The touch-window join is exactly the hot-key interval shape
+    // [[graft.plans.IntervalJoin]] exists for (a celebrity user's
+    // |purchases| x |touches| pair space never materializes — the exec
+    // binary-searches each purchase's window), and the credit windows run
+    // per purchase — bounded state. Credits are integer micro-units
+    // (1e6 per conversion, floor-divided for linear), so sums are exact.
+    "evt_attribution" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = ev(s, d)
+        val conv = e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("conv_id"), col("user_id"),
+            (col("ts") - expr("INTERVAL 7 DAYS")).as("lo"), col("ts").as("hi"))
+        val touch = e.filter(col("event_type").isin("view", "click"))
+          .select(col("event_id").as("touch_id"), col("user_id").as("t_user"),
+            col("event_type").as("touch_type"), col("ts").as("t_ts"))
+        val joined = graft.plans.IntervalJoin.join(conv, touch,
+            "user_id", "t_user", "lo", "hi", "t_ts")
+          .select(col("conv_id"), col("touch_id"), col("touch_type"), col("t_ts"))
+        val w = Window.partitionBy(col("conv_id"))
+        val credited = joined
+          .withColumn("rn", row_number().over(
+            w.orderBy(col("t_ts").desc, col("touch_id").desc)))
+          .withColumn("n", count(lit(1)).over(w))
+          .select(col("touch_type"),
+            when(col("rn") === 1, lit(1000000L)).otherwise(lit(0L)).as("last_micro"),
+            expr("cast(1000000 div n as bigint)").as("lin_micro"))
+        credited.groupBy(col("touch_type"))
+          .agg(count(lit(1)).as("n_touches"),
+            sum(col("last_micro")).cast("bigint").as("last_touch_micro"),
+            sum(col("lin_micro")).cast("bigint").as("linear_micro"))
+          .orderBy(col("touch_type"))
+      },
+      Some("""WITH conv AS (SELECT event_id AS conv_id, user_id,
+             |    ts - INTERVAL 7 DAY AS lo, ts AS hi
+             |  FROM events WHERE event_type = 'purchase'),
+             |touch AS (SELECT event_id AS touch_id, user_id AS t_user,
+             |    event_type AS touch_type, ts AS t_ts
+             |  FROM events WHERE event_type IN ('view', 'click')),
+             |j AS (SELECT conv_id, touch_id, touch_type, t_ts
+             |  FROM conv JOIN touch ON t_user = user_id
+             |    AND t_ts >= lo AND t_ts <= hi),
+             |c AS (SELECT touch_type,
+             |    CASE WHEN ROW_NUMBER() OVER (PARTITION BY conv_id
+             |      ORDER BY t_ts DESC, touch_id DESC) = 1
+             |      THEN 1000000 ELSE 0 END AS last_micro,
+             |    1000000 // COUNT(*) OVER (PARTITION BY conv_id) AS lin_micro
+             |  FROM j)
+             |SELECT touch_type, COUNT(*) AS n_touches,
+             |  CAST(SUM(last_micro) AS BIGINT) AS last_touch_micro,
+             |  CAST(SUM(lin_micro) AS BIGINT) AS linear_micro
+             |FROM c GROUP BY touch_type ORDER BY touch_type""".stripMargin)
+    ),
+
     "evt_interval_native" -> QuerySpec(
       (s, d) => {
         val e = ev(s, d)

@@ -1689,6 +1689,109 @@ object SimilarityQueries {
              |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)
     ),
 
+    // ----- MMR diversified reranking over an ANN shortlist ------------------
+    // Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98): rerank
+    // each query's top-20 dot-product shortlist by greedily picking
+    // argmax( λ·rel − (1−λ)·max_sim_to_already_picked ), λ = 0.7 — the
+    // standard retrieval/RAG diversification that stops five near-copies
+    // of one passage filling the context window (after near-dup removal,
+    // the remaining redundancy is exactly what MMR trades against
+    // relevance). Engine-exact: rel and pairwise sims are the exact
+    // integer dots of the quantized vectors, the λ trade-off is the
+    // integer 7·rel − 3·maxsim, argmax tie-breaks on vec_id; 5 unrolled
+    // rounds in both engines (round 1 = pure relevance).
+    //
+    // Scale shape: the corpus appears ONLY in the shortlist pass
+    // (broadcast-query scan + per-query top-20 group-limit, the
+    // sim_cosine_topk plan); every MMR round then runs on |Q| x 20 rows —
+    // anti-join the picked, one bounded max-sim aggregate, one per-query
+    // argmax window. Rounds never touch the corpus again.
+    "sim_mmr_rerank" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        graft.functions.VectorExpressions.register(s)
+        val q = graft.CacheTracker.track(Tables.spread(emb(s, d), "vec_id")
+          .select(col("vec_id"), expr(quantizeS("embedding")).as("qe"))
+          .persist(MEMORY_AND_DISK))
+        val queries = q.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("qe").as("qq"))
+        val wTop = Window.partitionBy(col("qid")).orderBy(col("rel").desc, col("vec_id"))
+        val cand = graft.CacheTracker.track(
+          q.crossJoin(broadcast(queries))
+            .filter(col("vec_id") =!= col("qid"))
+            .select(col("qid"), col("vec_id"), col("qe"),
+              expr("long_dot(qq, qe)").as("rel"))
+            .withColumn("rn", row_number().over(wTop))
+            .filter(col("rn") <= 20).drop("rn")
+            .persist(MEMORY_AND_DISK))
+        val wPick = Window.partitionBy(col("qid"))
+          .orderBy(col("mmr10").desc, col("vec_id"))
+        var sel = cand.withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") === 1)
+          .select(col("qid"), col("vec_id"), col("qe"), col("rel"))
+        var out = sel.select(col("qid"), lit(1).as("rank"), col("vec_id"), col("rel"))
+        for (r <- 2 to 5) {
+          val rem = cand.join(sel.select(col("qid"), col("vec_id")),
+            Seq("qid", "vec_id"), "left_anti")
+          val ms = rem.as("r")
+            .join(sel.select(col("qid"), col("qe").as("se")).as("s"), Seq("qid"))
+            .select(col("qid"), col("vec_id"), col("rel"),
+              expr("long_dot(qe, se)").as("sim"))
+            .groupBy(col("qid"), col("vec_id"))
+            .agg(max(col("rel")).as("rel"), max(col("sim")).as("msim"))
+            .withColumn("mmr10", expr("7 * rel - 3 * msim"))
+          val pick = ms.withColumn("rn", row_number().over(wPick))
+            .filter(col("rn") === 1)
+            .select(col("qid"), col("vec_id"), col("rel"))
+          sel = sel.unionByName(
+            pick.join(cand.select(col("qid"), col("vec_id"), col("qe")),
+              Seq("qid", "vec_id")))
+          out = out.unionByName(
+            pick.select(col("qid"), lit(r).as("rank"), col("vec_id"), col("rel")))
+        }
+        out.orderBy(col("qid"), col("rank"))
+      },
+      Some {
+        val rounds = (2 to 5).map { r =>
+          val prev = s"sel${r - 1}"
+          s"""rem$r AS (SELECT c.* FROM cand c LEFT JOIN $prev x
+             |  ON c.qid = x.qid AND c.vec_id = x.vec_id WHERE x.vec_id IS NULL),
+             |ms$r AS (SELECT r.qid, r.vec_id, MAX(r.rel) AS rel,
+             |    MAX(${dotD("r.qe", "s.qe")}) AS msim
+             |  FROM rem$r r JOIN $prev s ON r.qid = s.qid
+             |  GROUP BY r.qid, r.vec_id),
+             |pk$r AS (SELECT qid, vec_id, rel FROM (SELECT *,
+             |    ROW_NUMBER() OVER (PARTITION BY qid
+             |      ORDER BY 7 * rel - 3 * msim DESC, vec_id) AS rn FROM ms$r) z
+             |  WHERE rn = 1),
+             |sel$r AS (SELECT qid, vec_id, qe FROM $prev
+             |  UNION ALL SELECT p.qid, p.vec_id, c.qe FROM pk$r p
+             |  JOIN cand c ON p.qid = c.qid AND p.vec_id = c.vec_id)""".stripMargin
+        }.mkString(",\n")
+        val sels = (2 to 5).map { r =>
+          s"UNION ALL SELECT qid, $r, vec_id, rel FROM pk$r"
+        }.mkString("\n")
+        s"""$OracleQ,
+           |qs AS (SELECT vec_id AS qid, qe AS qq FROM n WHERE vec_id < 5),
+           |cand AS (SELECT qid, vec_id, qe, rel FROM (
+           |  SELECT q.qid, c.vec_id, c.qe, ${dotD("qq", "c.qe")} AS rel,
+           |    ROW_NUMBER() OVER (PARTITION BY q.qid
+           |      ORDER BY ${dotD("qq", "c.qe")} DESC, c.vec_id) AS rn
+           |  FROM n c CROSS JOIN qs q WHERE c.vec_id <> q.qid) z
+           |  WHERE rn <= 20),
+           |sel1 AS (SELECT qid, vec_id, qe FROM (SELECT *,
+           |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id) AS rn
+           |  FROM cand) z WHERE rn = 1),
+           |pk1 AS (SELECT qid, vec_id, rel FROM (SELECT *,
+           |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id) AS rn
+           |  FROM cand) z WHERE rn = 1),
+           |$rounds
+           |SELECT qid, CAST(1 AS INT) AS rank, vec_id, rel FROM pk1
+           |$sels
+           |ORDER BY qid, rank""".stripMargin
+      }
+    ),
+
     // ----- k-center coreset: greedy farthest-point diversity selection ------
     // The diversity-selection primitive for training-data curation (the
     // k-Center coreset of Sener & Savarese, ICLR'18 active learning, via
