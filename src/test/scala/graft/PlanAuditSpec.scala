@@ -282,4 +282,40 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("*(1)"), s"expected codegen spans in:\n$p")
     assert(p.contains("HashAggregate"), s"expected hash aggregation in:\n$p")
   }
+
+  test("SQ8 topk: per-lane stats and the query set broadcast; corpus never self-joins") {
+    val p = plan("sim_sq8_topk")
+    // both cross joins (1-row stats, |Q|-row queries) must be BROADCAST
+    // nested loops — a non-broadcast CartesianProduct would shuffle the
+    // corpus against itself
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast cross joins in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"corpus-side cartesian in:\n$p")
+    // the only ENSURE_REQUIREMENTS exchanges allowed are the dim-sized
+    // per-lane stats aggregate (64 keys) and the |Q|-partition ranking
+    // window — never an exchange keyed on the corpus vec_id (the spread
+    // repartition is REPARTITION_BY_NUM, executed once into the cache)
+    val corpusShuffles = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(vec_id") && l.contains("ENSURE_REQUIREMENTS"))
+    assert(corpusShuffles == 0, s"corpus keyed-shuffle in:\n$p")
+  }
+
+  test("attribution: the touch-window join is the native interval exec") {
+    val p = plan("evt_attribution")
+    assert(p.contains("IntervalJoin"), s"expected IntervalJoinExec in:\n$p")
+    assert(p.contains("Exchange hashpartitioning"),
+      s"expected co-partitioning exchanges in:\n$p")
+  }
+
+  test("bigram perplexity: cost lookup pre-aggregates before the hot/cold join") {
+    val p = plan("txt_bigram_perplexity")
+    // the (doc, bigram, k) pre-aggregation must appear UNDER the join:
+    // partial_count over the exploded bigrams, then the join reads the
+    // aggregated rows — a plan joining raw exploded occurrences would
+    // carry explode directly into the join input
+    assert(p.contains("partial_count"),
+      s"expected map-side pre-aggregation in:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the hot-vocab head to broadcast in:\n$p")
+  }
 }
