@@ -1703,12 +1703,15 @@ object SimilarityQueries {
     //
     // Scale shape: the corpus appears ONLY in the shortlist pass
     // (broadcast-query scan + per-query top-20 group-limit, the
-    // sim_cosine_topk plan); every MMR round then runs on |Q| x 20 rows —
-    // anti-join the picked, one bounded max-sim aggregate, one per-query
-    // argmax window. Rounds never touch the corpus again.
+    // sim_cosine_topk plan). The shortlist itself is |Q| x 20 rows —
+    // DRIVER-sized by construction — so the greedy rounds run as plain
+    // integer arithmetic on the collected shortlist (the BPE-argmax
+    // pattern; a distributed form of the 5 rounds spent ~12 s at sf0.1
+    // re-evaluating round lineages over a 100-row frame).
     "sim_mmr_rerank" -> QuerySpec(
       (s, d) => {
         import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        import s.implicits._
         graft.functions.VectorExpressions.register(s)
         val q = graft.CacheTracker.track(Tables.spread(emb(s, d), "vec_id")
           .select(col("vec_id"), expr(quantizeS("embedding")).as("qe"))
@@ -1716,40 +1719,34 @@ object SimilarityQueries {
         val queries = q.filter(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("qe").as("qq"))
         val wTop = Window.partitionBy(col("qid")).orderBy(col("rel").desc, col("vec_id"))
-        val cand = graft.CacheTracker.track(
-          q.crossJoin(broadcast(queries))
-            .filter(col("vec_id") =!= col("qid"))
-            .select(col("qid"), col("vec_id"), col("qe"),
-              expr("long_dot(qq, qe)").as("rel"))
-            .withColumn("rn", row_number().over(wTop))
-            .filter(col("rn") <= 20).drop("rn")
-            .persist(MEMORY_AND_DISK))
-        val wPick = Window.partitionBy(col("qid"))
-          .orderBy(col("mmr10").desc, col("vec_id"))
-        var sel = cand.withColumn("rn", row_number().over(wTop))
-          .filter(col("rn") === 1)
-          .select(col("qid"), col("vec_id"), col("qe"), col("rel"))
-        var out = sel.select(col("qid"), lit(1).as("rank"), col("vec_id"), col("rel"))
-        for (r <- 2 to 5) {
-          val rem = cand.join(sel.select(col("qid"), col("vec_id")),
-            Seq("qid", "vec_id"), "left_anti")
-          val ms = rem.as("r")
-            .join(sel.select(col("qid"), col("qe").as("se")).as("s"), Seq("qid"))
-            .select(col("qid"), col("vec_id"), col("rel"),
-              expr("long_dot(qe, se)").as("sim"))
-            .groupBy(col("qid"), col("vec_id"))
-            .agg(max(col("rel")).as("rel"), max(col("sim")).as("msim"))
-            .withColumn("mmr10", expr("7 * rel - 3 * msim"))
-          val pick = ms.withColumn("rn", row_number().over(wPick))
-            .filter(col("rn") === 1)
-            .select(col("qid"), col("vec_id"), col("rel"))
-          sel = sel.unionByName(
-            pick.join(cand.select(col("qid"), col("vec_id"), col("qe")),
-              Seq("qid", "vec_id")))
-          out = out.unionByName(
-            pick.select(col("qid"), lit(r).as("rank"), col("vec_id"), col("rel")))
+        val cand = q.crossJoin(broadcast(queries))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"), col("qe"),
+            expr("long_dot(qq, qe)").as("rel"))
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= 20).drop("rn")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray, r.getLong(3)))
+        def dot(a: Array[Long], b: Array[Long]): Long = {
+          var i = 0; var s = 0L
+          while (i < a.length) { s += a(i) * b(i); i += 1 }
+          s
         }
-        out.orderBy(col("qid"), col("rank"))
+        val rows = cand.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (qid, cs) =>
+          val sl = cs.sortBy(c => (-c._4, c._2)) // rel desc, vec_id asc
+          var sel = Vector(sl.head)
+          (2 to 5).foreach { _ =>
+            val rem = sl.filterNot(c => sel.exists(_._2 == c._2))
+            val next = rem.minBy { c =>
+              val msim = sel.map(p => dot(c._3, p._3)).max
+              (-(7L * c._4 - 3L * msim), c._2) // mmr10 desc, vec_id asc
+            }
+            sel = sel :+ next
+          }
+          sel.zipWithIndex.map { case (c, i) => (qid, i + 1, c._2, c._4) }
+        }
+        rows.toDF("qid", "rank", "vec_id", "rel")
+          .orderBy(col("qid"), col("rank"))
       },
       Some {
         val rounds = (2 to 5).map { r =>

@@ -1181,10 +1181,12 @@ object TextQueries {
     // (round, source, weight) so the trajectory itself is checked, not
     // just the fixed point.
     //
-    // Scale: one corpus pass pre-aggregates (source, token, k); everything
-    // after runs on #domains × vocab rows, then #domains rows per round —
-    // driver never sees data, rounds are tiny self-joins on a 20-row
-    // frame.
+    // Scale: one corpus pass pre-aggregates (source, token, k); the
+    // per-domain losses reduce through a vocab-sized join to #domains
+    // rows, which are DRIVER-sized by definition — the MW rounds run as
+    // plain integer arithmetic on the collected rows (the BPE-argmax
+    // pattern; a distributed form of the 4 rounds spent ~11 s at sf0.1
+    // re-evaluating round lineages for a 20-row frame).
     "txt_domain_reweight" -> QuerySpec(
       (s, d) => {
         import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -1198,31 +1200,31 @@ object TextQueries {
           .select(col("w"),
             expr("cast(floor(ln(cast(total as double) / c) * 1e6) as bigint)").as("cm"))
         // per-domain mean token cost: #domains rows from a vocab-sized join
-        val lm = graft.CacheTracker.track(tok.join(cost, Seq("w"))
+        val lm = tok.join(cost, Seq("w"))
           .groupBy(col("source"))
           .agg(expr("cast(sum(k * cm) as bigint)").as("sc"),
             sum(col("k")).cast("bigint").as("nt"))
           .select(col("source"), expr("sc div nt").as("l_micro"))
-          .persist(MEMORY_AND_DISK))
-        val lbar = lm.agg(expr("cast(sum(l_micro) as bigint) div count(1)").as("lbar"))
-        val base = lm.crossJoin(broadcast(lbar))
-          .select(col("source"), col("l_micro"),
-            (col("l_micro") - col("lbar")).as("excess_micro"))
-        // T unrolled multiplicative-weights rounds over the #domains frame
-        var cur = base.crossJoin(broadcast(lm.agg(count(lit(1)).as("nd"))))
-          .select(col("source"), col("l_micro"), col("excess_micro"),
-            expr("cast(1000000 as bigint) div nd").as("w"))
-        val rounds = (1 to 4).map { r =>
-          val upd = cur.select(col("source"), col("l_micro"), col("excess_micro"),
-            expr("w * greatest(cast(0 as bigint), 1000000 + excess_micro)").as("wu"))
-          val norm = upd.agg(sum(col("wu")).cast("bigint").as("z"))
-          cur = upd.crossJoin(broadcast(norm))
-            .select(col("source"), col("l_micro"), col("excess_micro"),
-              expr("wu * 1000000 div z").as("w"))
-          cur.select(lit(r).cast("int").as("round"), col("source"),
-            col("l_micro"), col("excess_micro"), col("w").as("weight_micro"))
+        // the cluster's work ends here: the MW rounds run over #domains
+        // rows, which is DRIVER-sized by definition — one collect, pure
+        // integer arithmetic, no per-round Spark jobs (the distributed
+        // form spent ~11 s at sf0.1 re-evaluating round lineages for a
+        // 20-row frame). Identical update chain to the oracle's CTEs.
+        import s.implicits._
+        val doms = lm.collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+        val lbar = doms.map(_._2).sum / doms.length
+        val nd = doms.length
+        var w = doms.map(_ => 1000000L / nd)
+        val rows = (1 to 4).flatMap { r =>
+          val wu = doms.zip(w).map { case ((_, l), wi) =>
+            wi * math.max(0L, 1000000L + (l - lbar)) }
+          val z = wu.sum
+          w = wu.map(_ * 1000000L / z)
+          doms.zip(w).map { case ((src, l), wi) =>
+            (r, src, l, l - lbar, wi) }
         }
-        rounds.reduce(_ unionByName _).orderBy(col("round"), col("source"))
+        rows.toDF("round", "source", "l_micro", "excess_micro", "weight_micro")
+          .orderBy(col("round"), col("source"))
       },
       Some {
         val roundCtes = (1 to 4).map { r =>
