@@ -50,16 +50,8 @@ object SqIndex {
 
   /** Train per-lane stats on `emb` and encode it; overwrites the store. */
   def build(emb: DataFrame, indexPath: String): Unit = {
-    val q = graft.CacheTracker.track(quantized(emb)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val st = q.select(posexplode(col("qe")).as(Seq("j", "v")))
-      .groupBy(col("j")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
-      .agg(
-        expr("transform(array_sort(collect_list(struct(j, mn))), s -> s.mn)").as("mnl"),
-        expr("transform(array_sort(collect_list(struct(j, mx))), s -> s.mx)").as("mxl"))
-    st.coalesce(1).write.mode(SaveMode.Overwrite).parquet(statsDir(indexPath))
-    val spark = emb.sparkSession
-    encode(q, stats(spark, indexPath))
+    trainStats(emb, indexPath)
+    encode(quantized(emb), stats(emb.sparkSession, indexPath))
       .write.mode(SaveMode.Overwrite).parquet(codeDir(indexPath))
   }
 
@@ -67,6 +59,42 @@ object SqIndex {
   def append(emb: DataFrame, indexPath: String): Unit =
     encode(quantized(emb), stats(emb.sparkSession, indexPath))
       .write.mode(SaveMode.Append).parquet(codeDir(indexPath))
+
+  /** [[append]] for at-least-once callers (streaming `foreachBatch`): the
+    * batch's codes land under their own `batch_id=N` partition via dynamic
+    * overwrite, so a REPLAYED batch — frozen stats make its encoding
+    * deterministic — rewrites exactly its own partition instead of
+    * double-inserting. A store driven through this method must use it for
+    * EVERY code write including the first (plus [[trainStats]] once):
+    * mixed flat/partitioned layouts under one root break discovery.
+    */
+  def appendBatch(emb: DataFrame, indexPath: String, batchId: Long): Unit =
+    encode(quantized(emb), stats(emb.sparkSession, indexPath))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(codeDir(indexPath))
+
+  /** Train and persist ONLY the per-lane stats (the bootstrap step of a
+    * batch-driven store: first micro-batch trains, every batch then
+    * encodes through [[appendBatch]]).
+    */
+  def trainStats(emb: DataFrame, indexPath: String): Unit = {
+    val st = quantized(emb)
+      .select(posexplode(col("qe")).as(Seq("j", "v")))
+      .groupBy(col("j")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .agg(
+        expr("transform(array_sort(collect_list(struct(j, mn))), s -> s.mn)").as("mnl"),
+        expr("transform(array_sort(collect_list(struct(j, mx))), s -> s.mx)").as("mxl"))
+    st.coalesce(1).write.mode(SaveMode.Overwrite).parquet(statsDir(indexPath))
+  }
+
+  /** Whether the frozen stats exist (the batch-driven bootstrap check). */
+  def statsExist(spark: SparkSession, indexPath: String): Boolean = {
+    val p = new Path(statsDir(indexPath), "_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
 
   /** The frozen per-lane stats row (mnl, mxl). */
   def stats(spark: SparkSession, indexPath: String): DataFrame =

@@ -167,6 +167,38 @@ object EmbeddingStream {
     IngestReport(batchId, stats.getLong(1), stats.getLong(0), stats.getDouble(2))
   }
 
+  /** Continuous SQ8 ingestion into a persistent [[graft.operators
+    * .SqIndex]] — the compressed-codes twin of [[ingestContinuous]]: the
+    * FIRST micro-batch trains the per-lane (min, max) stats (bootstrap;
+    * a deployment trains on a backfill sample) and every batch encodes
+    * through the frozen stats into its own `batch_id=N` partition
+    * (dynamic overwrite — at-least-once replays are exactly-once, and
+    * frozen stats make the replayed encoding deterministic). Appended
+    * codes are score-visible immediately and mutually comparable with
+    * everything stored.
+    */
+  def sqContinuous(
+      vecs: Dataset[VecEvent],
+      indexPath: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[VecEvent], batchId: Long) =>
+        sqIngestBatch(batch.toDF(), batchId, indexPath)
+      }
+      .start()
+
+  /** The per-micro-batch body of [[sqContinuous]] — exposed for direct
+    * replay/visibility testing.
+    */
+  def sqIngestBatch(batch: DataFrame, batchId: Long, indexPath: String): Unit = {
+    import graft.operators.SqIndex
+    val spark = batch.sparkSession
+    val emb = batch.select(col("vecId").as("vec_id"), col("embedding"))
+    if (!SqIndex.statsExist(spark, indexPath)) SqIndex.trainStats(emb, indexPath)
+    SqIndex.appendBatch(emb, indexPath, batchId)
+  }
+
   /** Event-time windowed embedding-fleet health: vectors per window and
     * mean/min quantized norm — the drift signal an encoding fleet is
     * monitored by (a norm collapse means the encoder degenerated).

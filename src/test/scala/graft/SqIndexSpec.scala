@@ -86,6 +86,34 @@ class SqIndexSpec extends AnyFunSuite {
     graft.CacheTracker.releaseAll()
   }
 
+  test("streaming ingestion: first batch trains, replays are exactly-once") {
+    import graft.streaming.EmbeddingStream
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sq_idx_stream").toString
+    def batchDf(ids: Seq[Long]) = emb.filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id").as("vecId"), col("embedding"),
+        lit(java.sql.Timestamp.valueOf("2024-07-23 10:00:00")).as("eventTime"))
+    EmbeddingStream.sqIngestBatch(batchDf(Seq(0L, 1L, 2L, 3L)), 0L, dir)
+    val statsAfterTrain = SqIndex.stats(spark, dir).collect()(0).toString
+    EmbeddingStream.sqIngestBatch(batchDf(Seq(10L, 11L)), 1L, dir)
+    // stats froze at batch 0; batch 1 encoded through them
+    assert(SqIndex.stats(spark, dir).collect()(0).toString == statsAfterTrain)
+    val ids = SqIndex.codes(spark, dir).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(0L, 1L, 2L, 3L, 10L, 11L))
+    val n = SqIndex.codes(spark, dir).count()
+    // at-least-once replay of batch 1: same store, no duplicate codes
+    EmbeddingStream.sqIngestBatch(batchDf(Seq(10L, 11L)), 1L, dir)
+    assert(SqIndex.codes(spark, dir).count() == n)
+    // and the appended codes are score-visible with everything stored
+    val queries = q(emb).filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("q_id"), col("qe").as("qq"))
+    val scored = SqIndex.scores(spark, dir, queries)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(scored == Set(1L, 2L, 3L, 10L, 11L))
+    graft.CacheTracker.releaseAll()
+  }
+
   test("ensure: a killed build (no ready marker) is wiped and re-run") {
     val dir = java.nio.file.Files.createTempDirectory("sq_idx_crash").toString
     // simulate a partial build: stats written, no codes, no marker
