@@ -1164,6 +1164,57 @@ object TextQueries {
              |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin)
     ),
 
+    // ----- winnowing fingerprints: guaranteed-coverage local selection ------
+    // The MOSS algorithm (Schleimer/Wilkerson/Aiken, SIGMOD'03): slide a
+    // w-gram window over the positional 3-gram shingle hashes and keep
+    // each window's MINIMUM (rightmost on ties) — the selection with the
+    // winnowing guarantee that every shared substring of length >= w+2
+    // tokens contributes at least one COMMON fingerprint, at ~2/(w+1)
+    // density. This is the fingerprint family member the others lack:
+    // txt_fingerprint hashes whole docs (no locality), CDC cuts content-
+    // defined CHUNKS (variable-size units), minhash keeps a fixed-size
+    // SKETCH (no positions); winnowing keeps position-bearing local
+    // fingerprints with a worst-case detection guarantee — the
+    // plagiarism/provenance primitive.
+    //
+    // Engine-exact trick: the rightmost-min argmin needs no struct
+    // machinery — key = sh[j]*8 + (p+3-j) makes the integer minimum
+    // select (min hash, then max j), and j recovers as p+3-(minkey % 8).
+    // All BIGINT (sh < 1e9+7, *8 ≪ 2^63). Scale: one narrow projection
+    // per doc, array-land selection (no explode before the per-doc
+    // stats), map-side-combinable rollup — embarrassingly parallel.
+    "txt_winnowing" -> QuerySpec(
+      (s, d) => {
+        docs(s, d)
+          .withColumn("t", expr(tokensS("text")))
+          .withColumn("th", expr(tokenHashesS("t")))
+          .withColumn("sh", expr(shingleHashesS("th")))
+          .filter(size(col("sh")) >= 4)
+          .withColumn("sel", expr(
+            "array_distinct(transform(sequence(1, size(sh) - 3), p -> " +
+            "p + 3 - pmod(array_min(transform(sequence(p, p + 3), " +
+            "j -> element_at(sh, j) * 8 + (p + 3 - j))), 8)))"))
+          .select(col("doc_id"),
+            size(col("sh")).cast("long").as("n_grams"),
+            size(col("sel")).cast("long").as("n_selected"),
+            expr("cast(size(sel) as bigint) * 1000000 div (size(sh) - 3)")
+              .as("density_micro"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, ${tokensD("text")} AS t FROM documents),
+             |th AS (SELECT doc_id, ${tokenHashesD("t")} AS th FROM toks),
+             |shs AS (SELECT doc_id, ${shingleHashesD("th")} AS sh FROM th),
+             |f AS (SELECT doc_id, sh, len(sh) AS m FROM shs WHERE len(sh) >= 4),
+             |sel AS (SELECT doc_id, m, list_distinct(list_transform(generate_series(1, m - 3), p ->
+             |    p + 3 - (list_min(list_transform(generate_series(p, p + 3),
+             |      j -> sh[j] * 8 + (p + 3 - j))) % 8))) AS ps
+             |  FROM f)
+             |SELECT doc_id, CAST(m AS BIGINT) AS n_grams,
+             |  CAST(len(ps) AS BIGINT) AS n_selected,
+             |  CAST(len(ps) AS BIGINT) * 1000000 // (m - 3) AS density_micro
+             |FROM sel ORDER BY doc_id""".stripMargin)
+    ),
+
     // ----- DoReMi-style domain reweighting: multiplicative weights ----------
     // Domain-mixture optimization in the DoReMi shape (Xie et al. 2023,
     // arXiv:2305.10429): start from uniform domain weights and repeatedly
