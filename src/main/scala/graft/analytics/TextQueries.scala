@@ -1185,11 +1185,19 @@ object TextQueries {
     // stats), map-side-combinable rollup — embarrassingly parallel.
     "txt_winnowing" -> QuerySpec(
       (s, d) => {
-        docs(s, d)
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        // the shingle projection MUST materialize before the window
+        // lambdas touch it: collapsed projections re-evaluate upstream
+        // expressions per lambda ELEMENT, turning each sh[j] access into
+        // a full tokenize+hash+shingle recomputation (measured 65 s at
+        // sf0.1 collapsed vs ~1 s materialized — the HOF pitfall the
+        // README documents, bitten live)
+        val sh = graft.CacheTracker.track(Tables.spread(docs(s, d), "doc_id")
           .withColumn("t", expr(tokensS("text")))
           .withColumn("th", expr(tokenHashesS("t")))
-          .withColumn("sh", expr(shingleHashesS("th")))
-          .filter(size(col("sh")) >= 4)
+          .select(col("doc_id"), expr(shingleHashesS("th")).as("sh"))
+          .persist(MEMORY_AND_DISK))
+        sh.filter(size(col("sh")) >= 4)
           .withColumn("sel", expr(
             "array_distinct(transform(sequence(1, size(sh) - 3), p -> " +
             "p + 3 - pmod(array_min(transform(sequence(p, p + 3), " +
