@@ -34,6 +34,13 @@ object DedupQueries {
   val BandBucketCap = 50
   val ShingleDfCap = 100
 
+  /** dedup_winnowing_pairs island tolerance: winnowing (window w = 4)
+    * guarantees a selected fingerprint in every w consecutive shingle
+    * positions, so shared-region fingerprints on one diagonal are at most
+    * w apart — a gap beyond w means a different shared region.
+    */
+  val WinnowMaxGap = 4
+
   /** Absolute bound for the banded Levenshtein verify in
     * dedup_edit_distance: per-candidate cost is O(len * cap), so the cap —
     * not document length — bounds the verify work. 64 comfortably covers
@@ -879,7 +886,8 @@ object DedupQueries {
     // candidate pair has containment = Jaccard = 1.0), so — the
     // txt_pii_scrub move — the query derives excerpt pseudo-docs
     // in-query (first 12 tokens of every doc_id % 17 == 0 document,
-    // re-landed under id + 500000): their shingles are subsets of their
+    // re-landed under −(id+1), collision-free with real non-negative
+    // doc_ids at any corpus size): their shingles are subsets of their
     // source's, giving exactly the high-containment/low-Jaccard shape
     // the operator exists to catch, and the oracle replays the
     // derivation so the check runs on real nonzero rows.
@@ -888,7 +896,7 @@ object DedupQueries {
         val base = docs(s, d).select("doc_id", "text")
         val excerpts = base.filter(col("doc_id") % 17 === 0)
           .withColumn("t", expr(graft.functions.TextFunctions.tokensS("text")))
-          .select((col("doc_id") + 500000L).as("doc_id"),
+          .select((-(col("doc_id") + 1L)).as("doc_id"),
             expr("array_join(slice(t, 1, 12), ' ')").as("text"))
         val sh = withShingles(base.unionByName(excerpts))
           .select("doc_id", "hs")
@@ -917,7 +925,7 @@ object DedupQueries {
       },
       Some(s"""WITH basetok AS (SELECT doc_id, text, ${tokensD("text")} AS t FROM documents),
              |u AS (SELECT doc_id, text FROM documents
-             |  UNION ALL SELECT doc_id + 500000 AS doc_id,
+             |  UNION ALL SELECT -(doc_id + 1) AS doc_id,
              |    array_to_string(t[1 : 12], ' ') AS text
              |  FROM basetok WHERE doc_id % 17 = 0),
              |toks AS (SELECT doc_id, ${tokensD("text")} AS t FROM u),
@@ -1005,6 +1013,110 @@ object DedupQueries {
              |  FROM runs GROUP BY doc_a, doc_b, diag, grp)
              |SELECT doc_a, doc_b, MAX(span_tokens) AS longest_span, COUNT(*) AS n_spans
              |FROM spans GROUP BY doc_a, doc_b HAVING MAX(span_tokens) >= 20
+             |ORDER BY doc_a, doc_b""".stripMargin)
+    ),
+
+    // ----- winnowing-fingerprint span detection (MOSS made load-bearing) ----
+    // The pair-detection consumer of txt_winnowing's selection: shared
+    // POSITION-BEARING winnowed fingerprints between documents, grouped
+    // into per-(pair, diagonal) runs — dedup_span's gaps-and-islands move
+    // run over the ~2/(w+1)-density fingerprint set instead of the full
+    // positional shingle index. The winnowing guarantee (Schleimer/
+    // Wilkerson/Aiken, SIGMOD'03) is what makes the sparse index SAFE:
+    // every window of w=4 consecutive shingle positions contributes at
+    // least one selected fingerprint, so any shared token span long
+    // enough to contain a full window in both documents still produces
+    // common fingerprints — detection survives the 60% posting-mass cut.
+    // Differences from dedup_span that the sparsity forces, both exact
+    // and mirrored by the oracle:
+    //   - islands break on gap > w (selected positions inside one shared
+    //     region are at most w apart by the guarantee; consecutive-only
+    //     grouping would shatter every run);
+    //   - the detected span [first_fp, last_fp] can start up to w-1
+    //     shingles after (and end up to w-1 before) the true shared
+    //     region, so the report threshold is 20 - 2(w-1) = 14 tokens:
+    //     every TRUE shared span of >= 20 tokens (dedup_span's bar) is
+    //     still caught, at the price of also surfacing some 14-19-token
+    //     spans — the standard winnowing recall/precision trade.
+    // Scale: identical join/shuffle shape to dedup_span (DF-capped
+    // inverted-index join, diagonal islands over matched positions only)
+    // on ~0.4x the posting rows — strictly cheaper at any corpus size.
+    "dedup_winnowing_pairs" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        // materialize the shingle projection BEFORE the window lambdas
+        // touch it (the txt_winnowing HOF-collapse pitfall: collapsed
+        // projections re-evaluate tokenize+hash per lambda element)
+        val sh = graft.CacheTracker.track(Tables.spread(docs(s, d), "doc_id")
+          .withColumn("t", expr(tokensS("text")))
+          .withColumn("th", expr(tokenHashesS("t")))
+          .select(col("doc_id"), expr(shingleHashesS("th")).as("sh"))
+          .persist(MEMORY_AND_DISK))
+        // winnowed (pos, hash) postings — selection stays in array-land
+        // (struct-transform then one explode; exploding positions first
+        // would copy the sh array onto every posting row)
+        val fp0 = sh.filter(size(col("sh")) >= 4)
+          .withColumn("ps", expr(
+            "array_distinct(transform(sequence(1, size(sh) - 3), p -> " +
+            "p + 3 - pmod(array_min(transform(sequence(p, p + 3), " +
+            "j -> element_at(sh, j) * 8 + (p + 3 - j))), 8)))"))
+          .withColumn("pf", expr(
+            "transform(ps, p -> struct(p AS pos, element_at(sh, cast(p AS int)) AS h))"))
+          .select(col("doc_id"), explode(col("pf")).as("f"))
+          .select(col("doc_id"), col("f.pos").as("pos"), col("f.h").as("h"))
+        val hot = fp0.groupBy(col("h")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > ShingleDfCap).select(col("h"))
+        val fp = graft.CacheTracker.track(fp0.join(hot, Seq("h"), "left_anti")
+          .persist(MEMORY_AND_DISK))
+        val m = fp.as("x")
+          .join(fp.as("y"), col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+            col("x.pos").as("pa"), (col("x.pos") - col("y.pos")).as("diag"))
+        val wr = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+          .orderBy(col("pa"))
+        m.withColumn("brk",
+            when(col("pa") - lag(col("pa"), 1).over(wr) > WinnowMaxGap, 1)
+              .otherwise(0))
+          .withColumn("grp", sum(col("brk")).over(wr))
+          .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
+          .agg((max(col("pa")) - min(col("pa")) + 3).cast("long").as("span_tokens"),
+            count(lit(1)).as("n_fp"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(max(col("span_tokens")).as("longest_span"),
+            sum(col("n_fp")).cast("long").as("n_shared_fp"),
+            count(lit(1)).as("n_runs"))
+          .filter(col("longest_span") >= 14)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, ${tokensD("text")} AS t FROM documents),
+             |th AS (SELECT doc_id, ${tokenHashesD("t")} AS th FROM toks),
+             |shs AS (SELECT doc_id, ${shingleHashesD("th")} AS sh FROM th),
+             |f AS (SELECT doc_id, sh, len(sh) AS m FROM shs WHERE len(sh) >= 4),
+             |sel AS (SELECT doc_id, sh, list_distinct(list_transform(generate_series(1, m - 3), p ->
+             |    p + 3 - (list_min(list_transform(generate_series(p, p + 3),
+             |      j -> sh[j] * 8 + (p + 3 - j))) % 8))) AS ps
+             |  FROM f),
+             |fp0 AS (SELECT doc_id, pos, sh[pos] AS h
+             |  FROM (SELECT doc_id, sh, unnest(ps) AS pos FROM sel) z),
+             |fp AS (SELECT doc_id, pos, h FROM fp0
+             |  QUALIFY COUNT(*) OVER (PARTITION BY h) <= $ShingleDfCap),
+             |m AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.pos AS pa,
+             |    x.pos - y.pos AS diag
+             |  FROM fp x JOIN fp y ON x.h = y.h AND x.doc_id < y.doc_id),
+             |r AS (SELECT doc_a, doc_b, diag, pa,
+             |    CASE WHEN pa - LAG(pa) OVER (PARTITION BY doc_a, doc_b, diag
+             |      ORDER BY pa) > $WinnowMaxGap THEN 1 ELSE 0 END AS brk
+             |  FROM m),
+             |g AS (SELECT doc_a, doc_b, diag, pa,
+             |    SUM(brk) OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp
+             |  FROM r),
+             |runs AS (SELECT doc_a, doc_b, MAX(pa) - MIN(pa) + 3 AS span_tokens,
+             |    COUNT(*) AS n_fp
+             |  FROM g GROUP BY doc_a, doc_b, diag, grp)
+             |SELECT doc_a, doc_b, CAST(MAX(span_tokens) AS BIGINT) AS longest_span,
+             |  CAST(SUM(n_fp) AS BIGINT) AS n_shared_fp, COUNT(*) AS n_runs
+             |FROM runs GROUP BY doc_a, doc_b HAVING MAX(span_tokens) >= 14
              |ORDER BY doc_a, doc_b""".stripMargin)
     ),
 
@@ -1391,38 +1503,44 @@ object DedupQueries {
         val f = graft.CacheTracker.track(docs(s, d)
           .withColumn("t", expr(tokensS("text")))
           .select(col("doc_id"), col("text"), col("n_chars"),
+            length(col("text")).as("rl"),
             md5(expr("array_join(slice(t, 1, 10), ' ')")).as("fp"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         // block stats are #blocks rows — broadcast to both branches
         val stats = broadcast(f.groupBy(col("fp"))
           .agg(count(lit(1)).as("bs"), min(col("doc_id")).as("rep")))
         // Length prefilter BEFORE any text moves: Levenshtein distance is
-        // bounded below by |len_a - len_b|, so a pair whose length gap
-        // already violates either match condition (gap > cap, or
-        // gap * 10 > the longer length) can never match — drop it while
-        // the join still carries 3 narrow columns. The candidate self-join
-        // then shuffles (fp, doc_id, n_chars) instead of full documents
-        // (the 32x probe moved 2.5M full-text pair rows to verification);
-        // texts join back only for the survivors. n_chars IS the text
-        // length (the corpus derives it) — the same equivalence the final
-        // 10%-rule predicate already leans on, so the prefilter is a
-        // semantic no-op the oracle need not mirror.
-        val lens = f.select(col("fp"), col("doc_id"), col("n_chars"))
-        val lenOk = abs(col("la") - col("lb")) <= EditDistanceCap &&
-          abs(col("la") - col("lb")) * 10 <= greatest(col("la"), col("lb"))
+        // bounded below by |len_a - len_b| of the REAL character lengths
+        // (length(text), carried as one extra int column `rl`), so a pair
+        // whose real-length gap already violates either match condition
+        // (gap > cap, or gap * 10 > the larger n_chars the final 10%-rule
+        // divides by) can never match — drop it while the join still
+        // carries 4 narrow columns. Using length(text) for the bound (not
+        // n_chars) keeps the prefilter sound on any corpus where the two
+        // diverge: the final predicate stays on n_chars exactly as the
+        // oracle states it, and the prefilter only removes pairs whose
+        // TRUE edit distance provably fails that predicate. The candidate
+        // self-join shuffles (fp, doc_id, n_chars, rl) instead of full
+        // documents (the 32x probe moved 2.5M full-text pair rows to
+        // verification); texts join back only for the survivors.
+        val lens = f.select(col("fp"), col("doc_id"), col("n_chars"), col("rl"))
+        val lenOk = abs(col("ra") - col("rb")) <= EditDistanceCap &&
+          abs(col("ra") - col("rb")) * 10 <= greatest(col("la"), col("lb"))
         val smallIds = lens
-          .select(col("fp"), col("doc_id").as("doc_a"), col("n_chars").as("la"))
+          .select(col("fp"), col("doc_id").as("doc_a"), col("n_chars").as("la"),
+            col("rl").as("ra"))
           .join(lens.select(col("fp"), col("doc_id").as("doc_b"),
-            col("n_chars").as("lb")), Seq("fp"))
+            col("n_chars").as("lb"), col("rl").as("rb")), Seq("fp"))
           .join(stats, Seq("fp"))
           .filter(col("bs") <= EditBlockCap && col("doc_a") < col("doc_b") && lenOk)
           .select(col("doc_a"), col("doc_b"), col("la"), col("lb"))
         val hotIds = lens
-          .select(col("fp"), col("doc_id").as("doc_b"), col("n_chars").as("lb"))
+          .select(col("fp"), col("doc_id").as("doc_b"), col("n_chars").as("lb"),
+            col("rl").as("rb"))
           .join(stats, Seq("fp"))
           .filter(col("bs") > EditBlockCap && col("doc_b") =!= col("rep"))
-          .join(lens.select(col("doc_id").as("rep"), col("n_chars").as("la")),
-            Seq("rep"))
+          .join(lens.select(col("doc_id").as("rep"), col("n_chars").as("la"),
+            col("rl").as("ra")), Seq("rep"))
           .filter(lenOk)
           .select(col("rep").as("doc_a"), col("doc_b"), col("la"), col("lb"))
         val cand = smallIds.unionByName(hotIds)

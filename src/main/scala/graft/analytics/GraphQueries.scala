@@ -229,9 +229,11 @@ object GraphQueries {
     // or containment pair — every pairwise metric scores them unrelated —
     // but both connect to the parent, so the open wedge predicts the
     // link. The sf0.01 differential derives two non-overlapping excerpt
-    // pseudo-docs per sampled parent in-query (tokens 1-12 → id+500000,
-    // tokens 7-18 → id+600000 — overlapping enough to share a parent,
-    // disjoint enough to fail the containment rule against each other),
+    // pseudo-docs per sampled parent in-query (tokens 1-12 → −(2·id+1),
+    // tokens 7-18 → −(2·id+2) — overlapping enough to share a parent,
+    // disjoint enough to fail the containment rule against each other;
+    // negative ids can never collide with real non-negative doc_ids at
+    // ANY corpus size, and the parities keep the two sets disjoint),
     // so the oracle verifies real predicted links, not 0 = 0. Score =
     // neighbor-set Jaccard cn / (deg_a + deg_b − cn) as the exact integer
     // micro-ratio.
@@ -247,13 +249,13 @@ object GraphQueries {
     "graph_common_neighbors" -> QuerySpec(
       (s, d) => {
         val base = graft.Tables.t(s, d, "documents").select("doc_id", "text")
-        def excerpt(off: Long, from: Int) = base.filter(col("doc_id") % 17 === 0)
+        def excerpt(par: Long, from: Int) = base.filter(col("doc_id") % 17 === 0)
           .withColumn("t", expr(graft.functions.TextFunctions.tokensS("text")))
-          .select((col("doc_id") + off).as("doc_id"),
+          .select((-(col("doc_id") * 2 + par)).as("doc_id"),
             expr(s"array_join(slice(t, $from, 12), ' ')").as("text"))
         val e = graft.CacheTracker.track(
           DedupQueries.containmentEdges(
-            base.unionByName(excerpt(500000L, 1)).unionByName(excerpt(600000L, 7)))
+            base.unionByName(excerpt(1L, 1)).unionByName(excerpt(2L, 7)))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val und = arcs(e)
         val deg = graft.CacheTracker.track(degrees(e)
@@ -276,10 +278,10 @@ object GraphQueries {
       },
       Some(s"""WITH basetok AS (SELECT doc_id, text, ${graft.functions.TextFunctions.tokensD("text")} AS t FROM documents),
              |u AS (SELECT doc_id, text FROM documents
-             |  UNION ALL SELECT doc_id + 500000 AS doc_id,
+             |  UNION ALL SELECT -(doc_id * 2 + 1) AS doc_id,
              |    array_to_string(t[1 : 12], ' ') AS text
              |  FROM basetok WHERE doc_id % 17 = 0
-             |  UNION ALL SELECT doc_id + 600000 AS doc_id,
+             |  UNION ALL SELECT -(doc_id * 2 + 2) AS doc_id,
              |    array_to_string(t[7 : 18], ' ') AS text
              |  FROM basetok WHERE doc_id % 17 = 0),
              |toks AS (SELECT doc_id, ${graft.functions.TextFunctions.tokensD("text")} AS t FROM u),

@@ -168,7 +168,8 @@ object MultimodalQueries {
           .select(col("doc_id"), col("body"))
         // Near-identical pseudo-docs derived in-query (the
         // dedup_containment_pairs move): every 5th doc gets a twin
-        // (id + 1e6) with ONE mid-body character replaced. The dHash
+        // (id → −(id+1), collision-free with real non-negative doc_ids at
+        // any corpus size) with ONE mid-body character replaced. The dHash
         // samples at most a couple of grid cells through that position, so
         // each twin lands within the hamming <= 6 verify of its original —
         // the sf0.01 differential check exercises real banded candidates
@@ -176,7 +177,7 @@ object MultimodalQueries {
         // as-generated corpus produced (no two documents hash within 6
         // bits). The oracle replays the same derivation.
         val pert = base.filter(col("doc_id") % 5 === 0)
-          .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          .select((-(col("doc_id") + lit(1L))).as("doc_id"),
             expr("concat(substring(body, 1, length(body) div 2 - 1), 'z', " +
               "substring(body, length(body) div 2 + 1))").as("body"))
         val h = graft.CacheTracker.track(base.unionByName(pert)
@@ -194,7 +195,7 @@ object MultimodalQueries {
              |  WHERE length(trim(text)) >= 2),
              |b0 AS (SELECT doc_id, body FROM base
              |  UNION ALL
-             |  SELECT doc_id + 1000000 AS doc_id,
+             |  SELECT -(doc_id + 1) AS doc_id,
              |    substr(body, 1, length(body) // 2 - 1) || 'z' ||
              |      substr(body, length(body) // 2 + 1) AS body
              |  FROM base WHERE doc_id % 5 = 0),

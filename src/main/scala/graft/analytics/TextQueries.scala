@@ -1790,7 +1790,9 @@ object TextQueries {
           .withColumn("text", when(col("doc_id") % 7 === 0,
             concat(col("text"), lit(" v2 edit"))).otherwise(col("text")))
           .unionByName(v1.filter(col("doc_id") % 13 === 0)
-            .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+            // negative pseudo-ids: new-crawl docs can never collide with a
+            // real doc_id however large the corpus grows
+            .select((-(col("doc_id") + 1L)).as("doc_id"), col("source"),
               concat(col("text"), lit(" fresh crawl")).as("text")))
         val a = v1.select(col("doc_id"), col("source").as("src1"), col("text").as("t1"))
         val b = v2.select(col("doc_id"), col("source").as("src2"), col("text").as("t2"))
@@ -1814,7 +1816,7 @@ object TextQueries {
              |v2 AS (SELECT doc_id, source,
              |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2 edit' ELSE text END AS text
              |  FROM v1 WHERE doc_id % 11 <> 0
-             |  UNION ALL SELECT doc_id + 1000000 AS doc_id, source,
+             |  UNION ALL SELECT -(doc_id + 1) AS doc_id, source,
              |    text || ' fresh crawl' AS text FROM v1 WHERE doc_id % 13 = 0),
              |j AS (SELECT COALESCE(a.source, b.source) AS source,
              |    CASE WHEN a.text IS NULL THEN 'added'

@@ -101,12 +101,16 @@ object DupGraph {
           fs.listStatus(st.getPath).exists(_.getPath.getName.endsWith(".parquet")))
     }
     if (hasData) spark.read.parquet(edgeDir(indexPath))
+    // the empty fallback mirrors the PARTITIONED layout (batch_id
+    // included): consumers selecting batch_id must see the same schema
+    // whether the store is empty or populated
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_a", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("doc_b", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("j", org.apache.spark.sql.types.DoubleType))))
+        org.apache.spark.sql.types.StructField("j", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("batch_id", org.apache.spark.sql.types.LongType))))
   }
 
   /** [[build]] plus a co-located [[MinHashIndex]] signature store, enabling

@@ -81,6 +81,11 @@ object SqIndex {
     * encodes through [[appendBatch]]).
     */
   def trainStats(emb: DataFrame, indexPath: String): Unit = {
+    // A zero-row training frame would freeze EMPTY per-lane arrays (every
+    // later encode's element_at -> null -> clamped 0, silently degenerate
+    // codes forever). Refuse: the caller must wait for a non-empty batch.
+    require(!emb.isEmpty,
+      s"SqIndex.trainStats: refusing to freeze stats from an empty frame at $indexPath")
     val st = quantized(emb)
       .select(posexplode(col("qe")).as(Seq("j", "v")))
       .groupBy(col("j")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))

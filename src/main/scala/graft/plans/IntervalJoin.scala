@@ -92,6 +92,12 @@ case class IntervalJoinExec(
     val lLo = leftLo
     val lHi = leftHi
     val rTime = rightTime
+    // The one-group-in-memory assumption is a real bound, not a docstring:
+    // a right key group larger than this fails the task with a clear
+    // message instead of an opaque executor OOM (the SMJ-composed form
+    // from IntervalJoinSpec is the spillable fallback for such data).
+    val maxGroupRows = conf.getConfString(
+      IntervalJoinExec.MaxGroupRowsKey, "8000000").toLong
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeys, lOutput)
       val rKeyProj = UnsafeProjection.create(rKeys, rOutput)
@@ -129,6 +135,12 @@ case class IntervalJoinExec(
         if (rHead != null && keyOrd.compare(rHeadKey, lk) == 0) {
           groupKey = lk.copy()
           while (rHead != null && keyOrd.compare(rHeadKey, lk) == 0) {
+            if (groupRows.length >= maxGroupRows)
+              throw new IllegalStateException(
+                s"IntervalJoin: right-side key group exceeds " +
+                s"${IntervalJoinExec.MaxGroupRowsKey}=$maxGroupRows rows; " +
+                "raise the cap or rewrite as the SMJ-composed range join " +
+                "for this key distribution")
             groupTimes += rtBound.eval(rHead).asInstanceOf[Long]
             groupRows += rHead.copy()
             advanceRight()
@@ -175,6 +187,13 @@ case class IntervalJoinExec(
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
     copy(left = newLeft, right = newRight)
+}
+
+object IntervalJoinExec {
+  /** Hard cap on the buffered right-side key group (rows); exceeded →
+    * task fails with a clear message instead of OOMing the executor.
+    */
+  val MaxGroupRowsKey = "spark.graft.intervalJoin.maxGroupRows"
 }
 
 /** Public entry point: `IntervalJoin.join(sessions, events, "user_id",

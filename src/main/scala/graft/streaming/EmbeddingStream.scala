@@ -195,7 +195,14 @@ object EmbeddingStream {
     import graft.operators.SqIndex
     val spark = batch.sparkSession
     val emb = batch.select(col("vecId").as("vec_id"), col("embedding"))
-    if (!SqIndex.statsExist(spark, indexPath)) SqIndex.trainStats(emb, indexPath)
+    // An EMPTY first micro-batch must not bootstrap: frozen empty-lane
+    // stats would degenerate every later encode. The first NON-empty
+    // batch trains; empty batches before it are no-ops. The isEmpty
+    // probe only runs pre-bootstrap, so steady state pays nothing.
+    if (!SqIndex.statsExist(spark, indexPath)) {
+      if (emb.isEmpty) return
+      SqIndex.trainStats(emb, indexPath)
+    }
     SqIndex.appendBatch(emb, indexPath, batchId)
   }
 

@@ -77,4 +77,21 @@ class IntervalJoinSpec extends AnyFunSuite {
     assert(plan.contains("Exchange hashpartitioning"), s"expected hash exchanges in:\n$plan")
     assert(plan.contains("Sort "), s"expected planner-inserted sorts in:\n$plan")
   }
+
+  test("right key group over the configured cap fails with a clear message") {
+    import spark.implicits._
+    val l = Seq((1L, 1L, 0L, 100L)).toDF("lid", "k", "lo", "hi")
+    val r = (0 until 50).map(i => (100L + i, 1L, i.toLong)).toDF("rid", "rk", "t")
+    val key = graft.plans.IntervalJoinExec.MaxGroupRowsKey
+    spark.conf.set(key, "10")
+    try {
+      val e = intercept[org.apache.spark.SparkException] {
+        IntervalJoin.join(l, r, "k", "rk", "lo", "hi", "t").collect()
+      }
+      assert(e.getMessage.contains(key) || Option(e.getCause).exists(
+        c => Option(c.getMessage).exists(_.contains(key))), e.getMessage)
+    } finally spark.conf.unset(key)
+    // and the default cap leaves the same shape working
+    assert(IntervalJoin.join(l, r, "k", "rk", "lo", "hi", "t").count() == 50)
+  }
 }

@@ -114,6 +114,34 @@ class SqIndexSpec extends AnyFunSuite {
     graft.CacheTracker.releaseAll()
   }
 
+  test("streaming ingestion: an EMPTY first batch must not freeze stats") {
+    import graft.streaming.EmbeddingStream
+    val dir = java.nio.file.Files.createTempDirectory("sq_idx_empty").toString
+    def batchDf(ids: Seq[Long]) = emb.filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id").as("vecId"), col("embedding"),
+        lit(java.sql.Timestamp.valueOf("2024-07-23 10:00:00")).as("eventTime"))
+    // an empty micro-batch arriving first (idle source at stream start) is
+    // a no-op: no stats frozen, no store created
+    EmbeddingStream.sqIngestBatch(batchDf(Nil), 0L, dir)
+    assert(!SqIndex.statsExist(spark, dir))
+    // the first NON-empty batch bootstraps; codes must be non-degenerate
+    // (a frozen-empty-stats store would encode everything to code 0)
+    EmbeddingStream.sqIngestBatch(batchDf(Seq(0L, 1L, 2L, 3L)), 1L, dir)
+    assert(SqIndex.statsExist(spark, dir))
+    val distinctCodes = SqIndex.codes(spark, dir)
+      .select(expr("aggregate(code, 0L, (a, x) -> a + x)").as("s"))
+      .collect().map(_.getLong(0)).toSet
+    assert(distinctCodes.size > 1, s"degenerate codes: $distinctCodes")
+    // trainStats itself refuses an empty frame outright
+    val err = intercept[IllegalArgumentException] {
+      SqIndex.trainStats(batchDf(Nil)
+        .select(col("vecId").as("vec_id"), col("embedding")),
+        java.nio.file.Files.createTempDirectory("sq_idx_refuse").toString)
+    }
+    assert(err.getMessage.contains("empty"))
+    graft.CacheTracker.releaseAll()
+  }
+
   test("ensure: a killed build (no ready marker) is wiped and re-run") {
     val dir = java.nio.file.Files.createTempDirectory("sq_idx_crash").toString
     // simulate a partial build: stats written, no codes, no marker
