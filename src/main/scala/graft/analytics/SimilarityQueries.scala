@@ -2,7 +2,7 @@ package graft.analytics
 
 import graft.{QuerySpec, Tables}
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -34,6 +34,68 @@ object SimilarityQueries {
     * oracle — k scans, k argmaxes, the driver holds k ids).
     */
   val KCenterK = 8
+
+  /** Rounds between lineage cuts in [[kcenterTrajectory]]: the incremental
+    * dmin frame re-persists every round, so without an occasional
+    * checkpoint the logical plan (and task-closure size) grows linearly
+    * with r even though execution always reads the previous cache.
+    */
+  val KCenterCutEvery = 4
+
+  /** Greedy farthest-point (Gonzalez'85) selection trajectory with the
+    * INCREMENTAL min-distance recurrence — the O(n·k) form: a persisted
+    * (vec_id, qe, dmin) frame carries each vector's distance to the
+    * nearest selected center, and every round joins only the ONE new
+    * center (dmin_r = least(dmin_{r−1}, l2(v, c_r)) — the oracle's own
+    * CTE recurrence), instead of re-aggregating against all r−1 centers
+    * (the O(n·k²) shape this replaced; invisible at k=8, a scale-killer
+    * at production coreset sizes). Exactly ONE corpus-sized scan per
+    * round: the round's argmax materializes the lazily-persisted update
+    * of the previous round's cache, whose persist is only then released;
+    * every [[KCenterCutEvery]] rounds the frame localCheckpoints to cut
+    * lineage. `q` must be a (vec_id, qe) projection with vec_id 0 present
+    * (the deterministic seed); `onRound` observes (round, wallMillis) for
+    * probes.
+    */
+  def kcenterTrajectory(s: SparkSession, q: DataFrame, k: Int,
+      onRound: (Int, Long) => Unit = (_, _) => ()): Seq[(Int, Long, Long)] = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    import s.implicits._
+    graft.functions.VectorExpressions.register(s)
+    val seed = q.filter(col("vec_id") === 0L).select(col("qe").as("ce"))
+    var dm = q.crossJoin(broadcast(seed))
+      .select(col("vec_id"), col("qe"), expr("long_l2(qe, ce)").as("dmin"))
+      .persist(MEMORY_AND_DISK)
+    var pending: DataFrame = null
+    val picks = Vector.newBuilder[(Int, Long, Long)]
+    picks += ((1, 0L, 0L))
+    for (r <- 2 to k) {
+      val t0 = System.nanoTime()
+      val far = dm.orderBy(col("dmin").desc, col("vec_id")).limit(1).collect()(0)
+      // the argmax materialized dm from the previous round's cache — that
+      // parent cache is now released
+      if (pending != null) { pending.unpersist(); pending = null }
+      picks += ((r, far.getLong(0), far.getLong(2)))
+      if (r < k) {
+        val ce = Seq(Tuple1(far.getSeq[Long](1))).toDF("ce")
+        val next = dm.crossJoin(broadcast(ce))
+          .select(col("vec_id"), col("qe"),
+            least(col("dmin"), expr("long_l2(qe, ce)")).as("dmin"))
+        if (r % KCenterCutEvery == 0) {
+          val cut = next.localCheckpoint(true)
+          dm.unpersist()
+          dm = cut
+        } else {
+          pending = dm
+          dm = next.persist(MEMORY_AND_DISK)
+        }
+      }
+      onRound(r, (System.nanoTime() - t0) / 1000000L)
+    }
+    dm.unpersist()
+    if (pending != null) pending.unpersist()
+    picks.result()
+  }
 
   /** Number of hyperplanes (2^Planes buckets) — THE scale lever of every
     * LSH consumer (sim_lsh_ann / sim_lsh_recall / sim_knn_classify /
@@ -1802,12 +1864,14 @@ object SimilarityQueries {
     // on vec_id; output = the selection TRAJECTORY (rank, vec_id, the
     // max-min d² that step attained — the running covering-radius curve).
     //
-    // Scale shape: k rounds, each ONE corpus scan joined against the ≤ k
-    // broadcast selected centers + a map-side-combined per-vector min and
-    // a top-1 argmax — the driver only ever holds the k chosen ids
-    // (the BPE-argmax pattern); nothing is ever all-pairs. The oracle
-    // unrolls the same k rounds with incremental min-distance CTEs
-    // (dmin_r = least(dmin_{r-1}, l2(v, c_r))), exact to the bit.
+    // Scale shape: k rounds, each exactly ONE scan of the persisted
+    // incremental (vec_id, qe, dmin) frame — the new center joins in as a
+    // broadcast literal, dmin folds via least() (the oracle's own CTE
+    // recurrence), and the round's argmax doubles as the materialization
+    // of the update, so total work is O(n·k) with the driver holding only
+    // the k chosen ids (the BPE-argmax pattern); nothing is ever
+    // all-pairs, and lineage cuts every KCenterCutEvery rounds keep plans
+    // bounded at production coreset sizes (see [[kcenterTrajectory]]).
     "sim_kcenter_coreset" -> QuerySpec(
       (s, d) => {
         import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -1816,21 +1880,8 @@ object SimilarityQueries {
         val q = graft.CacheTracker.track(Tables.spread(emb(s, d), "vec_id")
           .select(col("vec_id"), expr(quantizeS("embedding")).as("qe"))
           .persist(MEMORY_AND_DISK))
-        var selected = Vector(0L)
-        val picks = Vector.newBuilder[(Int, Long, Long)]
-        picks += ((1, 0L, 0L))
-        for (r <- 2 to KCenterK) {
-          val centers = q.filter(col("vec_id").isin(selected: _*))
-            .select(col("qe").as("ce"))
-          val far = q.crossJoin(broadcast(centers))
-            .select(col("vec_id"), expr("long_l2(qe, ce)").as("d2"))
-            .groupBy(col("vec_id")).agg(min(col("d2")).as("dmin"))
-            .orderBy(col("dmin").desc, col("vec_id")).limit(1)
-            .collect()(0)
-          selected = selected :+ far.getLong(0)
-          picks += ((r, far.getLong(0), far.getLong(1)))
-        }
-        picks.result().toDF("rank", "vec_id", "d2_to_selected")
+        kcenterTrajectory(s, q, KCenterK)
+          .toDF("rank", "vec_id", "d2_to_selected")
           .orderBy(col("rank"))
       },
       Some {
