@@ -206,6 +206,50 @@ object EmbeddingStream {
     SqIndex.appendBatch(emb, indexPath, batchId)
   }
 
+  /** Streaming takedown across the VECTOR-side derived surface — the
+    * embedding twin of [[DocumentStream.takedownContinuous]], closing the
+    * right-to-be-forgotten story symmetrically: one entry point that
+    * propagates each micro-batch of vec_ids to every ANN store built from
+    * the fleet's embeddings (IVF cells, PQ codes, SQ8 codes) plus an
+    * optional raw vector lake, instead of requiring callers to remember
+    * per-store `delete` calls. Each store's delete is the partition-pruned
+    * [[graft.operators.StoreDelete]] rewrite (only partitions holding
+    * deleted keys are touched), so a takedown batch costs the affected
+    * partitions, never a store rebuild — and replaying the same batch is
+    * idempotent (deleting already-absent ids rewrites nothing).
+    */
+  def takedownContinuous(
+      requests: Dataset[Long],
+      checkpointDir: String,
+      ivfPath: Option[String] = None,
+      pqPath: Option[String] = None,
+      sqPath: Option[String] = None,
+      lakePath: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    requests.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Long], _: Long) =>
+        takedownBatch(batch.toDF("vec_id"), ivfPath, pqPath, sqPath, lakePath)
+      }
+      .start()
+
+  /** The per-micro-batch body of [[takedownContinuous]] — exposed so the
+    * propagation set and replay idempotence are directly testable.
+    */
+  def takedownBatch(ids: DataFrame,
+      ivfPath: Option[String] = None,
+      pqPath: Option[String] = None,
+      sqPath: Option[String] = None,
+      lakePath: Option[String] = None): Unit = {
+    val spark = ids.sparkSession
+    ivfPath.foreach(graft.operators.IvfIndex.delete(spark, _, ids))
+    pqPath.foreach(graft.operators.PqIndex.delete(spark, _, ids))
+    sqPath.foreach(graft.operators.SqIndex.delete(spark, _, ids))
+    // a raw vector lake lands (vecId, …) under (day, batch_id) like the
+    // document lake; partition columns absent from a store are ignored
+    lakePath.foreach(graft.operators.StoreDelete(spark, _, "vecId", ids,
+      Seq("day", "batch_id")))
+  }
+
   /** Event-time windowed embedding-fleet health: vectors per window and
     * mean/min quantized norm — the drift signal an encoding fleet is
     * monitored by (a norm collapse means the encoder degenerated).

@@ -177,6 +177,66 @@ class StoreDeleteSpec extends AnyFunSuite {
     graft.CacheTracker.releaseAll()
   }
 
+  test("embedding takedown: one request batch reaches IVF, PQ and SQ8 stores; replay is idempotent") {
+    import graft.streaming.EmbeddingStream
+    import graft.operators.SqIndex
+    val ivf = tmp("etd_ivf")
+    val pq = tmp("etd_pq")
+    val sq = tmp("etd_sq")
+    IvfIndex.build(emb, ivf, nCells = 8, iters = 2)
+    PqIndex.build(emb, pq)
+    SqIndex.build(emb, sq)
+    val deleted = Seq(5L, 9L, 13L)
+    EmbeddingStream.takedownBatch(idFrame(deleted, "vec_id"),
+      Some(ivf), Some(pq), Some(sq))
+    def ivfIds = spark.read.parquet(s"$ivf/vectors").select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    def pqIds = PqIndex.codes(spark, pq).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    def sqIds = SqIndex.codes(spark, sq).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val want = emb.select("vec_id").collect().map(_.getLong(0)).toSet -- deleted
+    assert(ivfIds == want && pqIds == want && sqIds == want)
+    // probes can never return deleted vectors from ANY store
+    val probed = IvfIndex.probe(spark, ivf,
+        emb.filter(col("vec_id") < 3), k = 5, nProbe = 8)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(probed.nonEmpty && probed.intersect(deleted.toSet).isEmpty)
+    // at-least-once replay: same state, no error
+    EmbeddingStream.takedownBatch(idFrame(deleted, "vec_id"),
+      Some(ivf), Some(pq), Some(sq))
+    assert(ivfIds == want && pqIds == want && sqIds == want)
+    graft.CacheTracker.releaseAll()
+  }
+
+  test("embedding takedownContinuous: requests stream through foreachBatch to all vector stores") {
+    import graft.streaming.EmbeddingStream
+    import graft.operators.SqIndex
+    val ivf = tmp("etdc_ivf")
+    val sq = tmp("etdc_sq")
+    IvfIndex.build(emb, ivf, nCells = 8, iters = 2)
+    SqIndex.build(emb, sq)
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val q = EmbeddingStream.takedownContinuous(ms.toDS(), tmp("etdc_ckpt"),
+      ivfPath = Some(ivf), sqPath = Some(sq))
+    try {
+      ms.addData(1L)
+      q.processAllAvailable()
+      ms.addData(4L)
+      q.processAllAvailable()
+      val ivfIds = spark.read.parquet(s"$ivf/vectors").select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+      val sqIds = SqIndex.codes(spark, sq).select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(!ivfIds.contains(1L) && !ivfIds.contains(4L))
+      assert(!sqIds.contains(1L) && !sqIds.contains(4L))
+      assert(ivfIds.nonEmpty && ivfIds == sqIds)
+    } finally q.stop()
+    graft.CacheTracker.releaseAll()
+  }
+
   test("dup graph: edges touching deleted docs drop from edges AND signatures") {
     val idx = tmp("dg_del")
     DupGraph.buildFrom(docs, idx)
