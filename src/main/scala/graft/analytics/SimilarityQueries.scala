@@ -604,6 +604,111 @@ object SimilarityQueries {
        |ir AS (SELECT q_id, vec_id, cell, adist,
        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist ASC, vec_id) AS rn FROM isc)""".stripMargin
 
+  /** IVF-SQ8 probe, shared by sim_ivfsq_topk/recall — the remaining cell
+    * on the ANN grid: coarse cells Lloyd-TRAINED ([[graft.operators
+    * .IvfIndex]] arithmetic, the residual-IVF-PQ geometry) with SQ8 codes
+    * ([[graft.operators.SqIndex]] lanes, stats trained GLOBALLY so flat
+    * SQ8's near-exact reconstruction carries over) partitioned by the
+    * coarse cell. A probe (1) ranks cells per query against the broadcast
+    * centroid table, (2) partition-prunes the code scan to the top-2
+    * cells' files (collected cell ids as scan literals — the IVF seek),
+    * and (3) scores only those cells' codes with the exact 510-scaled
+    * asymmetric reconstruction dot. The recall trade vs the grid
+    * neighbors: flat SQ8 scans every code at recall ~0.97; IVF-PQ prunes
+    * the same cells but quantizes through PqM subspace centroids; IVF-SQ8
+    * keeps SQ8's per-lane fidelity AND the cell pruning, so its only
+    * recall loss is cell misses — the measured gap to 0.97 IS the
+    * cell-miss rate, tunable via nProbe.
+    */
+  private def ivfsqRanked(s: SparkSession, d: String, nq: Int): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val idx = graft.operators.SqIndex.registryPath(s, d, "ivfsq")
+    graft.operators.SqIndex.ensure(s, idx) {
+      val q = graft.operators.IvfIndex.quantized(emb(s, d))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.operators.IvfIndex.trainCentroids(q, idx, nCells = 16, iters = 2)
+      val cent = s.read.parquet(s"$idx/centroids")
+      val assigned = q.crossJoin(broadcast(cent))
+        .withColumn("dist", expr("long_l2(qe, ce)"))
+        .groupBy(col("vec_id"))
+        .agg(first(col("qe")).as("qe"), min(struct(col("dist"), col("cell"))).as("m"))
+        .select(col("vec_id"), col("qe"), col("m.cell").as("cell"))
+      graft.operators.SqIndex.buildFromQuantized(
+        assigned.select(col("vec_id"), col("qe")), idx,
+        assigned.select(col("vec_id"), col("cell")))
+      q.unpersist(blocking = false)
+    }
+    val cent = s.read.parquet(s"$idx/centroids")
+    // steady-state probe path: nq query vectors + stored artifacts only
+    val q = Tables.spread(emb(s, d).filter(col("vec_id") < nq), "vec_id")
+      .select(col("vec_id").as("q_id"), expr(quantizeS("embedding")).as("qq"))
+    val wp = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("cell"))
+    val probes = graft.CacheTracker.track(q
+      .crossJoin(broadcast(cent))
+      .withColumn("dist", expr("long_l2(qq, ce)"))
+      .withColumn("prn", row_number().over(wp))
+      .filter(col("prn") <= 2)
+      .select(col("q_id"), col("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // partition pruning: the probed cell union as scan literals
+    val cells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val codes = graft.operators.SqIndex.codes(s, idx)
+      .filter(col("cell").isin(cells.toSeq: _*))
+    val st = graft.operators.SqIndex.stats(s, idx)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("ip510").desc, col("vec_id"))
+    codes
+      .join(broadcast(probes), Seq("cell"))
+      .join(broadcast(q), Seq("q_id"))
+      .crossJoin(broadcast(st))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("cell"),
+        expr("cast(aggregate(transform(sequence(1, size(code)), j -> " +
+          "element_at(qq, j) * (510 * element_at(mnl, j) + " +
+          "(2 * element_at(code, j) + 1) * (element_at(mxl, j) - element_at(mnl, j)))), " +
+          "cast(0 as bigint), (a, x) -> a + x) as bigint)").as("ip510"))
+      .withColumn("rn", row_number().over(w))
+  }
+
+  /** Oracle CTE chain for IVF-SQ8: full-corpus Lloyd coarse centroids
+    * (the sim_ivfpq_residual unroll), global per-lane SQ8 stats + codes
+    * (the sim_sq8 CTEs), probe = top-2 cells per query, scoring
+    * restricted to probed-cell members, ranked desc on ip510 as `ir`.
+    */
+  private def ivfsqCteD(nq: Int): String =
+    s"""old AS (SELECT vec_id, qe FROM n),
+       |c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, qe AS ce
+       |  FROM (SELECT vec_id, qe FROM old ORDER BY vec_id LIMIT 16) z),
+       |${lloydRoundD(1, "c0", "c1")},
+       |${lloydRoundD(2, "c1", "c2")},
+       |ad AS (SELECT n.vec_id, n.qe, c.cell, ${l2D("n.qe", "c.ce")} AS dist
+       |  FROM n CROSS JOIN c2 c),
+       |assigned AS (SELECT vec_id, qe, cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS arn FROM ad) z
+       |  WHERE arn = 1),
+       |lanes AS (SELECT j, MIN(qe[j]) AS mn, MAX(qe[j]) AS mx
+       |  FROM n, (SELECT unnest($LaneSeries) AS j) s GROUP BY j),
+       |st AS (SELECT (SELECT list(mn ORDER BY j) FROM lanes) AS mnl,
+       |               (SELECT list(mx ORDER BY j) FROM lanes) AS mxl),
+       |codes AS (SELECT a.vec_id, a.cell, mnl, mxl, list_transform($LaneSeries, j ->
+       |    least(255, greatest(0, CASE WHEN mxl[j] = mnl[j] THEN 0
+       |      ELSE ((a.qe[j] - mnl[j]) * 255) // (mxl[j] - mnl[j]) END))) AS code
+       |  FROM assigned a CROSS JOIN st),
+       |qd AS (SELECT n.vec_id AS q_id, c.cell, ${l2D("n.qe", "c.ce")} AS dist
+       |  FROM n CROSS JOIN c2 c WHERE n.vec_id < $nq),
+       |probes AS (SELECT q_id, cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist, cell) AS prn FROM qd) z
+       |  WHERE prn <= 2),
+       |qs AS (SELECT vec_id AS q_id, qe AS qq FROM n WHERE vec_id < $nq),
+       |isc AS (SELECT q.q_id, k.vec_id, k.cell,
+       |    CAST(list_sum(list_transform($LaneSeries, j ->
+       |      qq[j] * (510 * k.mnl[j] + (2 * k.code[j] + 1) * (k.mxl[j] - k.mnl[j])))) AS BIGINT) AS ip510
+       |  FROM codes k JOIN probes p ON p.cell = k.cell
+       |  JOIN qs q ON q.q_id = p.q_id
+       |  WHERE k.vec_id <> q.q_id),
+       |ir AS (SELECT q_id, vec_id, cell, ip510,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ip510 DESC, vec_id) AS rn FROM isc)""".stripMargin
+
   // def, not val: oracle strings interpolate the resolved plane count, so
   // they must render on access (after query fns resolved it), never freeze
   // at object init
@@ -2054,6 +2159,92 @@ object SimilarityQueries {
              |  CAST(SUM(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
              |  CAST(SUM(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // COUNT(*) AS recall_micro
              |FROM ex LEFT JOIN ap ON ex.q_id = ap.q_id AND ex.vec_id = ap.vec_id
+             |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin)
+    ),
+
+    // ----- IVF-SQ8: cell-pruned probes at SQ8 fidelity ----------------------
+    // The remaining cell on the ANN grid (see ivfsqRanked): Lloyd-trained
+    // coarse cells route, SQ8 lane codes score — partition-pruned IO with
+    // per-lane (not subspace-centroid) reconstruction, so the only
+    // approximation ADDED over flat SQ8 is the cell miss.
+    "sim_ivfsq_topk" -> QuerySpec(
+      (s, d) => ivfsqRanked(s, d, nq = 5)
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("vec_id"), col("cell"),
+          col("ip510"), col("rn"))
+        .orderBy(col("q_id"), col("rn")),
+      Some(s"""$OracleQ,
+             |${ivfsqCteD(5)}
+             |SELECT q_id, vec_id, cell, ip510, rn FROM ir
+             |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin)
+    ),
+
+    // ----- IVF-SQ8 recall@5 vs the exact cosine ground truth ----------------
+    // The documented trade against the grid neighbors: flat SQ8 = 0.97
+    // recall at full-scan cost, IVF-PQ = pruned IO at subspace-quantized
+    // fidelity — IVF-SQ8's measured recall isolates the pure cell-miss
+    // rate (its reconstruction is flat SQ8's), with the 50-deep exact
+    // rerank showing the recoverable part.
+    "sim_ivfsq_recall" -> QuerySpec(
+      (s, d) => {
+        val ranked = graft.CacheTracker.track(ivfsqRanked(s, d, nq = 20)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val sq5 = ranked.filter(col("rn") <= 5).select(col("q_id"), col("vec_id"))
+        val n = graft.CacheTracker.track(Tables.spread(emb(s, d), "vec_id")
+          .select(col("vec_id"), expr(quantizeS("embedding")).as("qe"))
+          .withColumn("nrm", expr("long_dot(qe, qe)"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val queries = broadcast(n.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("qe").as("qa"), col("nrm").as("na")))
+        val wr = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("vec_id"))
+        val rr5 = ranked.filter(col("rn") <= 50)
+          .select(col("q_id"), col("vec_id"))
+          .join(n.select(col("vec_id"), col("qe"), col("nrm")), "vec_id")
+          .join(queries, "q_id")
+          .withColumn("c", expr("long_dot(qa, qe) / (sqrt(na) * sqrt(nrm))"))
+          .withColumn("rn2", row_number().over(wr))
+          .filter(col("rn2") <= 5)
+          .select(col("q_id"), col("vec_id"))
+        val we = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("vec_id"))
+        val exact = queries
+          .join(n.select(col("vec_id"), col("qe"), col("nrm")),
+            col("vec_id") =!= col("q_id"))
+          .withColumn("c", expr("long_dot(qa, qe) / (sqrt(na) * sqrt(nrm))"))
+          .withColumn("rn", row_number().over(we))
+          .filter(col("rn") <= 5)
+          .select(col("q_id"), col("vec_id"))
+        exact
+          .join(sq5.withColumn("hit", lit(1)), Seq("q_id", "vec_id"), "left")
+          .join(rr5.withColumn("hit_rr", lit(1)), Seq("q_id", "vec_id"), "left")
+          .groupBy(col("q_id"))
+          .agg(count(col("hit")).as("n_hits"), count(col("hit_rr")).as("n_hits_rr"))
+          .withColumn("recall", expr("floor(n_hits / 5 * 1e6 + 0.5) / 1e6"))
+          .withColumn("recall_rr", expr("floor(n_hits_rr / 5 * 1e6 + 0.5) / 1e6"))
+          .select(col("q_id"), col("n_hits"), col("recall"),
+            col("n_hits_rr"), col("recall_rr"))
+          .orderBy(col("q_id"))
+      },
+      Some(s"""$OracleQ,
+             |${ivfsqCteD(20)},
+             |isq5 AS (SELECT q_id, vec_id FROM ir WHERE rn <= 5),
+             |ish50 AS (SELECT q_id, vec_id FROM ir WHERE rn <= 50),
+             |irr5 AS (SELECT q_id, vec_id FROM (
+             |  SELECT s.q_id, s.vec_id,
+             |    ROW_NUMBER() OVER (PARTITION BY s.q_id
+             |      ORDER BY ${dotD("qv.qe", "bv.qe")} / (sqrt(qv.nrm) * sqrt(bv.nrm)) DESC, s.vec_id) AS rn2
+             |  FROM ish50 s JOIN n bv ON s.vec_id = bv.vec_id
+             |  JOIN n qv ON s.q_id = qv.vec_id) z WHERE rn2 <= 5),
+             |ex AS (SELECT q_id, vec_id FROM (
+             |  SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+             |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+             |      ORDER BY ${dotD("a.qe", "b.qe")} / (sqrt(a.nrm) * sqrt(b.nrm)) DESC, b.vec_id) AS rn
+             |  FROM n a JOIN n b ON a.vec_id < 20 AND b.vec_id <> a.vec_id) z WHERE rn <= 5)
+             |SELECT ex.q_id, CAST(COUNT(p.vec_id) AS BIGINT) AS n_hits,
+             |  floor(COUNT(p.vec_id) / 5 * 1e6 + 0.5) / 1e6 AS recall,
+             |  CAST(COUNT(r.vec_id) AS BIGINT) AS n_hits_rr,
+             |  floor(COUNT(r.vec_id) / 5 * 1e6 + 0.5) / 1e6 AS recall_rr
+             |FROM ex LEFT JOIN isq5 p ON ex.q_id = p.q_id AND ex.vec_id = p.vec_id
+             |LEFT JOIN irr5 r ON ex.q_id = r.q_id AND ex.vec_id = r.vec_id
              |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin)
     )
   )

@@ -55,6 +55,24 @@ object SqIndex {
       .write.mode(SaveMode.Overwrite).parquet(codeDir(indexPath))
   }
 
+  /** Cell-partitioned build for the IVF-SQ8 composition: stats train
+    * GLOBALLY over `q` (an already-quantized (vec_id, qe) frame) — so flat
+    * SQ8's recall carries over unchanged — and codes land under `cell=N`
+    * partitions keyed by the caller's coarse assignment (vec_id, cell),
+    * the [[PqIndex.buildFromQuantized]] layout with SQ8 lanes instead of
+    * subspace codes. Probes partition-prune the code scan to the probed
+    * cells' files; scoring stays the asymmetric 510-scaled reconstruction
+    * dot of the flat store.
+    */
+  def buildFromQuantized(q: DataFrame, indexPath: String,
+      coarseCells: DataFrame): Unit = {
+    trainStatsFromQuantized(q, indexPath)
+    encode(q, stats(q.sparkSession, indexPath))
+      .join(coarseCells, "vec_id")
+      .write.mode(SaveMode.Overwrite).partitionBy("cell")
+      .parquet(codeDir(indexPath))
+  }
+
   /** Encode a new batch with the FROZEN training stats and append. */
   def append(emb: DataFrame, indexPath: String): Unit =
     encode(quantized(emb), stats(emb.sparkSession, indexPath))
@@ -80,13 +98,17 @@ object SqIndex {
     * batch-driven store: first micro-batch trains, every batch then
     * encodes through [[appendBatch]]).
     */
-  def trainStats(emb: DataFrame, indexPath: String): Unit = {
+  def trainStats(emb: DataFrame, indexPath: String): Unit =
+    trainStatsFromQuantized(quantized(emb), indexPath)
+
+  /** [[trainStats]] over an already-quantized (vec_id, qe) frame. */
+  def trainStatsFromQuantized(emb: DataFrame, indexPath: String): Unit = {
     // A zero-row training frame would freeze EMPTY per-lane arrays (every
     // later encode's element_at -> null -> clamped 0, silently degenerate
     // codes forever). Refuse: the caller must wait for a non-empty batch.
     require(!emb.isEmpty,
       s"SqIndex.trainStats: refusing to freeze stats from an empty frame at $indexPath")
-    val st = quantized(emb)
+    val st = emb
       .select(posexplode(col("qe")).as(Seq("j", "v")))
       .groupBy(col("j")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
       .agg(
@@ -152,12 +174,19 @@ object SqIndex {
   /** Deterministic per-corpus index location for registry queries (same
     * fingerprint scheme as [[PqIndex.registryPath]]).
     */
-  def registryPath(spark: SparkSession, dir: String): String = {
+  def registryPath(spark: SparkSession, dir: String): String =
+    registryPath(spark, dir, "sq")
+
+  /** [[registryPath]] with a layout tag (e.g. "ivfsq" for the
+    * cell-partitioned composition) so differently-shaped stores over the
+    * same corpus never collide.
+    */
+  def registryPath(spark: SparkSession, dir: String, tag: String): String = {
     val p = new Path(s"$dir/embeddings.parquet")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val sum = fs.getContentSummary(p)
     val mtime = fs.getFileStatus(p).getModificationTime
-    val fp = s"$dir|sq|v$FormatVersion|${sum.getLength}|$mtime"
+    val fp = s"$dir|$tag|v$FormatVersion|${sum.getLength}|$mtime"
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(fp.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
     s"${System.getProperty("java.io.tmpdir")}/graft-sq-index/$h"
