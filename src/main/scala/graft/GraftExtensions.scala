@@ -36,10 +36,53 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the native AS-OF join operator (custom LogicalPlan -> physical merge)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectPlannerStrategy(_ => graft.plans.IntervalJoinStrategy)
+    // table-valued SQL forms of the two native joins, so pure-SQL users
+    // reach the custom operators without the Scala entry points:
+    //   SELECT * FROM asof_join('lview', 'rview', 'lkey', 'rkey', 'lts', 'rts')
+    //   SELECT * FROM interval_join('lview', 'rview', 'lkey', 'rkey', 'lo', 'hi', 'rts')
+    // Sides are named table/view identifiers (resolved eagerly against the
+    // active session's catalog — the builder runs mid-resolution, so view
+    // names give a fully-analyzed child plan without a second analyzer
+    // phase); the remaining string literals name the key/time columns.
+    ext.injectTableFunction((
+      new FunctionIdentifier("asof_join"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "asof_join"),
+      (es: Seq[Expression]) => {
+        val a = GraftExtensions.stringArgs("asof_join", es, 6)
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.plans.AsOfJoin.plan(spark.table(a(0)), spark.table(a(1)),
+          a(2), a(3), a(4), a(5))
+      }))
+    ext.injectTableFunction((
+      new FunctionIdentifier("interval_join"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "interval_join"),
+      (es: Seq[Expression]) => {
+        val a = GraftExtensions.stringArgs("interval_join", es, 7)
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.plans.IntervalJoin.plan(spark.table(a(0)), spark.table(a(1)),
+          a(2), a(3), a(4), a(5), a(6))
+      }))
   }
 }
 
 object GraftExtensions {
+
+  /** Extract exactly `n` foldable string arguments for a table-valued
+    * function, with a clear error naming the argument position otherwise.
+    */
+  private[graft] def stringArgs(fn: String, es: Seq[Expression], n: Int): Seq[String] = {
+    require(es.length == n, s"$fn expects $n string argument(s), got ${es.length}")
+    es.zipWithIndex.map {
+      case (e, i) =>
+        val ok = e.foldable &&
+          e.dataType == org.apache.spark.sql.types.StringType &&
+          e.eval() != null
+        if (!ok) throw new IllegalArgumentException(
+          s"$fn argument ${i + 1} must be a non-null string literal, got $e")
+        e.eval().toString
+    }
+  }
+
   /** (name, arity, builder) for every native expression the engine ships. */
   val functions: Seq[(String, Int, Seq[Expression] => Expression)] = Seq(
     ("long_dot", 2, es => LongArrayDot(es(0), es(1))),

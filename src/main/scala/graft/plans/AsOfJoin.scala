@@ -187,19 +187,29 @@ case class AsOfJoinExec(
   */
 object AsOfJoin {
 
-  def join(left: DataFrame, right: DataFrame,
+  /** Build the logical node from the two sides' ANALYZED plans — shared
+    * by [[join]] and the `asof_join(...)` SQL table-valued form
+    * registered through [[graft.GraftExtensions]].
+    */
+  def plan(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
-      leftTime: String, rightTime: String): DataFrame = {
-    val spark = left.sparkSession
-    GraftPlanBridge.addStrategy(spark, AsOfJoinStrategy)
+      leftTime: String, rightTime: String): LogicalPlan = {
     val lp = left.queryExecution.analyzed
     val rp = right.queryExecution.analyzed
     def res(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(
           s"column $n not in [${p.output.map(_.name).mkString(", ")}]"))
+    AsOfJoinPlan(lp, rp, Seq(res(lp, leftKey)), Seq(res(rp, rightKey)),
+      res(lp, leftTime), res(rp, rightTime))
+  }
+
+  def join(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String): DataFrame = {
+    val spark = left.sparkSession
+    GraftPlanBridge.addStrategy(spark, AsOfJoinStrategy)
     GraftPlanBridge.ofRows(spark,
-      AsOfJoinPlan(lp, rp, Seq(res(lp, leftKey)), Seq(res(rp, rightKey)),
-        res(lp, leftTime), res(rp, rightTime)))
+      plan(left, right, leftKey, rightKey, leftTime, rightTime))
   }
 }

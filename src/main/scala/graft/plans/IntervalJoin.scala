@@ -203,19 +203,29 @@ object IntervalJoinExec {
   */
 object IntervalJoin {
 
-  def join(left: DataFrame, right: DataFrame,
+  /** Build the logical node from the two sides' ANALYZED plans — shared
+    * by [[join]] and the `interval_join(...)` SQL table-valued form
+    * registered through [[graft.GraftExtensions]].
+    */
+  def plan(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
-      leftLo: String, leftHi: String, rightTime: String): DataFrame = {
-    val spark = left.sparkSession
-    GraftPlanBridge.addStrategy(spark, IntervalJoinStrategy)
+      leftLo: String, leftHi: String, rightTime: String): LogicalPlan = {
     val lp = left.queryExecution.analyzed
     val rp = right.queryExecution.analyzed
     def res(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(
           s"column $n not in [${p.output.map(_.name).mkString(", ")}]"))
+    IntervalJoinPlan(lp, rp, Seq(res(lp, leftKey)), Seq(res(rp, rightKey)),
+      res(lp, leftLo), res(lp, leftHi), res(rp, rightTime))
+  }
+
+  def join(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftLo: String, leftHi: String, rightTime: String): DataFrame = {
+    val spark = left.sparkSession
+    GraftPlanBridge.addStrategy(spark, IntervalJoinStrategy)
     GraftPlanBridge.ofRows(spark,
-      IntervalJoinPlan(lp, rp, Seq(res(lp, leftKey)), Seq(res(rp, rightKey)),
-        res(lp, leftLo), res(lp, leftHi), res(rp, rightTime)))
+      plan(left, right, leftKey, rightKey, leftLo, leftHi, rightTime))
   }
 }

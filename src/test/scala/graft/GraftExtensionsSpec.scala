@@ -113,4 +113,67 @@ class GraftExtensionsSpec extends AnyFunSuite {
       SparkSession.setActiveSession(base)
     }
   }
+
+  test("asof_join / interval_join table-valued SQL forms plan the native execs") {
+    val base = SparkSpec.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      import s.implicits._
+      // pure-SQL reachability: no imperative strategy registration happens
+      // anywhere in this test — the only planning path is the extension
+      def noImperative() = assert(
+        !s.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy) &&
+          !s.experimental.extraStrategies.contains(graft.plans.IntervalJoinStrategy),
+        "native join strategies must not be imperatively registered here")
+      noImperative()
+      Seq((1L, 10L), (1L, 20L), (2L, 7L)).toDF("k", "t")
+        .createOrReplaceTempView("lv")
+      Seq((1L, 5L, "x"), (1L, 15L, "y"), (2L, 9L, "z")).toDF("rk", "rt", "v")
+        .createOrReplaceTempView("rv")
+
+      // ---- asof_join: left-outer, latest right at or before t ----------
+      val asof = s.sql("SELECT t, v FROM asof_join('lv','rv','k','rk','t','rt')")
+      assert(asof.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+      assert(asof.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+        Set((10L, "x"), (20L, "y"), (7L, null)))
+
+      // ---- interval_join: inner, rt in [lo, hi] inclusive ---------------
+      Seq((1L, 4L, 16L), (2L, 10L, 20L)).toDF("k", "lo", "hi")
+        .createOrReplaceTempView("wv")
+      val ivl = s.sql(
+        "SELECT k, v FROM interval_join('wv','rv','k','rk','lo','hi','rt')")
+      assert(ivl.queryExecution.executedPlan.toString.contains("IntervalJoin"))
+      assert(ivl.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+        Set((1L, "x"), (1L, "y")))
+
+      // the SQL forms compose: usable as a subquery feeding further SQL
+      val agg = s.sql(
+        """SELECT count(v) AS matched
+          |FROM asof_join('lv','rv','k','rk','t','rt')""".stripMargin)
+      assert(agg.head().getLong(0) === 2L)
+
+      // argument validation surfaces clear errors at analysis time
+      def rootMsgs(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+        .takeWhile(_ != null).take(10)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+      assert(rootMsgs(intercept[Exception](
+        s.sql("SELECT * FROM asof_join('lv','rv','k','rk','t')").collect()))
+        .contains("expects 6"))
+      assert(rootMsgs(intercept[Exception](
+        s.sql("SELECT * FROM asof_join('lv','rv','k','rk','t', 42)").collect()))
+        .contains("string literal"))
+      assert(rootMsgs(intercept[Exception](
+        s.sql("SELECT * FROM asof_join('lv','rv','nope','rk','t','rt')")
+          .collect())).contains("nope"))
+      noImperative()
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
 }
