@@ -642,6 +642,105 @@ object DedupQueries {
              |FROM base LEFT JOIN drop_ids dr ON base.doc_id = dr.doc_id""".stripMargin)
     ),
 
+    // ----- leakage-free eval splits: cluster-aware train/val/test ----------
+    // The train/test-contamination guard every training run needs BEFORE
+    // sampling: a naive per-document split (doc_id % 10 -> 8/1/1
+    // train/val/test) puts near-duplicate documents on opposite sides of
+    // the eval boundary, silently inflating eval scores. The fix is the
+    // standard one (Lee et al., "Deduplicating Training Data Makes
+    // Language Models Better", ACL'22 §6): assign the whole near-dup
+    // CLUSTER to one split — every member inherits its component
+    // representative's bucket, so no verified pair can cross splits.
+    // Output contrasts both strategies on the same corpus: the naive row
+    // REPORTS its leaked pairs (nonzero at every gate — the measured
+    // failure), the cluster row's leak count is structurally zero and the
+    // oracle re-derives that zero from exact transitive closure rather
+    // than trusting the construction.
+    //
+    // Scale design: one components pass over verified pair mass (tiny next
+    // to the corpus), one join of the label frame back to the doc list
+    // (label cardinality = docs-that-have-a-duplicate, so AQE elects
+    // broadcast when it is small and shuffles on doc_id when a recrawl
+    // makes it corpus-sized — no hint forces the wrong plan), and a
+    // pair-mass leak audit per strategy. The corpus itself is scanned
+    // once; buckets are pure integer arithmetic on ids, replay-stable
+    // under re-runs and appends (a doc's bucket never depends on
+    // partition layout or row order).
+    "dedup_leakage_split" -> QuerySpec(
+      (s, d) => {
+        val pairs = graft.CacheTracker.track(minhashPairs(s, d)
+          .select(col("doc_a"), col("doc_b"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val comp = graft.operators.ConnectedComponents
+          .components(pairs, "doc_a", "doc_b")
+        val rep = docs(s, d).select(col("doc_id"))
+          .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("rep"))
+        def bucket(c: String) = expr(
+          s"CASE WHEN $c % 10 < 8 THEN 'train' WHEN $c % 10 = 8 THEN 'val' " +
+            "ELSE 'test' END")
+        val sp = graft.CacheTracker.track(rep
+          .select(col("doc_id"), bucket("doc_id").as("naive"),
+            bucket("rep").as("cluster"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        def strat(name: String) = {
+          val counts = sp.agg(
+            sum(when(col(name) === "train", 1L).otherwise(0L)).as("n_train"),
+            sum(when(col(name) === "val", 1L).otherwise(0L)).as("n_val"),
+            sum(when(col(name) === "test", 1L).otherwise(0L)).as("n_test"))
+          val leaked = pairs
+            .join(sp.select(col("doc_id").as("doc_a"), col(name).as("sa")),
+              Seq("doc_a"))
+            .join(sp.select(col("doc_id").as("doc_b"), col(name).as("sb")),
+              Seq("doc_b"))
+            .filter(col("sa") =!= col("sb"))
+            .agg(count(lit(1)).as("leaked_pairs"))
+          counts.crossJoin(leaked).select(lit(name).as("strategy"),
+            col("n_train"), col("n_val"), col("n_test"), col("leaked_pairs"))
+        }
+        strat("naive").unionAll(strat("cluster")).orderBy(col("strategy"))
+      },
+      Some(s"""WITH RECURSIVE $MinhashPairsCte,
+             |e AS (SELECT doc_a AS a, doc_b AS b FROM v WHERE j >= 0.5),
+             |und AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+             |verts AS (SELECT DISTINCT a AS id FROM und),
+             |reach AS (SELECT id, id AS r FROM verts
+             |  UNION
+             |  SELECT u.a AS id, reach.r FROM und u JOIN reach ON u.b = reach.id),
+             |lbl AS (SELECT id, MIN(r) AS lbl FROM reach GROUP BY id),
+             |rep AS (SELECT d.doc_id, COALESCE(l.lbl, d.doc_id) AS rep
+             |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id),
+             |sp AS (SELECT doc_id,
+             |    CASE WHEN doc_id % 10 < 8 THEN 'train'
+             |      WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END AS naive,
+             |    CASE WHEN rep % 10 < 8 THEN 'train'
+             |      WHEN rep % 10 = 8 THEN 'val' ELSE 'test' END AS cluster
+             |  FROM rep),
+             |pr AS (SELECT doc_a, doc_b FROM v WHERE j >= 0.5),
+             |nv AS (SELECT
+             |    CAST(SUM(CASE WHEN naive = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+             |    CAST(SUM(CASE WHEN naive = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+             |    CAST(SUM(CASE WHEN naive = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+             |  FROM sp),
+             |nl AS (SELECT CAST(COUNT(*) AS BIGINT) AS leaked_pairs
+             |  FROM pr p JOIN sp a ON p.doc_a = a.doc_id
+             |    JOIN sp b ON p.doc_b = b.doc_id WHERE a.naive <> b.naive),
+             |cv AS (SELECT
+             |    CAST(SUM(CASE WHEN cluster = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+             |    CAST(SUM(CASE WHEN cluster = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+             |    CAST(SUM(CASE WHEN cluster = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+             |  FROM sp),
+             |cl AS (SELECT CAST(COUNT(*) AS BIGINT) AS leaked_pairs
+             |  FROM pr p JOIN sp a ON p.doc_a = a.doc_id
+             |    JOIN sp b ON p.doc_b = b.doc_id WHERE a.cluster <> b.cluster)
+             |SELECT 'cluster' AS strategy, cv.n_train, cv.n_val, cv.n_test,
+             |  cl.leaked_pairs FROM cv, cl
+             |UNION ALL
+             |SELECT 'naive' AS strategy, nv.n_train, nv.n_val, nv.n_test,
+             |  nl.leaked_pairs FROM nv, nl
+             |ORDER BY strategy""".stripMargin)
+    ),
+
     // ----- incremental dedup: new batch vs a persisted signature index -----
     // The shape that actually runs at 100 TB: a corpus that size is never
     // re-deduplicated from scratch when a new crawl arrives — its per-doc

@@ -714,6 +714,91 @@ object SimilarityQueries {
   // at object init
   def all: Map[String, QuerySpec] = Map(
 
+    // ----- top principal component via power iteration ----------------------
+    // The spectral diagnostic an embedding pipeline runs before whitening /
+    // dimensionality decisions and after encoder swaps (anisotropy drift):
+    // the dominant direction of the uncentered second-moment (Gram) matrix
+    // and the share of total squared mass it explains. The computation is
+    // the `RowMatrix.computePrincipalComponents` shape, re-expressed
+    // declaratively: ONE distributed pass reduces the corpus to the d×d
+    // Gram — each task partial-aggregates its (i, j) products map-side, so
+    // the shuffle carries at most d² rows per task regardless of corpus
+    // size — and the driver collects only the d² = 4096-entry matrix
+    // (bounded, corpus-independent), exactly like MLlib's Gramian collect.
+    // Power iteration then runs driver-side in exact BigInt arithmetic:
+    // 3 rounds of y = G·x with a per-round renormalization to max-coord
+    // 1000 via sign(y)·(|y|·1000 div max|y|) — abs before the division
+    // keeps truncation == floor in both engines (Spark div truncates,
+    // DuckDB // floors; they agree only for non-negative operands).
+    // Quantization is 1e3-scale (NOT the family's 1e6): the Gram chain
+    // multiplies q_i·q_j·n·x, and the coarser scale keeps every
+    // intermediate inside BIGINT headroom at 1000× the corpus while 1e-3
+    // resolution is far below the direction estimate's own error. The
+    // oracle replays the Gram, all 3 rounds, and the Rayleigh quotient in
+    // HUGEINT, hash-checking the whole chain.
+    "sim_pca_power" -> QuerySpec(
+      (s, d) => {
+        import s.implicits._
+        val q = emb(s, d).select(
+          expr("transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))")
+            .as("qe"))
+        val ex = q.select(col("qe"), posexplode(col("qe")).as(Seq("p", "qi")))
+          .select(col("qe"), (col("p") + 1).as("i"), col("qi"))
+        val gRows = ex
+          .select(col("i"), col("qi"), posexplode(col("qe")).as(Seq("p2", "qj")))
+          .select(col("i"), (col("p2") + 1).as("j"), expr("qi * qj").as("v"))
+          .groupBy(col("i"), col("j")).agg(sum(col("v")).as("g"))
+          .collect()
+        val dim = gRows.iterator.map(_.getInt(0)).max
+        val g = Array.ofDim[Long](dim, dim)
+        gRows.foreach(r => g(r.getInt(0) - 1)(r.getInt(1) - 1) = r.getLong(2))
+        def mul(x: Array[BigInt]): Array[BigInt] =
+          Array.tabulate(dim)(i =>
+            (0 until dim).foldLeft(BigInt(0))((a, j) => a + BigInt(g(i)(j)) * x(j)))
+        var x = Array.fill(dim)(BigInt(1000))
+        for (_ <- 1 to 3) {
+          val y = mul(x)
+          val m = y.map(_.abs).max
+          x = y.map(v => v.sign * (v.abs * 1000 / m))
+        }
+        val y = mul(x)
+        val num = (0 until dim).foldLeft(BigInt(0))((a, i) => a + x(i) * y(i))
+        val den = x.foldLeft(BigInt(0))((a, v) => a + v * v)
+        val trace = (0 until dim).foldLeft(BigInt(0))((a, i) => a + BigInt(g(i)(i)))
+        val lam = num / den
+        val share = lam * 1000000 / trace
+        (1 to dim).map(i => (i, x(i - 1).toLong, lam.toLong, share.toLong))
+          .toDF("i", "coord", "eigenvalue", "share_micro")
+          .orderBy(col("i"))
+      },
+      Some("""WITH q AS (SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
+             |  FROM embeddings),
+             |ex AS (SELECT qe, unnest(generate_series(1, len(qe))) AS i FROM q),
+             |ex2 AS (SELECT qe, i, qe[i] AS qi,
+             |    unnest(generate_series(1, len(qe))) AS j FROM ex),
+             |g AS (SELECT i, j, CAST(SUM(qi * qe[j]) AS BIGINT) AS g FROM ex2 GROUP BY i, j),
+             |x0 AS (SELECT DISTINCT i, CAST(1000 AS HUGEINT) AS x FROM g),
+             |y1 AS (SELECT g.i, SUM(g.g * x0.x) AS y FROM g JOIN x0 ON g.j = x0.i GROUP BY g.i),
+             |x1 AS (SELECT i, CAST(sign(y) AS HUGEINT) *
+             |    (ABS(y) * 1000 // (SELECT MAX(ABS(y)) FROM y1)) AS x FROM y1),
+             |y2 AS (SELECT g.i, SUM(g.g * x1.x) AS y FROM g JOIN x1 ON g.j = x1.i GROUP BY g.i),
+             |x2 AS (SELECT i, CAST(sign(y) AS HUGEINT) *
+             |    (ABS(y) * 1000 // (SELECT MAX(ABS(y)) FROM y2)) AS x FROM y2),
+             |y3 AS (SELECT g.i, SUM(g.g * x2.x) AS y FROM g JOIN x2 ON g.j = x2.i GROUP BY g.i),
+             |x3 AS (SELECT i, CAST(sign(y) AS HUGEINT) *
+             |    (ABS(y) * 1000 // (SELECT MAX(ABS(y)) FROM y3)) AS x FROM y3),
+             |y4 AS (SELECT g.i, SUM(g.g * x3.x) AS y FROM g JOIN x3 ON g.j = x3.i GROUP BY g.i),
+             |num AS (SELECT SUM(x3.x * y4.y) AS v FROM x3 JOIN y4 ON x3.i = y4.i),
+             |den AS (SELECT SUM(x * x) AS v FROM x3),
+             |tr AS (SELECT SUM(g) AS v FROM g WHERE i = j),
+             |lam AS (SELECT (SELECT v FROM num) // (SELECT v FROM den) AS v)
+             |SELECT x3.i AS i, CAST(x3.x AS BIGINT) AS coord,
+             |  CAST((SELECT v FROM lam) AS BIGINT) AS eigenvalue,
+             |  CAST((SELECT v FROM lam) * 1000000 // (SELECT v FROM tr) AS BIGINT) AS share_micro
+             |FROM x3 ORDER BY i""".stripMargin)
+    ),
+
     // ----- brute-force exact cosine top-k (baseline) ------------------------
     "sim_cosine_topk" -> QuerySpec(
       (s, d) => {
