@@ -12,9 +12,17 @@ object Bench {
     * warmup pass stays meaningful.
     */
   private def newSession(cpus: String): SparkSession = {
+    // Shuffle partitions default to the core count (right for sf<=0.1) but
+    // are overridable for scale probes: a 128x corpus through 32 partitions
+    // puts ~40M token-level rows in each per-partition sort — past the
+    // executor-memory envelope, so every wide stage tips into external
+    // sort/spill. Production sizing is partitions ~ input-bytes / 128MB,
+    // which is exactly what the probe passes here.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       // AQE's size-based coalescing folds every small shuffle to ONE
       // partition, serializing CPU-bound stages (signature hashing, pair
       // joins). These workloads are compute-heavy per byte — keep the

@@ -9,7 +9,9 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // overridable for scale replays — see Bench.newSession's sizing note
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       // match Bench: typed-Aggregator queries keep hash aggregation instead
       // of the 128-key sort-based fallback

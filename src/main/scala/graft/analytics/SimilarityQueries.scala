@@ -742,16 +742,11 @@ object SimilarityQueries {
         val q = emb(s, d).select(
           expr("transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))")
             .as("qe"))
-        val ex = q.select(col("qe"), posexplode(col("qe")).as(Seq("p", "qi")))
-          .select(col("qe"), (col("p") + 1).as("i"), col("qi"))
-        val gRows = ex
-          .select(col("i"), col("qi"), posexplode(col("qe")).as(Seq("p2", "qj")))
-          .select(col("i"), (col("p2") + 1).as("j"), expr("qi * qj").as("v"))
-          .groupBy(col("i"), col("j")).agg(sum(col("v")).as("g"))
-          .collect()
-        val dim = gRows.iterator.map(_.getInt(0)).max
-        val g = Array.ofDim[Long](dim, dim)
-        gRows.foreach(r => g(r.getInt(0) - 1)(r.getInt(1) - 1) = r.getLong(2))
+        val flat = q.as[Array[Long]]
+          .select(graft.functions.GramAggregator.toColumn.name("g"))
+          .head()
+        val dim = math.sqrt(flat.length.toDouble).toInt
+        val g = Array.tabulate(dim, dim)((i, j) => flat(i * dim + j))
         def mul(x: Array[BigInt]): Array[BigInt] =
           Array.tabulate(dim)(i =>
             (0 until dim).foldLeft(BigInt(0))((a, j) => a + BigInt(g(i)(j)) * x(j)))
