@@ -1150,6 +1150,100 @@ object DedupQueries {
              |ORDER BY doc_a, doc_b""".stripMargin)
     ),
 
+    // ----- ExactSubstr rewrite (Lee et al. ACL'22, "Deduplicating Training
+    // Data Makes Language Models Better") — the load-bearing consumer of the
+    // span machinery: REMOVE duplicated >=20-token spans from every document
+    // that shares them with a lower-id (canonical) document, and report the
+    // per-source rewrite: docs touched, exact token mass removed, removal
+    // ratio. dedup_span DETECTS pairs; this is the corpus surgery a training
+    // pipeline actually ships.
+    //
+    // Exact semantics, mirrored by the oracle: a token position p of doc b is
+    // duplicated iff it is covered by a maximal diagonal island of >= 20
+    // tokens shared with ANY doc a < b (keep-first canonicalization — the
+    // deterministic instantiation of "keep one occurrence"). Overlapping
+    // islands from different partners union EXACTLY via distinct (doc, pos),
+    // so a position is never double-counted.
+    //
+    // Scale: identical posting/join/island shape to dedup_span (DF-capped
+    // inverted index, shuffles on shingle hash then on (pair, diag)); the
+    // only new mass is the interval explode, which is bounded by the TRUE
+    // duplicated token mass (output-bound, <= corpus tokens) and collapses
+    // through a map-side-combinable distinct + per-doc count. No stage holds
+    // a whole document family in memory.
+    "dedup_exact_substr" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        graft.functions.VectorExpressions.register(s)
+        val base = graft.CacheTracker.track(Tables.spread(docs(s, d), "doc_id")
+          .withColumn("t", expr(tokensS("text")))
+          .withColumn("th", expr(tokenHashesS("t")))
+          .select(col("doc_id"), col("source"), size(col("t")).as("n_tok"),
+            expr("shingle3_hash(th)").as("hs"))
+          .persist(MEMORY_AND_DISK))
+        val pc0 = base.select(col("doc_id"), posexplode(col("hs")).as(Seq("pos0", "h")))
+          .withColumn("pos", col("pos0") + 1).drop("pos0")
+        val hot = pc0.groupBy(col("h")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > ShingleDfCap).select(col("h"))
+        val pc = graft.CacheTracker.track(pc0.join(hot, Seq("h"), "left_anti")
+          .persist(MEMORY_AND_DISK))
+        val m = pc.as("x")
+          .join(pc.as("y"), col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+            col("x.pos").as("pa"), (col("x.pos") - col("y.pos")).as("diag"))
+        val wr = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+          .orderBy(col("pa"))
+        val isl = m.withColumn("grp", col("pa") - row_number().over(wr))
+          .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
+          .agg(min(col("pa")).as("fa"), max(col("pa")).as("la"),
+            (count(lit(1)) + 2).as("span_tokens"))
+          .filter(col("span_tokens") >= 20)
+        val rem = isl
+          .select(col("doc_b").as("doc_id"),
+            explode(expr("sequence(fa - diag, la - diag + 2)")).as("p"))
+          .distinct()
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("removed"))
+        base.select(col("doc_id"), col("source"), col("n_tok"))
+          .join(rem, Seq("doc_id"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            count(col("removed")).as("docs_affected"),
+            sum(coalesce(col("removed"), lit(0L))).cast("bigint").as("tokens_removed"),
+            sum(col("n_tok")).cast("bigint").as("tokens_total"))
+          .withColumn("removed_micro",
+            expr("floor(tokens_removed / tokens_total * 1e6 + 0.5)").cast("bigint"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, source, ${tokensD("text")} AS t FROM documents),
+             |th AS (SELECT doc_id, source, len(t) AS n_tok,
+             |    ${shingleHashesD(tokenHashesD("t"))} AS hs FROM toks),
+             |p0 AS (SELECT doc_id, hs, unnest(generate_series(1, len(hs))) AS pos FROM th),
+             |p AS (SELECT doc_id, pos, hs[pos] AS h FROM p0),
+             |pc AS (SELECT doc_id, pos, h FROM p
+             |  QUALIFY COUNT(*) OVER (PARTITION BY h) <= $ShingleDfCap),
+             |m AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.pos AS pa,
+             |    x.pos - y.pos AS diag
+             |  FROM pc x JOIN pc y ON x.h = y.h AND x.doc_id < y.doc_id),
+             |runs AS (SELECT doc_a, doc_b, diag, pa,
+             |    pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp
+             |  FROM m),
+             |isl AS (SELECT doc_a, doc_b, diag, grp, MIN(pa) AS fa, MAX(pa) AS la
+             |  FROM runs GROUP BY 1, 2, 3, 4 HAVING COUNT(*) + 2 >= 20),
+             |remp0 AS (SELECT doc_b AS doc_id,
+             |    unnest(generate_series(fa - diag, la - diag + 2)) AS pos FROM isl),
+             |rempos AS (SELECT DISTINCT doc_id, pos FROM remp0),
+             |rem AS (SELECT doc_id, COUNT(*) AS removed FROM rempos GROUP BY 1)
+             |SELECT source, COUNT(*) AS n_docs,
+             |  COUNT(rem.removed) AS docs_affected,
+             |  CAST(SUM(COALESCE(rem.removed, 0)) AS BIGINT) AS tokens_removed,
+             |  CAST(SUM(n_tok) AS BIGINT) AS tokens_total,
+             |  CAST(FLOOR(SUM(COALESCE(rem.removed, 0)) / SUM(n_tok) * 1e6 + 0.5) AS BIGINT)
+             |    AS removed_micro
+             |FROM th LEFT JOIN rem ON th.doc_id = rem.doc_id
+             |GROUP BY source ORDER BY source""".stripMargin)
+    ),
+
     // ----- winnowing-fingerprint span detection (MOSS made load-bearing) ----
     // The pair-detection consumer of txt_winnowing's selection: shared
     // POSITION-BEARING winnowed fingerprints between documents, grouped
