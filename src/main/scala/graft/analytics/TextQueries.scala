@@ -240,6 +240,61 @@ object TextQueries {
              |FROM q ORDER BY doc_id""".stripMargin)
     ),
 
+    // ----- per-domain document cap (FineWeb-style) --------------------------
+    // The crawl-curation lever the quality score alone can't express: no
+    // domain may contribute more than CAP documents, and when a domain is
+    // over the cap it keeps its BEST docs (quality desc, doc_id tiebreak) —
+    // boilerplate-heavy mega-domains get squeezed, small domains pass
+    // untouched. min_kept_quality is the induced per-domain threshold, the
+    // number a curation owner actually reads off this report. Scale shape:
+    // the rank is a per-domain top-K — the window form here is exact and
+    // shuffles once on source; at 100 TB with a skewed mega-domain the same
+    // semantics run through a bounded top-K aggregate (the top7_by_score
+    // move: partial phase cuts each map task to K rows per domain before
+    // the exchange), so no executor ever sorts a whole domain.
+    "txt_domain_cap" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val q = docs(s, d)
+          .withColumn("t", expr(tokensS("text")))
+          .withColumn("stop_ratio", expr(stopRatioS("t")))
+          .withColumn("distinct_ratio", expr(distinctRatioS("t")))
+          .withColumn("len_score", expr(lenScoreS("text")))
+          .withColumn("quality", expr(QualityS))
+          .select(col("doc_id"), col("source"), size(col("t")).as("n_tok"),
+            col("quality"))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("quality").desc, col("doc_id"))
+        q.withColumn("kept", (row_number().over(w) <= 10).cast("int"))
+          .groupBy(col("source"))
+          .agg(sum(col("kept")).cast("bigint").as("docs_kept"),
+            sum(expr("1 - kept")).cast("bigint").as("docs_dropped"),
+            sum(expr("kept * n_tok")).cast("bigint").as("tokens_kept"),
+            sum(expr("(1 - kept) * n_tok")).cast("bigint").as("tokens_dropped"),
+            min(when(col("kept") === 1, col("quality"))).as("min_kept_quality"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH toks AS (SELECT *, ${tokensD("text")} AS t FROM documents),
+             |q AS (SELECT doc_id, source, len(t) AS n_tok,
+             |    floor(len(list_filter(t, w -> list_contains(['the','a','of','and','is','to'], w))) / len(t) * 1e6 + 0.5) / 1e6 AS stop_ratio,
+             |    floor(len(list_distinct(t)) / len(t) * 1e6 + 0.5) / 1e6 AS distinct_ratio,
+             |    floor(least(length(trim(text)), 400) / 400 * 1e6 + 0.5) / 1e6 AS len_score
+             |  FROM toks),
+             |s AS (SELECT doc_id, source, n_tok,
+             |    floor((0.3 * stop_ratio + 0.4 * distinct_ratio + 0.3 * len_score) * 1e6 + 0.5) / 1e6 AS quality
+             |  FROM q),
+             |k AS (SELECT *, CASE WHEN ROW_NUMBER() OVER (PARTITION BY source
+             |      ORDER BY quality DESC, doc_id) <= 10 THEN 1 ELSE 0 END AS kept
+             |  FROM s)
+             |SELECT source,
+             |  CAST(SUM(kept) AS BIGINT) AS docs_kept,
+             |  CAST(SUM(1 - kept) AS BIGINT) AS docs_dropped,
+             |  CAST(SUM(kept * n_tok) AS BIGINT) AS tokens_kept,
+             |  CAST(SUM((1 - kept) * n_tok) AS BIGINT) AS tokens_dropped,
+             |  MIN(CASE WHEN kept = 1 THEN quality END) AS min_kept_quality
+             |FROM k GROUP BY source ORDER BY source""".stripMargin)
+    ),
+
     // ----- learned quality filter: pocket perceptron distillation -----------
     // The GPT-3-lineage quality stage is a LEARNED linear classifier, not a
     // hand rule. This trains one IN-ENGINE and exactly (Snorkel-style
