@@ -50,6 +50,46 @@ object GraphQueries {
   /** Synchronous power iterations (fixed — both engines unroll the same). */
   val PrIters = 8
 
+  /** Synchronous label-propagation rounds (fixed — both engines unroll the
+    * same; synchronous LPA can oscillate on bipartite shapes, so the
+    * operator's CONTRACT is the round-`LpaIters` labels, not a fixpoint).
+    */
+  val LpaIters = 4
+
+  /** One synchronous LPA round per iteration over symmetrized `arcs`
+    * (src, dst) WITH self-loops included: each node adopts the MODE of its
+    * neighbors' labels plus its own, ties broken by the smallest label.
+    * The self-vote is load-bearing, not a convention: without it a
+    * synchronous pair {a,b} SWAPS labels every round (the classic LPA
+    * two-cycle on bipartite shapes), so any even round count returns every
+    * pair to singletons — measured exactly that way on the sf0.01 dup
+    * graph (45 communities over 47 nodes) before the self-vote, 23 genuine
+    * communities after. The mode is computed as `min(struct(-count,
+    * label))` — two map-side-combinable aggregates, no window, so per-task
+    * state is bounded by live (node, label) pairs and a hub's vote list
+    * never sorts on one executor. `arcs` should be persisted
+    * pre-partitioned on `dst` (the per-round join key) and must already
+    * contain the (node, node) self-arcs.
+    */
+  private[graft] def lpaRounds(arcs: DataFrame, iters: Int): DataFrame = {
+    var lbl = arcs.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    for (i <- 1 to iters) {
+      lbl = arcs.join(lbl.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("src"))
+        .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("m"))
+        .select(col("src").as("node"), col("m.l").as("lbl"))
+      // bounded-depth lineage, as in pagerank: cached plan replaces the
+      // unrolled join chain every 2 rounds
+      if (i % 2 == 0 && i < iters)
+        lbl = graft.CacheTracker.track(lbl
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+    lbl
+  }
+
   /** graph_common_neighbors: wedge centers above this degree are excluded
     * from candidate generation — a hub's wedge fan-out is degree² and a
     * star rep's neighborhood is its whole bucket (no discriminative
@@ -215,6 +255,55 @@ object GraphQueries {
            |pr0 AS (SELECT node, $Scale // n.n AS r FROM deg CROSS JOIN n),
            |$iters
            |SELECT node, r AS rank_e12 FROM pr$PrIters ORDER BY node""".stripMargin
+      }
+    ),
+
+    // ----- label-propagation communities (synchronous, deterministic) ------
+    // Raghavan et al. 2007 over the near-dup graph: communities denser than
+    // connected components (a chain of borderline pairs is ONE component
+    // but its ends land in different label-propagation communities), the
+    // granularity at which a curation pipeline picks canonical documents.
+    // Synchronous rounds with neighbor-mode adoption and smallest-label
+    // tie-break make the result independent of execution order — the
+    // property plain asynchronous LPA lacks — and both engines unroll the
+    // SAME LpaIters rounds, so the oracle replays training exactly.
+    // Scale: per round, one shuffle-join of the rank-state against the
+    // dst-pre-partitioned adjacency (only the one-row-per-node label frame
+    // moves) + two partial aggregates; no windows anywhere.
+    "graph_label_prop" -> QuerySpec(
+      (s, d) => {
+        val e = edges(s, d)
+        val sym = arcs(e)
+        val withSelf = sym.unionByName(
+          sym.select(col("src")).distinct().select(col("src"), col("src").as("dst")))
+        val adj = graft.CacheTracker.track(withSelf
+          .repartition(col("dst"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val lbl = lpaRounds(adj, LpaIters)
+        val sizes = lbl.groupBy(col("lbl")).agg(count(lit(1)).as("community_size"))
+        lbl.join(sizes, "lbl")
+          .select(col("node"), col("lbl").as("community"), col("community_size"))
+          .orderBy(col("node"))
+      },
+      Some {
+        val iters = (1 to LpaIters).map { i =>
+          s"""l$i AS (SELECT src AS node, lbl FROM (
+             |  SELECT s.src, p.lbl, COUNT(*) AS c,
+             |    ROW_NUMBER() OVER (PARTITION BY s.src
+             |      ORDER BY COUNT(*) DESC, p.lbl) AS rn
+             |  FROM sym s JOIN l${i - 1} p ON p.node = s.dst
+             |  GROUP BY s.src, p.lbl) z WHERE rn = 1)""".stripMargin
+        }.mkString(",\n")
+        s"""$OracleEdges,
+           |sym0 AS (SELECT doc_a AS src, doc_b AS dst FROM e
+           |  UNION ALL SELECT doc_b, doc_a FROM e),
+           |sym AS (SELECT src, dst FROM sym0
+           |  UNION ALL SELECT DISTINCT src, src AS dst FROM sym0),
+           |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM sym),
+           |$iters,
+           |sz AS (SELECT lbl, COUNT(*) AS community_size FROM l$LpaIters GROUP BY lbl)
+           |SELECT l.node, l.lbl AS community, sz.community_size
+           |FROM l$LpaIters l JOIN sz ON sz.lbl = l.lbl ORDER BY l.node""".stripMargin
       }
     ),
 

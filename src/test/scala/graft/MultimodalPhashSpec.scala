@@ -121,7 +121,12 @@ class MultimodalPhashSpec extends AnyFunSuite {
     assert(got.contains((1L, 2L)), s"near-identical pair missing from $got")
     assert(got.contains((1L, 3L)) || got.contains((2L, 3L)),
       s"two-edit doc paired with neither sibling: $got")
-    assert(!got.exists { case (a, b) => b >= 10L && a <= 3L },
+    // in-query perturbed twins (doc_id % 5 == 0 → −(id+1)) pair with their
+    // own originals — including filler twins like (−11, 10) — so the
+    // cross-family check applies to REAL (non-negative) doc ids only
+    assert(got.contains((-11L, 10L)) && got.contains((-16L, 15L)),
+      s"derived twins must pair with their originals: $got")
+    assert(!got.exists { case (a, b) => a >= 0L && a <= 3L && b >= 10L },
       s"filler docs must not pair with the body family: $got")
   }
 }
