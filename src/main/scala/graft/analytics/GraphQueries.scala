@@ -97,6 +97,46 @@ object GraphQueries {
     */
   val CnHubCap = 50
 
+  /** k-core threshold: the K=2 core keeps exactly the nodes lying on a
+    * cycle/clique through surviving neighbors — boilerplate template
+    * families — and peels pairwise-only matches.
+    */
+  val KcoreK = 2
+
+  /** Synchronous peeling rounds (fixed — both engines unroll the same; the
+    * contract is the round-KcoreIters alive set, like [[LpaIters]]).
+    */
+  val KcoreIters = 6
+
+  /** `iters` synchronous peeling rounds over symmetrized `sym` (src, dst)
+    * arcs: each round drops every node whose degree within the CURRENT
+    * alive set is below `k`, then reports the survivors with their
+    * induced degree. Only the one-row-per-node alive frame shuffles per
+    * round (two endpoint semi-joins against the pre-partitioned arcs +
+    * one aggregate); lineage is cut every 2 rounds as pagerank/LPA do.
+    */
+  private[graft] def kcoreRounds(sym: DataFrame, k: Int, iters: Int): DataFrame = {
+    def induced(alive: DataFrame): DataFrame =
+      sym.join(alive.select(col("node").as("src")), "src")
+        .join(alive.select(col("node").as("dst")), "dst")
+        .groupBy(col("src")).agg(count(lit(1)).as("c"))
+    var alive = sym.select(col("src").as("node")).distinct()
+    for (i <- 1 to iters) {
+      alive = induced(alive).filter(col("c") >= k)
+        .select(col("src").as("node"))
+      // TRUE lineage cut (localCheckpoint, the k-center move), not a
+      // persist: `alive` feeds induced() at BOTH endpoints, so the
+      // logical plan doubles per round — 2^iters without a cut, which
+      // blows up plan stringification long before execution. Cutting
+      // every 2 rounds keeps each segment's plan at 4 copies of a
+      // one-row-per-node frame.
+      if (i % 2 == 0 && i < iters)
+        alive = graft.CacheTracker.track(alive.localCheckpoint(true))
+    }
+    induced(alive)
+      .select(col("src").as("node"), col("c").as("core_degree"))
+  }
+
   /** Undirected near-dup edges (doc_a < doc_b), Jaccard-verified — read
     * from the persistent [[graft.operators.DupGraph]] store (built on first
     * use per corpus), so each graph query's input is a 2-column parquet
@@ -304,6 +344,51 @@ object GraphQueries {
            |sz AS (SELECT lbl, COUNT(*) AS community_size FROM l$LpaIters GROUP BY lbl)
            |SELECT l.node, l.lbl AS community, sz.community_size
            |FROM l$LpaIters l JOIN sz ON sz.lbl = l.lbl ORDER BY l.node""".stripMargin
+      }
+    ),
+
+    // ----- k-core decomposition: peel the dup graph to its dense core ------
+    // Seidman 1983 / the distributed peeling form (Montresor et al. 2013):
+    // iteratively remove nodes with fewer than K neighbors in the SURVIVING
+    // subgraph until stable. On a near-dup graph the K=2 core separates
+    // boilerplate CLIQUES (template families — every member stays: each
+    // node keeps >= 2 surviving neighbors) from incidental pairwise
+    // matches (degree-1 chains peel away round by round), which is the
+    // structure a curation owner keys "delete all but one" decisions on —
+    // components alone can't tell a clique from a chain of borderline
+    // pairs. Contract mirrors graph_label_prop: the round-KcoreIters alive
+    // set (both engines unroll the SAME rounds; on every gate corpus the
+    // peel reaches fixpoint well inside the budget — round counts measured
+    // stable at sf0.01/0.1), reported with each survivor's induced degree.
+    // Scale: per round, the one-row-per-node alive frame semi-joins the
+    // src-pre-partitioned adjacency twice (src + dst endpoint filters) and
+    // re-aggregates — only node-sized state ever shuffles, the edge scan
+    // stays cached and pruned, and lineage is cut every 2 rounds exactly
+    // as pagerank/LPA do. No windows anywhere.
+    "graph_kcore" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val sym = graft.CacheTracker.track(arcs(edges(s, d))
+          .repartition(col("src"))
+          .persist(MEMORY_AND_DISK))
+        kcoreRounds(sym, KcoreK, KcoreIters).orderBy(col("node"))
+      },
+      Some {
+        val rounds = (1 to KcoreIters).map { i =>
+          s"""d$i AS (SELECT s.src AS node, COUNT(*) AS c FROM sym s
+             |  JOIN a${i - 1} x ON s.src = x.node
+             |  JOIN a${i - 1} y ON s.dst = y.node GROUP BY s.src),
+             |a$i AS (SELECT node FROM d$i WHERE c >= $KcoreK)""".stripMargin
+        }.mkString(",\n")
+        s"""$OracleEdges,
+           |sym AS (SELECT doc_a AS src, doc_b AS dst FROM e
+           |  UNION ALL SELECT doc_b, doc_a FROM e),
+           |a0 AS (SELECT DISTINCT src AS node FROM sym),
+           |$rounds
+           |SELECT s.src AS node, COUNT(*) AS core_degree FROM sym s
+           |  JOIN a$KcoreIters x ON s.src = x.node
+           |  JOIN a$KcoreIters y ON s.dst = y.node
+           |GROUP BY s.src ORDER BY node""".stripMargin
       }
     ),
 

@@ -2218,6 +2218,200 @@ object TextQueries {
              |  CAST(floor(cnt / n_total * 1e6 + 0.5) AS BIGINT) AS ppm
              |FROM c CROSS JOIN tot WHERE cnt * 64 > n_total
              |ORDER BY cnt DESC, w""".stripMargin)
+    ),
+
+    // ----- Kneser-Ney bigram perplexity: the KenLM-grade LM filter ----------
+    // txt_bigram_perplexity's add-one MLE is the textbook baseline; real
+    // pipelines (CCNet's KenLM models) use interpolated Kneser-Ney, whose
+    // backoff weight is the DIVERSITY of contexts, not raw frequency:
+    //   p_KN(w2|w1) = max(c12 - D, 0)/c1 + D * N1+(w1.)/c1 * N1+(.w2)/T
+    // with discount D = 3/4. With the rational D, the probability is a
+    // ratio of exact integers:
+    //   p = [max(4*c12 - 3, 0) * T + 3 * N1a * N1b] / (4 * c1 * T)
+    // so per-bigram cost = ln(1/p) floors to micro-nat BIGINTs with zero
+    // cross-engine float risk beyond the documented ~1-ulp libm ln (the
+    // whole family's accepted residual). Every corpus bigram has c12 >= 1,
+    // so the max() arm never zeroes the numerator — no OOV branch needed.
+    // Magnitude guard: c1*T stays under 2^61 up to ~1e9-type vocabularies
+    // (the factors cast to double only INSIDE the ln argument).
+    // Scale shape: inherits txt_bigram_perplexity's design whole — one
+    // corpus pass to (doc, bigram, k), all model tables are bigram-TYPE
+    // sized (continuation counts N1+ are exactly COUNT(*) over the type
+    // table, no extra corpus pass), hot/cold Zipf split on the score join.
+    "txt_kn_perplexity" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val bgk = graft.CacheTracker.track(docs(s, d)
+          .withColumn("t", expr(tokensS("text")))
+          .select(col("doc_id"), explode(expr(
+            "if(size(t) < 2, cast(array() as array<string>), " +
+              "transform(sequence(1, size(t) - 1), " +
+              "j -> concat(element_at(t, j), ' ', element_at(t, j + 1))))")).as("b"))
+          .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("k"))
+          .persist(MEMORY_AND_DISK))
+        // one row per bigram TYPE; w1/w2 splits feed every model table
+        val sp = graft.CacheTracker.track(
+          bgk.groupBy(col("b")).agg(sum(col("k")).cast("bigint").as("cb"))
+            .withColumn("w1", expr("substring_index(b, ' ', 1)"))
+            .withColumn("w2", expr("substring_index(b, ' ', -1)"))
+            .persist(MEMORY_AND_DISK))
+        val c1 = sp.groupBy(col("w1"))
+          .agg(sum(col("cb")).cast("bigint").as("c1"),
+            count(lit(1)).as("n1a"))
+        val c2 = sp.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
+        val tt = sp.agg(count(lit(1)).as("t"))
+        val cost = graft.CacheTracker.track(
+          sp.join(c1, Seq("w1")).join(c2, Seq("w2")).crossJoin(broadcast(tt))
+            .select(col("b"), col("cb"),
+              expr("cast(floor(ln(cast(4 * c1 as double) * cast(t as double) / " +
+                "cast(greatest(4 * cb - 3, cast(0 as bigint)) * t + 3 * n1a * n1b as double)) " +
+                "* 1e6) as bigint)").as("cm"))
+            .persist(MEMORY_AND_DISK))
+        val hot = cost.orderBy(col("cb").desc, col("b").asc).limit(HotVocab)
+          .select(col("b"), col("cm"))
+        val cold = cost.join(hot.select(col("b")), Seq("b"), "left_anti")
+          .select(col("b"), col("cm"))
+        bgk.join(broadcast(hot), Seq("b"))
+          .unionByName(bgk.join(cold, Seq("b")))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("k")).cast("bigint").as("n_bigram"),
+            sum(expr("k * cm")).cast("bigint").as("sc"))
+          .select(col("doc_id"), col("n_bigram"),
+            expr("sc div n_bigram").as("kn_micro"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, ${tokensD("text")} AS t FROM documents),
+             |bga AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+             |    j -> t[j] || ' ' || t[j + 1]) AS bs FROM toks),
+             |tok AS (SELECT doc_id, unnest(bs) AS b FROM bga),
+             |bgk AS (SELECT doc_id, b, COUNT(*) AS k FROM tok GROUP BY 1, 2),
+             |sp AS (SELECT b, CAST(SUM(k) AS BIGINT) AS cb,
+             |    split_part(b, ' ', 1) AS w1, substr(b, strpos(b, ' ') + 1) AS w2
+             |  FROM bgk GROUP BY b),
+             |c1 AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS c1, COUNT(*) AS n1a
+             |  FROM sp GROUP BY w1),
+             |c2 AS (SELECT w2, COUNT(*) AS n1b FROM sp GROUP BY w2),
+             |tt AS (SELECT COUNT(*) AS t FROM sp),
+             |cost AS (SELECT sp.b,
+             |    CAST(floor(ln(CAST(4 * c1.c1 AS DOUBLE) * CAST(tt.t AS DOUBLE) /
+             |      CAST(GREATEST(4 * sp.cb - 3, 0) * tt.t + 3 * c1.n1a * c2.n1b AS DOUBLE)) * 1e6) AS BIGINT) AS cm
+             |  FROM sp JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN tt)
+             |SELECT g.doc_id, CAST(SUM(g.k) AS BIGINT) AS n_bigram,
+             |  CAST(SUM(g.k * c.cm) AS BIGINT) // CAST(SUM(g.k) AS BIGINT) AS kn_micro
+             |FROM bgk g JOIN cost c USING (b)
+             |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin)
+    ),
+
+    // ----- Gopher-style rule battery: the pre-filter before any model -------
+    // Rae et al. 2021 (Gopher, arXiv:2112.11446) filter documents with a
+    // battery of cheap surface rules BEFORE any learned quality model sees
+    // them; this is the standard first stage of every large-corpus pipeline
+    // (Gopher, MassiveText, FineWeb). The battery here is the five rules
+    // that are meaningful on this corpus shape (no newlines/symbols —
+    // bullet/ellipsis-line rules degenerate), each reported per document so
+    // a curation owner can see WHICH rule fired, plus the conjunction:
+    //   r_len   word count in [40, 90]           (Gopher's 50..100k window)
+    //   r_mwl   mean word length in [3.7, 4.6]   (Gopher's [3, 10])
+    //   r_stop  >= 2 stopwords                   (Gopher's "2 of a stop set")
+    //   r_dist  distinct-token ratio >= 0.5      (repetition proxy)
+    //   r_top   top-token fraction <= 0.1        (Gopher's top-2-gram rule)
+    // All thresholds compare exact integers (k*nw <= 10*sl forms — no
+    // division, no rounding, no cross-engine float risk). Scale shape: one
+    // pure per-row array-land projection, zero shuffles before the output
+    // sort — the whole battery pipelines inside a single codegen stage and
+    // is embarrassingly parallel at any corpus size. top_n uses the native
+    // max_elem_count over token hashes (txt_repetition's move) instead of
+    // an explode + two per-token aggregations to learn one scalar per doc.
+    "txt_gopher_rules" -> QuerySpec(
+      (s, d) => {
+        graft.functions.VectorExpressions.register(s)
+        docs(s, d)
+          .withColumn("t", expr(tokensS("text")))
+          .filter(expr("size(t) > 0"))
+          .withColumn("th", expr(tokenHashesS("t")))
+          .withColumn("nw", expr("cast(size(t) as bigint)"))
+          .withColumn("sl", expr(
+            "aggregate(t, cast(0 as bigint), (a, w) -> a + length(w))"))
+          .withColumn("stops", expr(
+            s"cast(size(filter(t, w -> array_contains($StopwordsSql, w))) as bigint)"))
+          .withColumn("nd", expr("cast(size(array_distinct(t)) as bigint)"))
+          .withColumn("top_n", expr("cast(max_elem_count(th) as bigint)"))
+          .select(col("doc_id"), col("nw").as("n_words"),
+            expr("nw between 40 and 90").as("r_len"),
+            expr("10 * sl >= 37 * nw and 10 * sl <= 46 * nw").as("r_mwl"),
+            expr("stops >= 2").as("r_stop"),
+            expr("2 * nd >= nw").as("r_dist"),
+            expr("10 * top_n <= nw").as("r_top"))
+          .withColumn("gopher_pass",
+            expr("r_len and r_mwl and r_stop and r_dist and r_top"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, ${tokensD("text")} AS t FROM documents),
+             |th AS (SELECT doc_id, t, ${tokenHashesD("t")} AS th FROM toks WHERE len(t) > 0),
+             |u AS (SELECT doc_id, unnest(th) AS h FROM th),
+             |c AS (SELECT doc_id, h, COUNT(*) AS k FROM u GROUP BY 1, 2),
+             |tops AS (SELECT doc_id, CAST(MAX(k) AS BIGINT) AS top_n FROM c GROUP BY 1),
+             |m AS (SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS nw,
+             |    CAST(list_sum(list_transform(t.t, w -> length(w))) AS BIGINT) AS sl,
+             |    CAST(len(list_filter(t.t, w -> list_contains(['the','a','of','and','is','to'], w))) AS BIGINT) AS stops,
+             |    CAST(len(list_distinct(t.t)) AS BIGINT) AS nd, tp.top_n
+             |  FROM th t JOIN tops tp USING (doc_id))
+             |SELECT doc_id, nw AS n_words,
+             |  nw BETWEEN 40 AND 90 AS r_len,
+             |  10 * sl >= 37 * nw AND 10 * sl <= 46 * nw AS r_mwl,
+             |  stops >= 2 AS r_stop,
+             |  2 * nd >= nw AS r_dist,
+             |  10 * top_n <= nw AS r_top,
+             |  (nw BETWEEN 40 AND 90) AND (10 * sl >= 37 * nw AND 10 * sl <= 46 * nw)
+             |    AND stops >= 2 AND 2 * nd >= nw AND 10 * top_n <= nw AS gopher_pass
+             |FROM m ORDER BY doc_id""".stripMargin)
+    ),
+
+    // ----- CCNet perplexity buckets: head / middle / tail selection ---------
+    // Wenzek et al. 2020 (CCNet, arXiv:1911.00359): score every document
+    // with a language model trained on a reference corpus, then split EACH
+    // LANGUAGE into perplexity terciles — "head" (most reference-like) is
+    // what most pipelines train on, "tail" is dropped, "middle" is the
+    // knob. Reuses txt_perplexity's unigram cross-entropy (same hot/cold
+    // Zipf-split join, same integer micro-nat fixed point) and assigns
+    // bucket = tercile of (xent, doc_id) rank within the doc's language —
+    // the doc_id tiebreak makes the rank (hence the hash) deterministic
+    // where raw ntile() would be engine-order dependent. Scale shape: the
+    // per-lang window here is the exact small-corpus form; at 100 TB the
+    // same semantics run two-pass — per-(lang, xent_micro) count-classes
+    // (xent is integer, so this is a bounded aggregate), cumulative counts
+    // over the tiny class table to find the two cut values per language,
+    // then a broadcast-threshold projection — no global sort ever sees the
+    // corpus, exactly how CCNet ships its trained cutoffs.
+    "txt_ccnet_buckets" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val px = perplexityFor(s, d, HotVocab)
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("xent_micro"), col("doc_id"))
+        px.join(docs(s, d).select(col("doc_id"), col("lang")), Seq("doc_id"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("lang"))))
+          .withColumn("bucket", expr(
+            "case (3 * (rn - 1)) div cnt when 0 then 'head' when 1 then 'middle' else 'tail' end"))
+          .select(col("doc_id"), col("lang"), col("xent_micro"), col("bucket"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, ${tokensD("text")} AS t FROM documents),
+             |tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+             |cnt AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+             |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM cnt),
+             |cost AS (SELECT w, CAST(floor(ln(CAST(total AS DOUBLE) / c) * 1e6) AS BIGINT) AS cm
+             |  FROM cnt CROSS JOIN tot),
+             |px AS (SELECT t.doc_id, CAST(SUM(k.cm) AS BIGINT) // COUNT(*) AS xent_micro
+             |  FROM tok t JOIN cost k USING (w) GROUP BY t.doc_id),
+             |j AS (SELECT p.doc_id, d.lang, p.xent_micro
+             |  FROM px p JOIN documents d USING (doc_id)),
+             |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY xent_micro, doc_id) AS rn,
+             |    COUNT(*) OVER (PARTITION BY lang) AS cnt FROM j)
+             |SELECT doc_id, lang, xent_micro,
+             |  CASE (3 * (rn - 1)) // cnt WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+             |FROM r ORDER BY doc_id""".stripMargin)
     )
   )
 

@@ -50,6 +50,17 @@ def main():
     with open(f"{OUT_DIR}/oracle_sql.json") as fh:
         oracles = json.load(fh)
 
+    # GRAFT_ONLY: optional regex — check only matching queries (pairs with
+    # Verify's SPARK_GRAFT_ONLY partial dumps; avoids running all ~160
+    # oracle SQLs when iterating on one query).
+    only = os.environ.get("GRAFT_ONLY")
+    if only:
+        import re
+
+        pat = re.compile(only)
+        oracles = {k: v for k, v in oracles.items() if pat.search(k)}
+        print(f"[check] GRAFT_ONLY={only}: {len(oracles)} queries selected")
+
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         try:
