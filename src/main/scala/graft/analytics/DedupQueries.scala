@@ -741,6 +741,64 @@ object DedupQueries {
              |ORDER BY strategy""".stripMargin)
     ),
 
+    // ----- soft dedup: down-weight duplicates instead of dropping them ------
+    // The reweighting alternative to hard removal (SoftDedup, He et al.
+    // ACL'24): every member of a near-dup cluster keeps a sampling weight of
+    // 1/cluster_size instead of all-but-one being deleted — the corpus-level
+    // token distribution keeps its coverage (rare content inside a
+    // duplicated shell is not thrown away) while the GRADIENT mass a
+    // duplicated document contributes is normalized back to one document's
+    // worth. This is the row that makes the dup graph load-bearing for the
+    // MIXING family: the weights here are exactly the per-doc multiplier a
+    // txt_budget_mix/txt_epoch_mix run would fold into its sampling rates.
+    // Output is the per-source audit a curation owner reads: document count,
+    // how many sit in a dup cluster, and the effective (weight-summed)
+    // corpus size in micro-docs — the gap between n_docs*1e6 and
+    // effective_docs_micro is each source's duplication tax.
+    //
+    // Scale design: components run over verified pair mass (tiny next to
+    // the corpus); the weight frame's cardinality is docs-that-have-a-dup,
+    // so the corpus-side join is AQE-elected broadcast when dup mass is
+    // small and a doc_id shuffle when a recrawl makes it corpus-sized — no
+    // hint pins the wrong plan (the dedup_leakage_split contract). Weights
+    // are exact integers (1e6 div cluster_size), so the hash contract has
+    // no float surface at all.
+    "dedup_soft_weights" -> QuerySpec(
+      (s, d) => {
+        val pairs = minhashPairs(s, d).select(col("doc_a"), col("doc_b"))
+        val comp = graft.operators.ConnectedComponents
+          .components(pairs, "doc_a", "doc_b")
+        val dw = comp.join(
+            comp.groupBy(col("lbl")).agg(count(lit(1)).as("csz")), Seq("lbl"))
+          .select(col("id").as("doc_id"), expr("1000000 div csz").as("w_micro"))
+        docs(s, d).select(col("doc_id"), col("source"))
+          .join(dw, Seq("doc_id"), "left")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            count(col("w_micro")).as("n_dup_docs"),
+            sum(coalesce(col("w_micro"), lit(1000000L))).cast("bigint")
+              .as("effective_docs_micro"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH RECURSIVE $MinhashPairsCte,
+             |e AS (SELECT doc_a AS a, doc_b AS b FROM v WHERE j >= 0.5),
+             |und AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+             |verts AS (SELECT DISTINCT a AS id FROM und),
+             |reach AS (SELECT id, id AS r FROM verts
+             |  UNION
+             |  SELECT u.a AS id, reach.r FROM und u JOIN reach ON u.b = reach.id),
+             |lbl AS (SELECT id, MIN(r) AS lbl FROM reach GROUP BY id),
+             |csz AS (SELECT lbl, COUNT(*) AS csz FROM lbl GROUP BY lbl),
+             |dw AS (SELECT l.id AS doc_id, 1000000 // c.csz AS w_micro
+             |  FROM lbl l JOIN csz c ON l.lbl = c.lbl)
+             |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(COUNT(dw.w_micro) AS BIGINT) AS n_dup_docs,
+             |  CAST(SUM(COALESCE(dw.w_micro, 1000000)) AS BIGINT) AS effective_docs_micro
+             |FROM documents d LEFT JOIN dw ON d.doc_id = dw.doc_id
+             |GROUP BY d.source ORDER BY d.source""".stripMargin)
+    ),
+
     // ----- incremental dedup: new batch vs a persisted signature index -----
     // The shape that actually runs at 100 TB: a corpus that size is never
     // re-deduplicated from scratch when a new crawl arrives — its per-doc
@@ -1700,6 +1758,76 @@ object DedupQueries {
            |       ELSE greatest(vec_a, vec_b) END AS drop_id
            |FROM pairs WHERE c >= 0.4 ORDER BY cell, vec_a, vec_b""".stripMargin
       }
+    ),
+
+    // ----- D4 prototypicality pruning: drop the most-typical, not the dup ---
+    // The second half of the D4 recipe (Tirumala et al., NeurIPS'23):
+    // SemDeDup removes near-COPIES; this removes the most PROTOTYPICAL
+    // quarter of every semantic cluster — the points nearest their cluster
+    // centroid, which carry the least marginal information for training
+    // (dropping them beats random pruning in the paper's scaling runs;
+    // Sorscher et al. NeurIPS'22 derive why: easy/typical examples dominate
+    // redundant gradient mass once the corpus is large). The drop rule is
+    // deliberately the OPPOSITE end of the c2c ranking the SemDeDup rows
+    // use for their keep decision — same store, same broadcast centroid
+    // join, same rounded-cosine arithmetic, so the two prune levers stay
+    // bit-comparable on one index.
+    //
+    // Reads the SAME persisted semk16 Lloyd store dedup_semantic_kmeans and
+    // hyb_rrf_indexed maintain (train once, every downstream pass is a scan
+    // + broadcast join — at 100 TB the index is the asset). Per-cell
+    // ranking is a window here; cells at production occupancy use the
+    // two-pass count-class histogram cut (the txt_ccnet_buckets move) on
+    // the already-rounded c2c key, so no corpus-sized sort is required.
+    // Output IS the prune list (the operator's product, written not
+    // collected) with rank and cell size for the audit trail.
+    "dedup_proto_prune" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        graft.functions.VectorExpressions.register(s)
+        val idx = graft.operators.IvfIndex.registryPath(s, d, s"semk$SemKCells")
+        graft.operators.IvfIndex.ensure(s, idx) {
+          graft.operators.IvfIndex.build(emb(s, d), idx, nCells = SemKCells, iters = 2)
+        }
+        val cent = broadcast(s.read.parquet(s"$idx/centroids")
+          .withColumn("cnrm", expr("long_dot(ce, ce)")))
+        val asg = s.read.parquet(s"$idx/vectors")
+          .join(cent, Seq("cell"))
+          .withColumn("c2c",
+            expr("round(long_dot(qe, ce) / (sqrt(nrm) * sqrt(cnrm)), 6)"))
+          .select(col("cell"), col("vec_id"), col("c2c"))
+        asg
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy(col("cell"))
+              .orderBy(col("c2c").desc, col("vec_id"))))
+          .withColumn("n_cell",
+            count(lit(1)).over(Window.partitionBy(col("cell"))))
+          .filter(col("rnk") <= expr("n_cell div 4"))
+          .select(col("cell"), col("vec_id"), col("c2c"), col("rnk"), col("n_cell"))
+          .orderBy(col("cell"), col("rnk"))
+      },
+      Some(s"""WITH q AS (SELECT vec_id, ${quantizeD("embedding")} AS qe FROM embeddings),
+             |n AS (SELECT vec_id, qe, ${dotD("qe", "qe")} AS nrm FROM q),
+             |dim AS (SELECT max(len(qe)) AS d FROM q),
+             |old AS (SELECT vec_id, qe FROM n),
+             |c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, qe AS ce
+             |  FROM (SELECT vec_id, qe FROM old ORDER BY vec_id LIMIT $SemKCells) z),
+             |${SimilarityQueries.lloydRoundD(1, "c0", "c1")},
+             |${SimilarityQueries.lloydRoundD(2, "c1", "c2")},
+             |nc AS (SELECT cell, ce, ${dotD("ce", "ce")} AS cnrm FROM c2),
+             |ad AS (SELECT n.vec_id, n.qe, n.nrm, c.cell, ${SimilarityQueries.l2D("n.qe", "c.ce")} AS dist
+             |  FROM n CROSS JOIN nc c),
+             |assigned0 AS (SELECT vec_id, qe, nrm, cell FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS arn FROM ad) z
+             |  WHERE arn = 1),
+             |asg AS (SELECT a.vec_id, a.cell,
+             |    round(${dotD("a.qe", "c.ce")} / (sqrt(a.nrm) * sqrt(c.cnrm)), 6) AS c2c
+             |  FROM assigned0 a JOIN nc c ON a.cell = c.cell),
+             |r AS (SELECT cell, vec_id, c2c,
+             |    ROW_NUMBER() OVER (PARTITION BY cell ORDER BY c2c DESC, vec_id) AS rnk,
+             |    COUNT(*) OVER (PARTITION BY cell) AS n_cell FROM asg)
+             |SELECT cell, vec_id, c2c, rnk, n_cell FROM r
+             |WHERE rnk <= n_cell // 4 ORDER BY cell, rnk""".stripMargin)
     ),
 
     // ----- edit-distance near-dup: blocked fuzzy matching -------------------

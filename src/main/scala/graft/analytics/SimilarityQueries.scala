@@ -951,6 +951,90 @@ object SimilarityQueries {
              |GROUP BY d.depth ORDER BY d.depth""".stripMargin)
     ),
 
+    // ----- Matryoshka truncation: the zero-index dimension ladder -----------
+    // Matryoshka representations (Kusupati et al., NeurIPS'22) make the
+    // PREFIX of an embedding a usable embedding — no projection matrix, no
+    // codebook, no training pass at serve time: truncate to the first m
+    // lanes and every vector costs m/d of the scan bytes and dot-product
+    // FLOPs. This row measures what that buys on THIS corpus: recall@10 vs
+    // the full-dim exact top-10 at m = 8/16/32, both trusting the
+    // truncation outright (direct@10) and in the production shape —
+    // shortlist at depth 50 in truncated space, exact-rerank the shortlist
+    // in full dimension (the sim_rp_recall ladder, with slicing instead of
+    // a projection). rerank >= direct is a THEOREM here (any direct hit
+    // displaced from the reranked top-10 is displaced by higher-true-cosine
+    // shortlist members, which are then hits themselves) — the spec pins
+    // it, and the gap is pure shortlist-miss, the m-tunable quantity.
+    //
+    // Scale design: prefix norms/dots are incremental (dot_16 = dot_8 +
+    // lanes 9..16), so a production scan prices each depth as a DELTA, and
+    // the shortlist pass reads only m lanes per vector when the store is
+    // laid out lane-major (the SqIndex layout). Shapes are sim_rp_recall's:
+    // broadcast queries, one corpus stream, rerank on <= depth*|Q| rows.
+    // Integer dots/norms, one IEEE division per pair — cross-engine exact.
+    "sim_matryoshka_recall" -> QuerySpec(
+      (s, d) => {
+        graft.functions.VectorExpressions.register(s)
+        val n = graft.CacheTracker.track(Tables.spread(emb(s, d), "vec_id")
+          .select(col("vec_id"), expr(quantizeS("embedding")).as("qe"))
+          .withColumn("nrm", expr("long_dot(qe, qe)"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val queries = n.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("qe").as("qa"), col("nrm").as("na"))
+        val w = Window.partitionBy(col("q_id"))
+        val wm = Window.partitionBy(col("q_id"), col("m"))
+        val jd = broadcast(queries).join(n, col("vec_id") =!= col("q_id"))
+          .withColumn("cf", expr("long_dot(qa, qe) / (sqrt(na) * sqrt(nrm))"))
+          .withColumn("fr", row_number().over(w.orderBy(col("cf").desc, col("vec_id"))))
+          .withColumn("m", explode(expr("array(8, 16, 32)")))
+          .withColumn("cp", expr(
+            "long_dot(slice(qa, 1, m), slice(qe, 1, m)) / " +
+              "(sqrt(long_dot(slice(qa, 1, m), slice(qa, 1, m))) * " +
+              "sqrt(long_dot(slice(qe, 1, m), slice(qe, 1, m))))"))
+          .withColumn("pr", row_number().over(wm.orderBy(col("cp").desc, col("vec_id"))))
+          .filter(col("fr") <= 10 || col("pr") <= 50)
+        val direct = jd.filter(col("pr") <= 10 && col("fr") <= 10)
+          .groupBy(col("m")).agg(count(lit(1)).as("n_direct"))
+        val rerank = jd.filter(col("pr") <= 50)
+          .withColumn("rr", row_number().over(wm.orderBy(col("cf").desc, col("vec_id"))))
+          .filter(col("rr") <= 10 && col("fr") <= 10)
+          .groupBy(col("m")).agg(count(lit(1)).as("n_rerank"))
+        s.range(0, 1).selectExpr("explode(array(8, 16, 32)) as m")
+          .join(direct, Seq("m"), "left")
+          .join(rerank, Seq("m"), "left")
+          .select(col("m").as("dims"),
+            coalesce(col("n_direct"), lit(0L)).as("n_direct"),
+            expr("floor(coalesce(n_direct, 0) / 50 * 1e6 + 0.5) / 1e6").as("recall_direct"),
+            coalesce(col("n_rerank"), lit(0L)).as("n_rerank"),
+            expr("floor(coalesce(n_rerank, 0) / 50 * 1e6 + 0.5) / 1e6").as("recall_rerank"))
+          .orderBy(col("dims"))
+      },
+      Some(s"""$OracleQ,
+             |j AS (SELECT a.vec_id AS q_id, b.vec_id AS vec_id, a.qe AS qa, b.qe AS qe,
+             |    ${dotD("a.qe", "b.qe")} / (sqrt(a.nrm) * sqrt(b.nrm)) AS cf
+             |  FROM n a JOIN n b ON a.vec_id < 5 AND b.vec_id <> a.vec_id),
+             |rk AS (SELECT q_id, vec_id, qa, qe, cf,
+             |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cf DESC, vec_id) AS fr FROM j),
+             |dims2 AS (SELECT unnest([8, 16, 32]) AS m),
+             |jd AS (SELECT r.q_id, r.vec_id, r.cf, r.fr, d.m,
+             |    CAST(list_sum(list_transform(generate_series(1, d.m), i -> r.qa[i] * r.qe[i])) AS BIGINT) /
+             |    (sqrt(CAST(list_sum(list_transform(generate_series(1, d.m), i -> r.qa[i] * r.qa[i])) AS BIGINT)) *
+             |     sqrt(CAST(list_sum(list_transform(generate_series(1, d.m), i -> r.qe[i] * r.qe[i])) AS BIGINT))) AS cp
+             |  FROM rk r CROSS JOIN dims2 d),
+             |pr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id, m ORDER BY cp DESC, vec_id) AS pr FROM jd),
+             |direct AS (SELECT m, COUNT(*) AS n_direct FROM pr WHERE pr <= 10 AND fr <= 10 GROUP BY m),
+             |rr AS (SELECT m, COUNT(*) AS n_rerank FROM (
+             |    SELECT q_id, m, fr, ROW_NUMBER() OVER (PARTITION BY q_id, m ORDER BY cf DESC, vec_id) AS rr
+             |    FROM pr WHERE pr <= 50) z WHERE rr <= 10 AND fr <= 10 GROUP BY m)
+             |SELECT d.m AS dims,
+             |  CAST(COALESCE(direct.n_direct, 0) AS BIGINT) AS n_direct,
+             |  floor(COALESCE(direct.n_direct, 0) / 50 * 1e6 + 0.5) / 1e6 AS recall_direct,
+             |  CAST(COALESCE(rr.n_rerank, 0) AS BIGINT) AS n_rerank,
+             |  floor(COALESCE(rr.n_rerank, 0) / 50 * 1e6 + 0.5) / 1e6 AS recall_rerank
+             |FROM dims2 d LEFT JOIN direct ON d.m = direct.m LEFT JOIN rr ON d.m = rr.m
+             |ORDER BY dims""".stripMargin)
+    ),
+
     // ----- fully-indexed hybrid retrieval: BM25 store x IVF store, RRF ------
     // hyb_rrf_search's production form: BOTH legs read a persistent store —
     // the text leg the BM25 inverted index (TextIndex, built once per
