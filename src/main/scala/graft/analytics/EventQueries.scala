@@ -1,6 +1,7 @@
 package graft.analytics
 
 import graft.{QuerySpec, Tables}
+import graft.functions.TextFunctions.MP
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
@@ -461,6 +462,145 @@ object EventQueries {
              |  abs(COUNT(DISTINCT user_id) - COUNT(DISTINCT user_id))
              |    <= COUNT(DISTINCT user_id) * 0.05 AS within_5pct
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+
+    // ----- KMV sketch overlap: mergeable distinct-intersection estimates ----
+    // The sketch class evt_approx_users_by_type's HLL can't provide: HLL
+    // unions but never intersects; a KMV (bottom-k minimum values,
+    // Bar-Yossef et al. RANDOM'02 / Beyer et al. SIGMOD'07) supports BOTH —
+    // the k smallest hash values of a set are a uniform sample of its hash
+    // space, K(A∪B) is exactly the k smallest of K(A) ∪ K(B) (no re-scan),
+    // and the fraction of that union sketch present in both sides is an
+    // unbiased Jaccard estimator. Entity = (user, day) activity pairs, the
+    // audience-overlap question ("how much of click's user-day activity
+    // also purchases?") behind every funnel-building decision. Everything
+    // is exact integer arithmetic on a deterministic MINSTD hash
+    // (48271·ent + 11 mod 2^31−1), so the ESTIMATES themselves hash-match
+    // DuckDB bit-for-bit — unlike the HLL row, whose estimate is
+    // implementation-defined and only range-checked. Exact union/
+    // intersection columns ride along as the gate-scale measuring stick.
+    //
+    // Scale design: the sketch build is the only corpus-sized stage (one
+    // distinct + a per-type bottom-k — the bounded top-K aggregate at
+    // production occupancy, same move as txt_domain_cap); every pair
+    // combination then runs on |types|²·k rows. Sketches are mergeable
+    // across partitions, days, and clusters — THE property that lets a
+    // 100 TB deployment keep per-shard sketches and answer any pairwise
+    // overlap later without touching the corpus again. The exact columns
+    // are dropped at that scale (documented); here they measure the
+    // estimator: k=64 lands within the ~1/sqrt(k) envelope on true
+    // unions ~2600.
+    "evt_kmv_overlap" -> QuerySpec(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val k = 64
+        val ents = graft.CacheTracker.track(ev(s, d)
+          .select(col("event_type"),
+            (col("user_id") * 65536L +
+              datediff(col("ts").cast("date"), lit("1970-01-01"))).as("ent"))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val sk = graft.CacheTracker.track(ents
+          // triple-iterated Lehmer map (the priority-sample draw's move):
+          // one LCG pass over the STRUCTURED entity ids (user·65536 + day)
+          // leaves a lattice whose minima skew small — measured 1.8x union
+          // overestimates; three passes mix the seed to KMV-grade
+          // uniformity (estimates land inside the ~1/sqrt(k) envelope)
+          .withColumn("h", expr(s"(48271L * ((48271L * ((48271L * ent + 11) % ${MP}L) " +
+            s"+ 11) % ${MP}L) + 11) % ${MP}L"))
+          .select(col("event_type"), col("h")).distinct()
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("event_type")).orderBy(col("h"))))
+          .filter(col("rn") <= k)
+          .select(col("event_type"), col("h"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val types = sk.select(col("event_type")).distinct()
+        val pairs = types.select(col("event_type").as("type_a"))
+          .crossJoin(types.select(col("event_type").as("type_b")))
+          .filter(col("type_a") < col("type_b"))
+        // merged sketch = k smallest distinct over the two sketches' union
+        val merged = pairs
+          .join(sk.select(col("event_type").as("type_a"), col("h")), Seq("type_a"))
+          .unionByName(pairs
+            .join(sk.select(col("event_type").as("type_b"), col("h")), Seq("type_b"))
+            .select(col("type_a"), col("type_b"), col("h")))
+          .distinct()
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("type_a"), col("type_b")).orderBy(col("h"))))
+          .filter(col("rn") <= k)
+          .join(sk.select(col("event_type").as("type_a"), col("h"),
+            lit(1).as("in_a")), Seq("type_a", "h"), "left")
+          .join(sk.select(col("event_type").as("type_b"), col("h"),
+            lit(1).as("in_b")), Seq("type_b", "h"), "left")
+          .groupBy(col("type_a"), col("type_b"))
+          .agg(count(lit(1)).as("n_m"), max(col("h")).as("hk"),
+            sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L))
+              .as("inter_k"))
+        // exact ground truth (gate-feasible; dropped at 100 TB)
+        val nPer = ents.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        val exactInter = ents.select(col("event_type").as("type_a"), col("ent"))
+          .join(ents.select(col("event_type").as("type_b"), col("ent")), Seq("ent"))
+          .filter(col("type_a") < col("type_b"))
+          .groupBy(col("type_a"), col("type_b"))
+          .agg(count(lit(1)).as("exact_inter"))
+        merged
+          .join(exactInter, Seq("type_a", "type_b"), "left")
+          .withColumn("exact_inter", coalesce(col("exact_inter"), lit(0L)))
+          .join(nPer.select(col("event_type").as("type_a"), col("n").as("na")), Seq("type_a"))
+          .join(nPer.select(col("event_type").as("type_b"), col("n").as("nb")), Seq("type_b"))
+          .select(col("type_a"), col("type_b"),
+            (col("na") + col("nb") - col("exact_inter")).as("exact_union"),
+            col("exact_inter"),
+            when(col("n_m") < k, col("n_m"))
+              .otherwise(expr(s"(${k - 1}L * ${MP}L) div hk")).as("est_union"),
+            expr(s"(case when n_m < $k then n_m else (${k - 1}L * ${MP}L) div hk end) " +
+              "* inter_k div n_m").as("est_inter"),
+            expr("inter_k * 1000000L div n_m").as("est_jaccard_micro"))
+          .orderBy(col("type_a"), col("type_b"))
+      },
+      Some(s"""WITH ents AS (SELECT DISTINCT event_type,
+             |    user_id * 65536 + date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS ent
+             |  FROM events),
+             |hs AS (SELECT DISTINCT event_type,
+             |    (48271 * ((48271 * ((48271 * ent + 11) % $MP) + 11) % $MP) + 11) % $MP AS h
+             |  FROM ents),
+             |sk AS (SELECT event_type, h FROM (
+             |    SELECT event_type, h,
+             |      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM hs) z
+             |  WHERE rn <= 64),
+             |ty AS (SELECT DISTINCT event_type FROM sk),
+             |pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+             |  FROM ty a JOIN ty b ON a.event_type < b.event_type),
+             |mg0 AS (SELECT DISTINCT type_a, type_b, h FROM (
+             |  SELECT p.type_a, p.type_b, s.h FROM pr p JOIN sk s ON s.event_type = p.type_a
+             |  UNION ALL
+             |  SELECT p.type_a, p.type_b, s.h FROM pr p JOIN sk s ON s.event_type = p.type_b) u),
+             |mg AS (SELECT type_a, type_b, h FROM (
+             |    SELECT type_a, type_b, h,
+             |      ROW_NUMBER() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rn FROM mg0) z
+             |  WHERE rn <= 64),
+             |agg AS (SELECT m.type_a, m.type_b, COUNT(*) AS n_m, MAX(m.h) AS hk,
+             |    CAST(SUM(CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS inter_k
+             |  FROM mg m
+             |    LEFT JOIN sk sa ON sa.event_type = m.type_a AND sa.h = m.h
+             |    LEFT JOIN sk sb ON sb.event_type = m.type_b AND sb.h = m.h
+             |  GROUP BY m.type_a, m.type_b),
+             |np AS (SELECT event_type, COUNT(*) AS n FROM ents GROUP BY event_type),
+             |ei AS (SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS exact_inter
+             |  FROM ents a JOIN ents b ON a.ent = b.ent AND a.event_type < b.event_type
+             |  GROUP BY a.event_type, b.event_type)
+             |SELECT g.type_a, g.type_b,
+             |  CAST(na.n + nb.n - COALESCE(ei.exact_inter, 0) AS BIGINT) AS exact_union,
+             |  CAST(COALESCE(ei.exact_inter, 0) AS BIGINT) AS exact_inter,
+             |  CAST(CASE WHEN g.n_m < 64 THEN g.n_m ELSE (63 * CAST($MP AS BIGINT)) // g.hk END AS BIGINT) AS est_union,
+             |  CAST((CASE WHEN g.n_m < 64 THEN g.n_m ELSE (63 * CAST($MP AS BIGINT)) // g.hk END)
+             |    * g.inter_k // g.n_m AS BIGINT) AS est_inter,
+             |  CAST(g.inter_k * 1000000 // g.n_m AS BIGINT) AS est_jaccard_micro
+             |FROM agg g
+             |  LEFT JOIN ei ON g.type_a = ei.type_a AND g.type_b = ei.type_b
+             |  JOIN np na ON na.event_type = g.type_a
+             |  JOIN np nb ON nb.event_type = g.type_b
+             |ORDER BY g.type_a, g.type_b""".stripMargin)
     ),
 
     // ----- as-of join: each purchase matched to the user's most recent -----

@@ -82,6 +82,73 @@ object MultimodalQueries {
       .filter(col("longest_clip") >= minClip)
   }
 
+  /** The shared dHash table (doc_id, 56-bit h) behind mm_phash_pairs and
+    * mm_phash_clusters: resample each payload stand-in to the 8x8 grid,
+    * hash horizontal gradient signs, and derive near-identical pseudo-docs
+    * in-query (the dedup_containment_pairs move) — every 5th doc gets a
+    * twin (id → −(id+1), collision-free with real non-negative doc_ids at
+    * any corpus size) with ONE mid-body character replaced, so the sf0.01
+    * differential check exercises real banded candidates and real
+    * verifications instead of vacuous 0 = 0 rows. The oracle replays the
+    * same derivation ([[PhashPairsCte]]).
+    */
+  private def phashTable(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val base = docs(s, d)
+      .withColumn("body", trim(col("text")))
+      .filter(length(col("body")) >= 2)
+      .select(col("doc_id"), col("body"))
+    val pert = base.filter(col("doc_id") % 5 === 0)
+      .select((-(col("doc_id") + lit(1L))).as("doc_id"),
+        expr("concat(substring(body, 1, length(body) div 2 - 1), 'z', " +
+          "substring(body, length(body) div 2 + 1))").as("body"))
+    graft.CacheTracker.track(base.unionByName(pert)
+      .withColumn("pix", expr("transform(sequence(0, 63), i -> " +
+        "ascii(substring(body, cast(1 + (cast(i as bigint) * (length(body) - 1)) div 63 as int), 1)))"))
+      .select(col("doc_id"), expr("aggregate(sequence(0, 55), cast(0 as bigint), (a, i) -> " +
+        "a + if(element_at(pix, cast((i div 7) * 8 + (i % 7) + 1 as int)) > " +
+        "element_at(pix, cast((i div 7) * 8 + (i % 7) + 2 as int)), " +
+        "shiftleft(cast(1 as bigint), i), cast(0 as bigint)))").as("h"))
+      .persist(MEMORY_AND_DISK))
+  }
+
+  /** Oracle CTE chain ending in verified pairs `vp(doc_a, doc_b, hamming)` —
+    * the DuckDB twin of [[phashTable]] + [[phashPairsFromHashes]].
+    */
+  private val PhashPairsCte =
+    s"""base AS (SELECT doc_id, trim(text) AS body FROM documents
+       |  WHERE length(trim(text)) >= 2),
+       |b0 AS (SELECT doc_id, body FROM base
+       |  UNION ALL
+       |  SELECT -(doc_id + 1) AS doc_id,
+       |    substr(body, 1, length(body) // 2 - 1) || 'z' ||
+       |      substr(body, length(body) // 2 + 1) AS body
+       |  FROM base WHERE doc_id % 5 = 0),
+       |p AS (SELECT doc_id, list_transform(generate_series(0, 63), i ->
+       |    ascii(substr(body, CAST(1 + (i::BIGINT * (length(body) - 1)) // 63 AS INT), 1))) AS pix
+       |  FROM b0),
+       |h AS (SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 55), i ->
+       |    CASE WHEN pix[(i // 7) * 8 + (i % 7) + 1] > pix[(i // 7) * 8 + (i % 7) + 2]
+       |    THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS h
+       |  FROM p),
+       |bands_all AS (SELECT doc_id, b, (h >> (14 * b)) & 16383 AS k
+       |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bb),
+       |bsz AS (SELECT b, k, COUNT(*) AS bs, MIN(doc_id) AS rep
+       |  FROM bands_all GROUP BY b, k),
+       |bands AS (SELECT a.doc_id, a.b, a.k FROM bands_all a
+       |  JOIN bsz s ON a.b = s.b AND a.k = s.k AND s.bs <= ${DedupQueries.BandBucketCap}),
+       |star AS (SELECT s.rep AS doc_a, a.doc_id AS doc_b FROM bands_all a
+       |  JOIN bsz s ON a.b = s.b AND a.k = s.k AND s.bs > ${DedupQueries.BandBucketCap}
+       |  WHERE a.doc_id <> s.rep),
+       |pairs AS (SELECT DISTINCT doc_a, doc_b FROM (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b FROM bands x JOIN bands y
+       |    ON x.b = y.b AND x.k = y.k AND x.doc_id < y.doc_id
+       |  UNION ALL SELECT doc_a, doc_b FROM star) u),
+       |vp AS (SELECT p.doc_a, p.doc_b, bit_count(xor(a.h, b.h)) AS hamming
+       |  FROM pairs p JOIN h a ON p.doc_a = a.doc_id JOIN h b ON p.doc_b = b.doc_id
+       |  WHERE bit_count(xor(a.h, b.h)) <= 6)""".stripMargin
+
   val all: Map[String, QuerySpec] = Map(
 
     // ----- payload metadata: size, content hash, stub-decoded dimensions ----
@@ -160,68 +227,47 @@ object MultimodalQueries {
     // bytes is [[graft.operators.Multimodal]]; the resample here IS the
     // deterministic stand-in decode both engines can state.
     "mm_phash_pairs" -> QuerySpec(
+      (s, d) => phashPairsFromHashes(phashTable(s, d))
+        .orderBy(col("doc_a"), col("doc_b")),
+      Some(s"""WITH $PhashPairsCte
+             |SELECT doc_a, doc_b, hamming FROM vp ORDER BY doc_a, doc_b""".stripMargin)
+    ),
+
+    // ----- media duplicate clusters: the keep-one decision for binaries -----
+    // mm_phash_pairs says "A looks like B"; a media pipeline needs the
+    // CLUSTER (one canonical asset kept, the re-encodes/crops dropped) —
+    // the dedup_clusters move applied to the perceptual-hash graph:
+    // min-label propagation over the verified hamming <= 6 pairs
+    // ([[graft.operators.ConnectedComponents]]), so a chain of re-encodes
+    // (original ~ resize ~ recompress, where the ends differ by > 6 bits)
+    // still collapses into ONE asset group. The oracle recomputes exact
+    // components with a recursive CTE — the iterative Spark loop is checked
+    // against ground-truth transitive closure, not another iteration.
+    // Components run over verified pair mass only (tiny next to the media
+    // corpus); everything upstream is the banded/capped candidate shape.
+    "mm_phash_clusters" -> QuerySpec(
       (s, d) => {
-        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-        val base = docs(s, d)
-          .withColumn("body", trim(col("text")))
-          .filter(length(col("body")) >= 2)
-          .select(col("doc_id"), col("body"))
-        // Near-identical pseudo-docs derived in-query (the
-        // dedup_containment_pairs move): every 5th doc gets a twin
-        // (id → −(id+1), collision-free with real non-negative doc_ids at
-        // any corpus size) with ONE mid-body character replaced. The dHash
-        // samples at most a couple of grid cells through that position, so
-        // each twin lands within the hamming <= 6 verify of its original —
-        // the sf0.01 differential check exercises real banded candidates
-        // and real verifications instead of the vacuous 0 = 0 rows the
-        // as-generated corpus produced (no two documents hash within 6
-        // bits). The oracle replays the same derivation.
-        val pert = base.filter(col("doc_id") % 5 === 0)
-          .select((-(col("doc_id") + lit(1L))).as("doc_id"),
-            expr("concat(substring(body, 1, length(body) div 2 - 1), 'z', " +
-              "substring(body, length(body) div 2 + 1))").as("body"))
-        val h = graft.CacheTracker.track(base.unionByName(pert)
-          .withColumn("pix", expr("transform(sequence(0, 63), i -> " +
-            "ascii(substring(body, cast(1 + (cast(i as bigint) * (length(body) - 1)) div 63 as int), 1)))"))
-          .select(col("doc_id"), expr("aggregate(sequence(0, 55), cast(0 as bigint), (a, i) -> " +
-            "a + if(element_at(pix, cast((i div 7) * 8 + (i % 7) + 1 as int)) > " +
-            "element_at(pix, cast((i div 7) * 8 + (i % 7) + 2 as int)), " +
-            "shiftleft(cast(1 as bigint), i), cast(0 as bigint)))").as("h"))
-          .persist(MEMORY_AND_DISK))
-        phashPairsFromHashes(h)
-          .orderBy(col("doc_a"), col("doc_b"))
+        val pairs = phashPairsFromHashes(phashTable(s, d))
+          .select(col("doc_a"), col("doc_b"))
+        graft.operators.ConnectedComponents.components(pairs, "doc_a", "doc_b")
+          .groupBy(col("lbl").as("cluster_rep"))
+          .agg(
+            count(lit(1)).as("n_assets"),
+            expr("array_join(transform(array_sort(collect_list(id)), x -> cast(x as string)), ',')")
+              .as("members"))
+          .orderBy(col("cluster_rep"))
       },
-      Some(s"""WITH base AS (SELECT doc_id, trim(text) AS body FROM documents
-             |  WHERE length(trim(text)) >= 2),
-             |b0 AS (SELECT doc_id, body FROM base
-             |  UNION ALL
-             |  SELECT -(doc_id + 1) AS doc_id,
-             |    substr(body, 1, length(body) // 2 - 1) || 'z' ||
-             |      substr(body, length(body) // 2 + 1) AS body
-             |  FROM base WHERE doc_id % 5 = 0),
-             |p AS (SELECT doc_id, list_transform(generate_series(0, 63), i ->
-             |    ascii(substr(body, CAST(1 + (i::BIGINT * (length(body) - 1)) // 63 AS INT), 1))) AS pix
-             |  FROM b0),
-             |h AS (SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 55), i ->
-             |    CASE WHEN pix[(i // 7) * 8 + (i % 7) + 1] > pix[(i // 7) * 8 + (i % 7) + 2]
-             |    THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS h
-             |  FROM p),
-             |bands_all AS (SELECT doc_id, b, (h >> (14 * b)) & 16383 AS k
-             |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bb),
-             |bsz AS (SELECT b, k, COUNT(*) AS bs, MIN(doc_id) AS rep
-             |  FROM bands_all GROUP BY b, k),
-             |bands AS (SELECT a.doc_id, a.b, a.k FROM bands_all a
-             |  JOIN bsz s ON a.b = s.b AND a.k = s.k AND s.bs <= ${DedupQueries.BandBucketCap}),
-             |star AS (SELECT s.rep AS doc_a, a.doc_id AS doc_b FROM bands_all a
-             |  JOIN bsz s ON a.b = s.b AND a.k = s.k AND s.bs > ${DedupQueries.BandBucketCap}
-             |  WHERE a.doc_id <> s.rep),
-             |pairs AS (SELECT DISTINCT doc_a, doc_b FROM (
-             |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b FROM bands x JOIN bands y
-             |    ON x.b = y.b AND x.k = y.k AND x.doc_id < y.doc_id
-             |  UNION ALL SELECT doc_a, doc_b FROM star) u)
-             |SELECT p.doc_a, p.doc_b, bit_count(xor(a.h, b.h)) AS hamming
-             |FROM pairs p JOIN h a ON p.doc_a = a.doc_id JOIN h b ON p.doc_b = b.doc_id
-             |WHERE bit_count(xor(a.h, b.h)) <= 6 ORDER BY doc_a, doc_b""".stripMargin)
+      Some(s"""WITH RECURSIVE $PhashPairsCte,
+             |e AS (SELECT doc_a AS a, doc_b AS b FROM vp),
+             |und AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+             |verts AS (SELECT DISTINCT a AS id FROM und),
+             |reach AS (SELECT id, id AS r FROM verts
+             |  UNION
+             |  SELECT u.a AS id, reach.r FROM und u JOIN reach ON u.b = reach.id),
+             |lbl AS (SELECT id, MIN(r) AS lbl FROM reach GROUP BY id)
+             |SELECT lbl AS cluster_rep, COUNT(*) AS n_assets,
+             |  string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
+             |FROM lbl GROUP BY lbl ORDER BY cluster_rep""".stripMargin)
     ),
 
     // ----- video shared-clip detection: frame hashes + diagonal runs --------
