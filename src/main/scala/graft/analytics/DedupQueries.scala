@@ -799,6 +799,106 @@ object DedupQueries {
              |GROUP BY d.source ORDER BY d.source""".stripMargin)
     ),
 
+    // ----- canonical selection: keep the BEST cluster member, not min-id ----
+    // The operational form of the keep-one decision: dedup_clusters'
+    // components pick a representative by min doc_id (an arbitrary but
+    // stable key); a production pipeline keeps the highest-QUALITY member —
+    // a cluster of {pristine original, truncated scrape, boilerplate-
+    // wrapped mirror} should keep the original regardless of crawl order.
+    // Canonical = argmax(quality, tie min doc_id) per component over the
+    // SHARED quality definition (TextFunctions.QualityS — one formula for
+    // the batch score, curation job, streaming scorer, and this decision,
+    // so a doc never wins canonicality under one scorer and loses it under
+    // another). Output keys stay on the min-id rep (the stable cluster
+    // identity under appends); the canonical column is what downstream
+    // keeps. Scale: quality is computed ONLY for docs in clusters (inner
+    // join against the component frame — pair-mass-bounded, not corpus-
+    // sized); per-cluster argmax is one max(struct) aggregate, no window.
+    "dedup_cluster_canonical" -> QuerySpec(
+      (s, d) => {
+        val pairs = minhashPairs(s, d).select(col("doc_a"), col("doc_b"))
+        val comp = graft.operators.ConnectedComponents
+          .components(pairs, "doc_a", "doc_b")
+        docs(s, d).join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"))
+          .withColumn("t", expr(tokensS("text")))
+          .withColumn("stop_ratio", expr(stopRatioS("t")))
+          .withColumn("distinct_ratio", expr(distinctRatioS("t")))
+          .withColumn("len_score", expr(lenScoreS("text")))
+          .withColumn("quality", expr(QualityS))
+          .groupBy(col("lbl").as("cluster_rep"))
+          .agg(count(lit(1)).as("n_docs"),
+            max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("m"))
+          .select(col("cluster_rep"), col("n_docs"),
+            (-col("m.nid")).as("canonical_doc"),
+            col("m.quality").as("canonical_quality"))
+          .orderBy(col("cluster_rep"))
+      },
+      Some(s"""WITH RECURSIVE $MinhashPairsCte,
+             |e AS (SELECT doc_a AS a, doc_b AS b FROM v WHERE j >= 0.5),
+             |und AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+             |verts AS (SELECT DISTINCT a AS id FROM und),
+             |reach AS (SELECT id, id AS r FROM verts
+             |  UNION
+             |  SELECT u.a AS id, reach.r FROM und u JOIN reach ON u.b = reach.id),
+             |lbl AS (SELECT id, MIN(r) AS lbl FROM reach GROUP BY id),
+             |q AS (SELECT d.doc_id, l.lbl, ${tokensD("text")} AS t, d.text
+             |  FROM documents d JOIN lbl l ON d.doc_id = l.id),
+             |sc AS (SELECT doc_id, lbl,
+             |  floor((0.3 * (floor(len(list_filter(t, w -> list_contains(['the','a','of','and','is','to'], w))) / len(t) * 1e6 + 0.5) / 1e6)
+             |       + 0.4 * (floor(len(list_distinct(t)) / len(t) * 1e6 + 0.5) / 1e6)
+             |       + 0.3 * (floor(least(length(trim(text)), 400) / 400 * 1e6 + 0.5) / 1e6)) * 1e6 + 0.5) / 1e6 AS quality
+             |  FROM q),
+             |r AS (SELECT lbl, doc_id, quality,
+             |    ROW_NUMBER() OVER (PARTITION BY lbl ORDER BY quality DESC, doc_id) AS rn,
+             |    COUNT(*) OVER (PARTITION BY lbl) AS n_docs
+             |  FROM sc)
+             |SELECT lbl AS cluster_rep, CAST(n_docs AS BIGINT) AS n_docs,
+             |  doc_id AS canonical_doc, quality AS canonical_quality
+             |FROM r WHERE rn = 1 ORDER BY cluster_rep""".stripMargin)
+    ),
+
+    // ----- signature-estimate error: the 100 TB decision path, quantified ---
+    // Every verified pair in this family is scored with EXACT shingle
+    // Jaccard — affordable because the per-doc shingle sets ride the gate
+    // corpora. At 100 TB the verify step often runs on the SIGNATURES
+    // alone (matching-lane fraction of the 16-lane MinHash — the stored
+    // index bytes, no shingle re-read): this row measures what that buys
+    // and costs, per pair — estimate vs exact side by side, the
+    // estimator-error audit the KMV row provides for distinct counts. A
+    // 16-lane estimate is coarse (granularity 1/16 ≈ 62.5k micro); the
+    // per-pair abs error column is the concrete number that justifies (or
+    // rejects) lane-count upgrades, measured on real near-dup pairs rather
+    // than assumed from the binomial bound.
+    "dedup_sig_jaccard" -> QuerySpec(
+      (s, d) => {
+        val rows = graft.CacheTracker.track(
+          signatureRows(docs(s, d).select("doc_id", "text"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        minhashPairsFromSig(rows).select(col("doc_a"), col("doc_b"), col("j"))
+          .join(rows.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
+          .join(rows.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")
+          .withColumn("sig_match_lanes", expr(
+            "aggregate(zip_with(sa, sb, (x, y) -> if(x = y, 1L, 0L)), 0L, (a, v) -> a + v)"))
+          .select(col("doc_a"), col("doc_b"), col("sig_match_lanes"),
+            expr("sig_match_lanes * 1000000L div 16").as("est_micro"),
+            expr("round(j, 6)").as("jaccard"),
+            expr("abs(sig_match_lanes * 1000000L div 16 - " +
+              "cast(floor(j * 1e6 + 0.5) as bigint))").as("abs_err_micro"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""WITH $MinhashPairsCte
+             |SELECT p.doc_a, p.doc_b,
+             |  CAST(len(list_filter(generate_series(1, 16), i -> a.sig[i] = b.sig[i])) AS BIGINT) AS sig_match_lanes,
+             |  CAST(len(list_filter(generate_series(1, 16), i -> a.sig[i] = b.sig[i])) * 1000000 // 16 AS BIGINT) AS est_micro,
+             |  round(p.j, 6) AS jaccard,
+             |  CAST(abs(len(list_filter(generate_series(1, 16), i -> a.sig[i] = b.sig[i])) * 1000000 // 16
+             |    - CAST(floor(p.j * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS abs_err_micro
+             |FROM (SELECT doc_a, doc_b, j FROM v WHERE j >= 0.5) p
+             |  JOIN sig a ON p.doc_a = a.doc_id
+             |  JOIN sig b ON p.doc_b = b.doc_id
+             |ORDER BY p.doc_a, p.doc_b""".stripMargin)
+    ),
+
     // ----- incremental dedup: new batch vs a persisted signature index -----
     // The shape that actually runs at 100 TB: a corpus that size is never
     // re-deduplicated from scratch when a new crawl arrives — its per-doc
