@@ -214,6 +214,134 @@ object DupGraph {
     MinHashIndex.delete(spark, s"$indexPath/sig", ids)
   }
 
+  // ---- incremental component labels: contracted-graph maintenance --------
+  // Connected components are THE consumer of this store (clusters, canonical
+  // selection, leakage splits, soft weights), and recomputing them from the
+  // full edge log after every ingested batch re-pays closure over the whole
+  // graph. The incremental form exploits what a label store already knows:
+  // every stored component is internally connected, so for maintenance it
+  // can be CONTRACTED to its label. A new batch's edges project onto the
+  // contracted node space (stored endpoint → its label, new endpoint →
+  // itself), components run on that TINY graph (new-edge-mass nodes, not
+  // corpus), and the result is a label remap (old lbl → merged lbl) plus
+  // labels for the new docs. Min-label semantics compose exactly: a stored
+  // label is the min of its old component, so the contracted component's
+  // min is the true global min (`DupGraphLabelsSpec` pins N-batch
+  // maintenance ≡ from-scratch components).
+  //
+  // Store layout: parquet partitioned by bkt = doc_id % LabelBuckets, and
+  // the remap applies as a bucket-wise copy-on-write upsert — only buckets
+  // holding a relabeled or new doc are rewritten (the Hudi COW shape, apt
+  // for an engine mirroring a Hudi metadata tool). Per-batch cost is
+  // O(new edges + relabeled rows + touched-bucket rewrite), never a
+  // full-graph closure.
+
+  /** Label-store bucket count: bounds the blast radius of one upsert (a
+    * touched bucket rewrites ~1/64 of the store) while keeping the
+    * driver-side touched-bucket list trivially small.
+    */
+  val LabelBuckets = 64
+
+  private def labelDir(indexPath: String) = s"$indexPath/labels"
+
+  /** Whether a label store exists (any bucket partition with data). */
+  def labelsExist(spark: SparkSession, indexPath: String): Boolean = {
+    val dir = new Path(labelDir(indexPath))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(dir) && fs.listStatus(dir).exists { st =>
+      st.isDirectory && st.getPath.getName.startsWith("bkt=") &&
+        fs.listStatus(st.getPath).exists(_.getPath.getName.endsWith(".parquet"))
+    }
+  }
+
+  /** Current component labels (doc_id, lbl) — one row per doc that appears
+    * in the graph; lbl = min doc_id of its component (the
+    * [[ConnectedComponents.components]] contract, maintained incrementally).
+    */
+  def labels(spark: SparkSession, indexPath: String): DataFrame =
+    if (labelsExist(spark, indexPath))
+      spark.read.parquet(labelDir(indexPath)).select(col("doc_id"), col("lbl"))
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("lbl", org.apache.spark.sql.types.LongType))))
+
+  /** Fold a batch's verified edges into the label store. Bootstrap (no
+    * store yet) labels the edges directly; steady state contracts stored
+    * components to their labels, solves components over (contracted new
+    * edges), and applies the remap + new-doc labels as a bucket-pruned
+    * upsert. Idempotent under replay: re-applying an already-folded batch
+    * yields an identity remap and rewrites the same rows to the same
+    * values.
+    */
+  def refreshLabels(spark: SparkSession, indexPath: String,
+      newEdges: DataFrame): Unit = {
+    val ne = newEdges.select(col("doc_a"), col("doc_b")).distinct()
+    if (!labelsExist(spark, indexPath)) {
+      // one-time bootstrap: fold in whatever the edge log already holds, so
+      // label maintenance can be adopted mid-life on an existing store
+      val seed = ne.unionByName(
+        edges(spark, indexPath).select(col("doc_a"), col("doc_b"))).distinct()
+      val lbls = ConnectedComponents.components(seed, "doc_a", "doc_b")
+        .select(col("id").as("doc_id"), col("lbl"))
+      writeBuckets(spark, indexPath, lbls)
+      return
+    }
+    val stored = spark.read.parquet(labelDir(indexPath))
+    // contract endpoints to stored labels; the new-edge side is the small
+    // one, so it broadcasts into the stored scan (steady-state batch mass)
+    val la = stored.select(col("doc_id").as("doc_a"), col("lbl").as("la"))
+    val lb = stored.select(col("doc_id").as("doc_b"), col("lbl").as("lb"))
+    val contracted = broadcast(ne)
+      .join(la, Seq("doc_a"), "left")
+      .join(lb, Seq("doc_b"), "left")
+      .select(coalesce(col("la"), col("doc_a")).as("a"),
+        coalesce(col("lb"), col("doc_b")).as("b"))
+    val comp = ConnectedComponents.components(contracted, "a", "b")
+    // stored labels whose component merged: (old lbl -> new lbl)
+    val remap = comp.filter(col("id") =!= col("lbl"))
+      .select(col("id").as("old"), col("lbl").as("nw"))
+    val changed = stored.join(broadcast(remap), stored("lbl") === col("old"))
+      .select(stored("doc_id"), col("nw").as("lbl"))
+    // docs the graph has never seen take their contracted-component label
+    val neIds = ne.select(col("doc_a").as("doc_id"))
+      .unionByName(ne.select(col("doc_b").as("doc_id"))).distinct()
+    val newRows = neIds
+      .join(stored.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("lbl"))
+    upsertBuckets(spark, indexPath, stored, changed.unionByName(newRows))
+  }
+
+  private def bkt = pmod(col("doc_id"), lit(LabelBuckets)).cast("int")
+
+  private def writeBuckets(spark: SparkSession, indexPath: String,
+      rows: DataFrame): Unit =
+    rows.withColumn("bkt", bkt)
+      .write.mode(SaveMode.Overwrite).partitionBy("bkt")
+      .parquet(labelDir(indexPath))
+
+  /** Bucket-wise copy-on-write upsert: rewrite exactly the buckets holding
+    * an upserted doc (survivors of those buckets carried over, everything
+    * else untouched). The merged rows materialize (localCheckpoint) before
+    * the dynamic overwrite so no lazy plan reads files being replaced.
+    */
+  private def upsertBuckets(spark: SparkSession, indexPath: String,
+      stored: DataFrame, up: DataFrame): Unit = {
+    val upB = up.withColumn("bkt", bkt)
+    val touched = upB.select(col("bkt")).distinct().collect().map(_.getInt(0))
+    if (touched.isEmpty) return
+    val keep = stored.filter(col("bkt").isin(touched.toSeq: _*))
+      .join(upB.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lbl"), col("bkt"))
+    val merged = keep.unionByName(upB).localCheckpoint(true)
+    merged.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bkt")
+      .parquet(labelDir(indexPath))
+  }
+
   /** Deterministic per-corpus store location for registry queries: keyed by
     * the documents table's (length, mtime) fingerprint + [[FormatVersion]],
     * so a regenerated corpus or a changed edge scheme gets a fresh build

@@ -256,13 +256,26 @@ object DocumentStream {
   def graphContinuous(
       docs: Dataset[DocEvent],
       graphPath: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpointDir: String,
+      maintainLabels: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[DocEvent], batchId: Long) =>
+        val spark = batch.sparkSession
         graft.operators.DupGraph.appendBatch(
           batch.toDF().select(col("docId").as("doc_id"), col("text")),
           graphPath, batchId)
+        // opt-in co-maintained component labels: fold exactly this batch's
+        // verified edges (partition-pruned read of the batch_id written
+        // above) through the contracted-graph update, so cluster consumers
+        // read labels without re-running closure over the whole edge log.
+        // Replay-safe end to end: appendBatch rewrites its own partition
+        // and refreshLabels is idempotent on already-folded edges.
+        if (maintainLabels)
+          graft.operators.DupGraph.refreshLabels(spark, graphPath,
+            graft.operators.DupGraph.edges(spark, graphPath)
+              .filter(col("batch_id") === batchId)
+              .select(col("doc_a"), col("doc_b")))
       }
       .start()
 
