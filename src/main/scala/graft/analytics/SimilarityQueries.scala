@@ -951,6 +951,81 @@ object SimilarityQueries {
              |GROUP BY d.depth ORDER BY d.depth""".stripMargin)
     ),
 
+    // ----- binary sign-sketch shortlist: the 1-bit/dim compression tier -----
+    // The cheapest point on the engine's compression grid (RP: 16 of 64
+    // dims; SQ8: 8 bits/lane; PQ: sub-lane codebooks; Matryoshka: prefix
+    // truncation): ONE 32-bit sign code per vector — bit i = sign of the
+    // dot with deterministic hyperplane i (the SAME hash-derived planes the
+    // LSH bucket key uses, so the code IS the bucket key read as a
+    // bitvector; Charikar STOC'02: P[bit differs] = angle/π, so hamming
+    // distance is an unbiased angle estimator). 64 float dims → 4 bytes:
+    // a 64× scan-byte cut, and candidate ranking is XOR + popcount — the
+    // cheapest distance arithmetic that exists. Production shape as
+    // sim_rp_recall: shortlist by hamming (native codegen'd
+    // hyperplane_key + bit_count), exact-rerank the shortlist, recall@10
+    // at depths 10/50/100/200. Exact integer codes and hamming ranks —
+    // the estimates hash-match DuckDB bit-for-bit.
+    "sim_hamming_recall" -> QuerySpec(
+      (s, d) => {
+        graft.functions.VectorExpressions.register(s)
+        val n = graft.CacheTracker.track(Tables.spread(emb(s, d), "vec_id")
+          .select(col("vec_id"), expr(quantizeS("embedding")).as("qe"))
+          .withColumn("nrm", expr("long_dot(qe, qe)"))
+          .withColumn("code", expr("hyperplane_key(qe, 32)"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val queries = n.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("qe").as("qa"),
+            col("nrm").as("na"), col("code").as("ca"))
+        val w = Window.partitionBy(col("q_id"))
+        val joined = broadcast(queries).join(n, col("vec_id") =!= col("q_id"))
+          .withColumn("cf", expr("long_dot(qa, qe) / (sqrt(na) * sqrt(nrm))"))
+          .withColumn("hd", expr("bit_count(ca ^ code)"))
+          .withColumn("fr", row_number().over(w.orderBy(col("cf").desc, col("vec_id"))))
+          .withColumn("pr", row_number().over(w.orderBy(col("hd").asc, col("vec_id"))))
+          .select(col("q_id"), col("vec_id"), col("cf"), col("fr"), col("pr"))
+          .filter(col("fr") <= 10 || col("pr") <= 200)
+        val depths = joined.sparkSession.range(0, 1).selectExpr(
+          "explode(array(10, 50, 100, 200)) as depth")
+        val rerank = joined.crossJoin(broadcast(depths))
+          .filter(col("pr") <= col("depth"))
+          .withColumn("rr", row_number().over(
+            Window.partitionBy(col("q_id"), col("depth"))
+              .orderBy(col("cf").desc, col("vec_id"))))
+          .filter(col("rr") <= 10)
+          .select(col("depth"), col("q_id"), col("vec_id"), lit(1L).as("hit"))
+        joined.filter(col("fr") <= 10)
+          .select(col("q_id"), col("vec_id"))
+          .crossJoin(broadcast(depths))
+          .join(rerank, Seq("depth", "q_id", "vec_id"), "left")
+          .groupBy(col("depth"))
+          .agg(sum(coalesce(col("hit"), lit(0L))).cast("bigint").as("n_overlap"))
+          .withColumn("recall", expr("floor(n_overlap / 50 * 1e6 + 0.5) / 1e6"))
+          .orderBy(col("depth"))
+      },
+      Some(s"""$OracleQ,
+             |cd AS (SELECT vec_id, qe, nrm, ${lshKeyD("qe", 32)} AS code FROM n),
+             |j AS (SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+             |    ${dotD("a.qe", "b.qe")} / (sqrt(a.nrm) * sqrt(b.nrm)) AS cf,
+             |    bit_count(xor(a.code, b.code)) AS hd
+             |  FROM cd a JOIN cd b ON a.vec_id < 5 AND b.vec_id <> a.vec_id),
+             |rk AS (SELECT q_id, vec_id, cf,
+             |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cf DESC, vec_id) AS fr,
+             |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY hd ASC, vec_id) AS pr
+             |  FROM j),
+             |depths AS (SELECT unnest([10, 50, 100, 200]) AS depth),
+             |rer AS (SELECT depth, q_id, vec_id FROM (SELECT d.depth, r.q_id, r.vec_id,
+             |    ROW_NUMBER() OVER (PARTITION BY r.q_id, d.depth
+             |      ORDER BY r.cf DESC, r.vec_id) AS rr
+             |  FROM rk r JOIN depths d ON r.pr <= d.depth) z WHERE rr <= 10),
+             |truth AS (SELECT q_id, vec_id FROM rk WHERE fr <= 10)
+             |SELECT d.depth, COUNT(rer.vec_id) AS n_overlap,
+             |  floor(COUNT(rer.vec_id) / 50 * 1e6 + 0.5) / 1e6 AS recall
+             |FROM truth t CROSS JOIN depths d
+             |  LEFT JOIN rer ON rer.depth = d.depth AND rer.q_id = t.q_id
+             |    AND rer.vec_id = t.vec_id
+             |GROUP BY d.depth ORDER BY d.depth""".stripMargin)
+    ),
+
     // ----- Matryoshka truncation: the zero-index dimension ladder -----------
     // Matryoshka representations (Kusupati et al., NeurIPS'22) make the
     // PREFIX of an embedding a usable embedding — no projection matrix, no
