@@ -112,4 +112,29 @@ class DupGraphIngestSpec extends AnyFunSuite {
       assert(parts == Map(1L -> 1L, 2L -> 1L))
     } finally q.stop()
   }
+
+  test("graphContinuous(maintainLabels) keeps the label store fresh per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dupgraph_lblstream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("dupgraph_lblckpt").toString
+    val ms = MemoryStream[DocEvent]
+    val q = DocumentStream.graphContinuous(ms.toDS(), dir, ckpt, maintainLabels = true)
+    try {
+      ms.addData(
+        DocEvent(1, tA, Timestamp.valueOf("2024-07-23 10:00:00")),
+        DocEvent(2, tA + " iota", Timestamp.valueOf("2024-07-23 10:00:10")),
+        DocEvent(3, tB, Timestamp.valueOf("2024-07-23 10:00:20")))
+      q.processAllAvailable()
+      def lbls = DupGraph.labels(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(lbls == Map(1L -> 1L, 2L -> 1L))
+      // second batch joins doc 3's component into existence and extends 1's
+      ms.addData(
+        DocEvent(10, tA + " kappa", Timestamp.valueOf("2024-07-23 11:00:00")),
+        DocEvent(11, tB + " nine", Timestamp.valueOf("2024-07-23 11:00:10")))
+      q.processAllAvailable()
+      assert(lbls == Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 3L -> 3L, 11L -> 3L))
+    } finally q.stop()
+  }
 }
