@@ -38,4 +38,24 @@ class KmvOverlapSpec extends AnyFunSuite {
     assert(got(("x", "z")) == ((21L, 0L, 21L, 0L, 0L)), s"got $got")
     assert(got(("y", "z")) == ((20L, 0L, 20L, 0L, 0L)), s"got $got")
   }
+
+  test("mergeability: K(A union B) == k-smallest of K(A) union K(B)") {
+    // the property the query's pair stage RELIES on — sketches built on two
+    // shards merge into exactly the sketch of the union, no re-scan —
+    // checked in plain Scala with the engine's triple-iterated Lehmer hash
+    val MP = 2147483647L
+    def h(ent: Long): Long = {
+      var x = ent
+      for (_ <- 1 to 3) x = (48271L * x + 11) % MP
+      x
+    }
+    val k = 64
+    val a = (0L until 500L).map(_ * 7919L).toSet
+    val b = (0L until 500L).map(_ * 104729L + 3L).toSet
+    def sketch(s: Set[Long]): Vector[Long] =
+      s.map(h).toVector.distinct.sorted.take(k)
+    val mergedFromSketches =
+      (sketch(a) ++ sketch(b)).distinct.sorted.take(k)
+    assert(mergedFromSketches == sketch(a ++ b))
+  }
 }
