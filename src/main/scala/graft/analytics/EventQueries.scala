@@ -480,10 +480,12 @@ object EventQueries {
     // implementation-defined and only range-checked. Exact union/
     // intersection columns ride along as the gate-scale measuring stick.
     //
-    // Scale design: the sketch build is the only corpus-sized stage (one
-    // distinct + a per-type bottom-k — the bounded top-K aggregate at
-    // production occupancy, same move as txt_domain_cap); every pair
-    // combination then runs on |types|²·k rows. Sketches are mergeable
+    // Scale design: the sketch build is the only corpus-sized stage — one
+    // distinct + a per-type bottom-k through the bounded top-K typed
+    // aggregate (`top64_by_long(-h, h)` = 64 smallest hashes; the partial
+    // phase cuts every map task to 64 entries per type, so no per-type
+    // sort ever sees the corpus); every pair combination then runs on
+    // |types|²·k rows. Sketches are mergeable
     // across partitions, days, and clusters — THE property that lets a
     // 100 TB deployment keep per-shard sketches and answer any pairwise
     // overlap later without touching the corpus again. The exact columns
@@ -492,7 +494,7 @@ object EventQueries {
     // unions ~2600.
     "evt_kmv_overlap" -> QuerySpec(
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
+        graft.functions.SketchAggregators.register(s)
         val k = 64
         val ents = graft.CacheTracker.track(ev(s, d)
           .select(col("event_type"),
@@ -509,10 +511,13 @@ object EventQueries {
           .withColumn("h", expr(s"(48271L * ((48271L * ((48271L * ent + 11) % ${MP}L) " +
             s"+ 11) % ${MP}L) + 11) % ${MP}L"))
           .select(col("event_type"), col("h")).distinct()
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("event_type")).orderBy(col("h"))))
-          .filter(col("rn") <= k)
-          .select(col("event_type"), col("h"))
+          // bottom-k via the bounded top-K typed aggregate (negated score):
+          // the partial phase caps every map task at k entries per type, so
+          // the sketch build never sorts a type's full hash set
+          .groupBy(col("event_type"))
+          .agg(expr(s"top64_by_long(-h, h)").as("tk"))
+          .select(col("event_type"), explode(col("tk")).as("x"))
+          .select(col("event_type"), col("x._2").as("h"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val types = sk.select(col("event_type")).distinct()
         val pairs = types.select(col("event_type").as("type_a"))

@@ -198,6 +198,10 @@ object SketchAggregators {
     implicit val topkLongEnc: Encoder[(Long, Long)] = ExpressionEncoder()
     spark.udf.register("top11_by_long",
       org.apache.spark.sql.functions.udaf(new TopKByLongScore(11)))
+    // KMV sketch width (evt_kmv_overlap): top-64 by negated hash = the 64
+    // smallest hash values, map-side-combined in bounded 64-entry buffers
+    spark.udf.register("top64_by_long",
+      org.apache.spark.sql.functions.udaf(new TopKByLongScore(64)))
     implicit val strEnc: Encoder[String] = ExpressionEncoder()
     spark.udf.register("mg63",
       org.apache.spark.sql.functions.udaf(new MisraGries(63)))
