@@ -786,6 +786,84 @@ object EventQueries {
     ),
 
     // ----- event funnel: users who signed up then purchased -----
+    // ----- windowed multi-step funnel: the product-analytics workhorse -----
+    // evt_funnel's production form: view → click → purchase with STRICT
+    // ordering and a PER-STEP conversion window (click within 3 days of the
+    // first view, purchase within 7 days of that click) — the unwindowed
+    // join overcounts users whose later step happened weeks after intent
+    // expired. Each stage is one equi-join on user_id against the previous
+    // stage's one-row-per-user frame plus a min — the stage frames only
+    // ever shrink, so the chain costs one shuffle per step with AQE
+    // electing broadcast as the funnel narrows (never a per-user window
+    // over the raw event stream). Conversion ratios and mean step
+    // latencies are exact integer arithmetic (micro-ratio via div, latency
+    // as floor-divided seconds) — no float surface in the hash contract.
+    "evt_funnel_windowed" -> QuerySpec(
+      (s, d) => {
+        val e = ev(s, d)
+        val v = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("vt"))
+        val c = e.filter(col("event_type") === "click")
+          .join(v, "user_id")
+          .filter(col("ts") > col("vt") &&
+            col("ts") <= col("vt") + expr("INTERVAL 3 DAYS"))
+          .groupBy(col("user_id"))
+          .agg(min(col("ts")).as("ct"), first(col("vt")).as("vt"))
+        val p = e.filter(col("event_type") === "purchase")
+          .join(c.select(col("user_id"), col("ct")), "user_id")
+          .filter(col("ts") > col("ct") &&
+            col("ts") <= col("ct") + expr("INTERVAL 7 DAYS"))
+          .groupBy(col("user_id"))
+          .agg(min(col("ts")).as("pt"), first(col("ct")).as("ct2"))
+        val s1 = v.agg(count(lit(1)).as("n1"))
+        val s2 = c.agg(count(lit(1)).as("n2"),
+          sum(expr("unix_timestamp(ct) - unix_timestamp(vt)")).as("l2"))
+        val s3 = p.agg(count(lit(1)).as("n3"),
+          sum(expr("unix_timestamp(pt) - unix_timestamp(ct2)")).as("l3"))
+        s1.crossJoin(s2).crossJoin(s3).selectExpr(
+          "stack(3, " +
+            "'1_view', n1, cast(null as bigint), cast(null as bigint), " +
+            "'2_click', n2, if(n1 = 0, cast(null as bigint), n2 * 1000000L div n1), " +
+            "  if(n2 = 0, cast(null as bigint), cast(l2 as bigint) div n2), " +
+            "'3_purchase', n3, if(n2 = 0, cast(null as bigint), n3 * 1000000L div n2), " +
+            "  if(n3 = 0, cast(null as bigint), cast(l3 as bigint) div n3)" +
+            ") as (stage, n_users, conv_micro, avg_step_latency_sec)")
+          .orderBy(col("stage"))
+      },
+      Some("""WITH v AS (SELECT user_id, MIN(ts) AS vt FROM events
+             |  WHERE event_type = 'view' GROUP BY user_id),
+             |c AS (SELECT e.user_id, MIN(e.ts) AS ct, MIN(v.vt) AS vt
+             |  FROM events e JOIN v ON e.user_id = v.user_id
+             |  WHERE e.event_type = 'click' AND e.ts > v.vt
+             |    AND e.ts <= v.vt + INTERVAL 3 DAY
+             |  GROUP BY e.user_id),
+             |p AS (SELECT e.user_id, MIN(e.ts) AS pt, MIN(c.ct) AS ct2
+             |  FROM events e JOIN c ON e.user_id = c.user_id
+             |  WHERE e.event_type = 'purchase' AND e.ts > c.ct
+             |    AND e.ts <= c.ct + INTERVAL 7 DAY
+             |  GROUP BY e.user_id),
+             |s1 AS (SELECT COUNT(*) AS n1 FROM v),
+             |s2 AS (SELECT COUNT(*) AS n2,
+             |  CAST(SUM(date_diff('second', vt, ct)) AS BIGINT) AS l2 FROM c),
+             |s3 AS (SELECT COUNT(*) AS n3,
+             |  CAST(SUM(date_diff('second', ct2, pt)) AS BIGINT) AS l3 FROM p)
+             |SELECT stage, n_users, conv_micro, avg_step_latency_sec FROM (
+             |  SELECT '1_view' AS stage, CAST(n1 AS BIGINT) AS n_users,
+             |    CAST(NULL AS BIGINT) AS conv_micro,
+             |    CAST(NULL AS BIGINT) AS avg_step_latency_sec FROM s1, s2, s3
+             |  UNION ALL
+             |  SELECT '2_click', CAST(n2 AS BIGINT),
+             |    CASE WHEN n1 = 0 THEN NULL ELSE CAST(n2 * 1000000 // n1 AS BIGINT) END,
+             |    CASE WHEN n2 = 0 THEN NULL ELSE CAST(l2 // n2 AS BIGINT) END
+             |  FROM s1, s2, s3
+             |  UNION ALL
+             |  SELECT '3_purchase', CAST(n3 AS BIGINT),
+             |    CASE WHEN n2 = 0 THEN NULL ELSE CAST(n3 * 1000000 // n2 AS BIGINT) END,
+             |    CASE WHEN n3 = 0 THEN NULL ELSE CAST(l3 // n3 AS BIGINT) END
+             |  FROM s1, s2, s3) z
+             |ORDER BY stage""".stripMargin)
+    ),
+
     "evt_funnel" -> QuerySpec(
       (s, d) => {
         val e = ev(s, d)
