@@ -881,7 +881,10 @@ object DedupQueries {
             "aggregate(zip_with(sa, sb, (x, y) -> if(x = y, 1L, 0L)), 0L, (a, v) -> a + v)"))
           .select(col("doc_a"), col("doc_b"), col("sig_match_lanes"),
             expr("sig_match_lanes * 1000000L div 16").as("est_micro"),
-            expr("round(j, 6)").as("jaccard"),
+            // floor(j*1e6+0.5)/1e6 — the family's hash-stable rounding
+            // convention (round() is HALF_UP in Spark but round-half-even
+            // on doubles in DuckDB, which can diverge on tie-valued j)
+            expr("floor(j * 1e6 + 0.5) / 1e6").as("jaccard"),
             expr("abs(sig_match_lanes * 1000000L div 16 - " +
               "cast(floor(j * 1e6 + 0.5) as bigint))").as("abs_err_micro"))
           .orderBy(col("doc_a"), col("doc_b"))
@@ -890,7 +893,7 @@ object DedupQueries {
              |SELECT p.doc_a, p.doc_b,
              |  CAST(len(list_filter(generate_series(1, 16), i -> a.sig[i] = b.sig[i])) AS BIGINT) AS sig_match_lanes,
              |  CAST(len(list_filter(generate_series(1, 16), i -> a.sig[i] = b.sig[i])) * 1000000 // 16 AS BIGINT) AS est_micro,
-             |  round(p.j, 6) AS jaccard,
+             |  floor(p.j * 1e6 + 0.5) / 1e6 AS jaccard,
              |  CAST(abs(len(list_filter(generate_series(1, 16), i -> a.sig[i] = b.sig[i])) * 1000000 // 16
              |    - CAST(floor(p.j * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS abs_err_micro
              |FROM (SELECT doc_a, doc_b, j FROM v WHERE j >= 0.5) p

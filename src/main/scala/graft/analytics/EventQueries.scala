@@ -808,13 +808,15 @@ object EventQueries {
           .filter(col("ts") > col("vt") &&
             col("ts") <= col("vt") + expr("INTERVAL 3 DAYS"))
           .groupBy(col("user_id"))
-          .agg(min(col("ts")).as("ct"), first(col("vt")).as("vt"))
+          // min, not first: vt is constant per user group today, but the
+          // oracle states MIN — min keeps the contract order-independent
+          .agg(min(col("ts")).as("ct"), min(col("vt")).as("vt"))
         val p = e.filter(col("event_type") === "purchase")
           .join(c.select(col("user_id"), col("ct")), "user_id")
           .filter(col("ts") > col("ct") &&
             col("ts") <= col("ct") + expr("INTERVAL 7 DAYS"))
           .groupBy(col("user_id"))
-          .agg(min(col("ts")).as("pt"), first(col("ct")).as("ct2"))
+          .agg(min(col("ts")).as("pt"), min(col("ct")).as("ct2"))
         val s1 = v.agg(count(lit(1)).as("n1"))
         val s2 = c.agg(count(lit(1)).as("n2"),
           sum(expr("unix_timestamp(ct) - unix_timestamp(vt)")).as("l2"))

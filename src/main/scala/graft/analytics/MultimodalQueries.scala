@@ -82,35 +82,22 @@ object MultimodalQueries {
       .filter(col("longest_clip") >= minClip)
   }
 
-  /** The shared dHash table (doc_id, 56-bit h) behind mm_phash_pairs and
-    * mm_phash_clusters: resample each payload stand-in to the 8x8 grid,
-    * hash horizontal gradient signs, and derive near-identical pseudo-docs
-    * in-query (the dedup_containment_pairs move) — every 5th doc gets a
-    * twin (id → −(id+1), collision-free with real non-negative doc_ids at
-    * any corpus size) with ONE mid-body character replaced, so the sf0.01
-    * differential check exercises real banded candidates and real
-    * verifications instead of vacuous 0 = 0 rows. The oracle replays the
-    * same derivation ([[PhashPairsCte]]).
+  /** The persistent media-fingerprint store for this corpus, built once on
+    * first use ([[graft.operators.MediaGraph]] — the DupGraph move for
+    * binaries): every mm pair/cluster row below reads stored per-asset
+    * hashes instead of re-deriving the decode → fingerprint pipeline per
+    * query, which made this family the heaviest scale rows in the suite.
+    * The fixture's dHash derivation (8x8 body resample + perturbed twins,
+    * every 5th doc → id −(id+1) with ONE mid-body character replaced so the
+    * differential gates exercise real banded candidates) now lives in
+    * [[graft.operators.MediaGraph.phashFrom]]; the oracle still replays it
+    * from scratch ([[PhashPairsCte]]), so the driver's hash compare pins
+    * store ≡ recompute — the `txt_bm25_indexed` pattern.
     */
-  private def phashTable(s: SparkSession, d: String)
-      : org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val base = docs(s, d)
-      .withColumn("body", trim(col("text")))
-      .filter(length(col("body")) >= 2)
-      .select(col("doc_id"), col("body"))
-    val pert = base.filter(col("doc_id") % 5 === 0)
-      .select((-(col("doc_id") + lit(1L))).as("doc_id"),
-        expr("concat(substring(body, 1, length(body) div 2 - 1), 'z', " +
-          "substring(body, length(body) div 2 + 1))").as("body"))
-    graft.CacheTracker.track(base.unionByName(pert)
-      .withColumn("pix", expr("transform(sequence(0, 63), i -> " +
-        "ascii(substring(body, cast(1 + (cast(i as bigint) * (length(body) - 1)) div 63 as int), 1)))"))
-      .select(col("doc_id"), expr("aggregate(sequence(0, 55), cast(0 as bigint), (a, i) -> " +
-        "a + if(element_at(pix, cast((i div 7) * 8 + (i % 7) + 1 as int)) > " +
-        "element_at(pix, cast((i div 7) * 8 + (i % 7) + 2 as int)), " +
-        "shiftleft(cast(1 as bigint), i), cast(0 as bigint)))").as("h"))
-      .persist(MEMORY_AND_DISK))
+  private def store(s: SparkSession, d: String): String = {
+    val path = graft.operators.MediaGraph.registryPath(s, d)
+    graft.operators.MediaGraph.ensureBuilt(s, d, path)
+    path
   }
 
   /** Oracle CTE chain ending in verified pairs `vp(doc_a, doc_b, hamming)` —
@@ -227,7 +214,8 @@ object MultimodalQueries {
     // bytes is [[graft.operators.Multimodal]]; the resample here IS the
     // deterministic stand-in decode both engines can state.
     "mm_phash_pairs" -> QuerySpec(
-      (s, d) => phashPairsFromHashes(phashTable(s, d))
+      (s, d) => phashPairsFromHashes(
+        graft.operators.MediaGraph.phash(s, store(s, d)))
         .orderBy(col("doc_a"), col("doc_b")),
       Some(s"""WITH $PhashPairsCte
              |SELECT doc_a, doc_b, hamming FROM vp ORDER BY doc_a, doc_b""".stripMargin)
@@ -247,7 +235,8 @@ object MultimodalQueries {
     // corpus); everything upstream is the banded/capped candidate shape.
     "mm_phash_clusters" -> QuerySpec(
       (s, d) => {
-        val pairs = phashPairsFromHashes(phashTable(s, d))
+        val pairs = phashPairsFromHashes(
+          graft.operators.MediaGraph.phash(s, store(s, d)))
           .select(col("doc_a"), col("doc_b"))
         graft.operators.ConnectedComponents.components(pairs, "doc_a", "doc_b")
           .groupBy(col("lbl").as("cluster_rep"))
@@ -290,13 +279,11 @@ object MultimodalQueries {
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-        val fr0 = Tables.spread(docs(s, d).select("doc_id", "text"), "doc_id")
-          .withColumn("body", trim(col("text")))
-          .select(col("doc_id"), col("body"),
-            explode(expr("if(length(body) = 0, cast(array() as array<int>), " +
-              "sequence(1, cast(ceil(length(body) / 32.0) as int)))")).as("fi"))
-          .select(col("doc_id"), col("fi"),
-            expr(strHashS("substring(body, (fi - 1) * 32 + 1, 32)")).as("h"))
+        // frame hashes come from the store, NOT a per-query decode; the
+        // boilerplate df cap is computed over the store scan at read time
+        // (stored uncapped — df must reflect the store's current corpus,
+        // not the statistics at build/append time)
+        val fr0 = graft.operators.MediaGraph.frames(s, store(s, d))
         val hot = fr0.groupBy(col("h")).agg(count(lit(1)).as("df"))
           .filter(col("df") > VideoFrameDfCap).select(col("h"))
         val fr = graft.CacheTracker.track(fr0.join(hot, Seq("h"), "left_anti")
@@ -430,19 +417,12 @@ object MultimodalQueries {
     // (`MultimodalAudioSpec` drives volume-perturbed WAVs through this
     // exact pair pipeline).
     "mm_audio_pairs" -> QuerySpec(
-      (s, d) => {
-        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-        graft.functions.VectorExpressions.register(s)
-        // one native pass per row (windows -> difference-order energies ->
-        // 56-bit hash); the declarative HOF chain this replaces lives in
-        // [[audioFpDeclarative]] and MultimodalAudioSpec pins equality
-        val h = graft.CacheTracker.track(docs(s, d)
-          .withColumn("body", trim(col("text")))
-          .filter(length(col("body")) >= 64)
-          .select(col("doc_id"), expr("audio_fp56(body)").as("h"))
-          .persist(MEMORY_AND_DISK))
-        phashPairsFromHashes(h).orderBy(col("doc_a"), col("doc_b"))
-      },
+      (s, d) =>
+        // stored envelope hashes (built once via the native audio_fp56
+        // pass — the declarative HOF chain it replaced lives in
+        // [[audioFpDeclarative]], MultimodalAudioSpec pins equality)
+        phashPairsFromHashes(graft.operators.MediaGraph.audio(s, store(s, d)))
+          .orderBy(col("doc_a"), col("doc_b")),
       Some {
         val dCtes = (1 to 7).map { k =>
           s"""d$k AS (SELECT *, CASE WHEN len(a${k - 1}) > 1

@@ -208,10 +208,54 @@ object DupGraph {
     * only ever sighted through the hub). Propagates to the co-located
     * [[buildFrom]] signature store so future [[append]] batches can no
     * longer collide with deleted docs either.
+    *
+    * Label-store propagation: a maintained label store must not keep
+    * serving rows for deleted docs, nor keep SURVIVOR components merged
+    * through a deleted bridge doc. The surgical form (no full-graph
+    * closure): only the components whose stored label a deleted doc
+    * carried can change, so components recompute over the surviving edges
+    * of exactly those components — touched-component mass, never corpus
+    * mass. Survivors left edge-less by the delete drop out of the store
+    * entirely, preserving the pinned invariant labels ≡ from-scratch
+    * components of the surviving edge log (`DupGraphLabelsSpec`).
     */
   def delete(spark: SparkSession, indexPath: String, ids: DataFrame): Unit = {
+    // snapshot the touched-component survivor set BEFORE any store file is
+    // rewritten — a lazy plan over files being replaced is a self-read race
+    val touchedSurvivors: Option[DataFrame] =
+      if (labelsExist(spark, indexPath)) {
+        val stored = spark.read.parquet(labelDir(indexPath))
+          .select(col("doc_id"), col("lbl"))
+        val del = broadcast(
+          ids.select(col(ids.columns.head).as("doc_id")).distinct())
+        val touchedLbls = stored.join(del, Seq("doc_id")).select(col("lbl")).distinct()
+        Some(stored.join(broadcast(touchedLbls), Seq("lbl"))
+          .join(del, Seq("doc_id"), "left_anti")
+          .select(col("doc_id")).localCheckpoint(true))
+      } else None
     StoreDelete(spark, edgeDir(indexPath), Seq("doc_a", "doc_b"), ids, Seq("batch_id"))
     MinHashIndex.delete(spark, s"$indexPath/sig", ids)
+    touchedSurvivors.foreach { surv =>
+      // surviving edges within the touched components: both endpoints of a
+      // surviving edge sat in the SAME old component, so one endpoint's
+      // membership implies the other's — a single semi-join suffices
+      val se = edges(spark, indexPath).select(col("doc_a"), col("doc_b"))
+        .join(surv.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+      val comp = ConnectedComponents.components(se, "doc_a", "doc_b")
+        .select(col("id").as("doc_id"), col("lbl")).localCheckpoint(true)
+      // rows to REMOVE: the deleted ids plus touched survivors the delete
+      // left edge-less (from-scratch components only know docs with edges)
+      val dropIds = ids.select(col(ids.columns.head).as("doc_id")).distinct()
+        .unionByName(surv.join(comp.select(col("doc_id")), Seq("doc_id"), "left_anti"))
+      StoreDelete(spark, labelDir(indexPath), Seq("doc_id"), dropIds, Seq("bkt"))
+      // rows to REWRITE: recomputed labels of the surviving members
+      if (labelsExist(spark, indexPath))
+        upsertBuckets(spark, indexPath,
+          spark.read.parquet(labelDir(indexPath)), comp)
+      else if (!comp.isEmpty) writeBuckets(spark, indexPath, comp)
+      surv.unpersist(blocking = false)
+      comp.unpersist(blocking = false)
+    }
   }
 
   // ---- incremental component labels: contracted-graph maintenance --------
@@ -353,6 +397,10 @@ object DupGraph {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bkt")
       .parquet(labelDir(indexPath))
+    // the checkpointed blocks served their overwrite-barrier purpose; a
+    // long-running maintainLabels stream must not accumulate one block set
+    // per micro-batch in executor storage
+    merged.unpersist(blocking = false)
   }
 
   /** Deterministic per-corpus store location for registry queries: keyed by

@@ -1,0 +1,203 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent media-fingerprint store — the [[DupGraph]] move applied to
+  * binary assets: decode + fingerprint each asset ONCE, store the tiny
+  * per-asset hashes, and let every media-dedup query read a columnar scan
+  * instead of re-deriving the full decode → hash pipeline.
+  *
+  * The asymmetry is the same one that motivated [[DupGraph]], but stronger:
+  * a perceptual hash is 8 bytes per image, an audio envelope hash 8 bytes
+  * per track, and video frame hashes ~20 bytes per frame — while the
+  * pipeline that produces them re-reads and re-decodes the whole media
+  * corpus. At 100 TB of binaries the store is bytes-per-asset; the
+  * pipeline is the corpus. Before this store the four mm pair/cluster rows
+  * were the heaviest scale rows in the suite precisely because each
+  * re-derived its fingerprints per query.
+  *
+  * Three co-located tables under one root:
+  *   - `phash`  (doc_id, h)      — 56-bit image dHash (incl. the registry
+  *     fixture's derived perturbed twins; a real-codec deployment feeds
+  *     [[Multimodal.phashImage]] output here instead)
+  *   - `audio`  (doc_id, h)      — 56-bit audio envelope hash (`audio_fp56`)
+  *   - `frames` (doc_id, fi, h)  — per-video frame content hashes. Stored
+  *     UNCAPPED: the boilerplate document-frequency cap depends on
+  *     corpus-wide frame counts, so it must be computed over the CURRENT
+  *     store at read time — capping at build would freeze df at the build
+  *     batch's statistics and break append consistency.
+  *
+  * Lifecycle mirrors [[DupGraph]]: [[build]] overwrites (root `_SUCCESS`
+  * gates completeness, a killed build re-runs), [[ensureBuilt]] builds only
+  * when absent, [[appendBatch]] folds a new asset batch in idempotently
+  * (batch_id dynamic partition overwrite — a replayed batch rewrites
+  * exactly its own partition), [[delete]] propagates takedowns to all three
+  * tables, and [[registryPath]] keys the store to the corpus fingerprint +
+  * format version so a regenerated corpus or changed hash scheme never
+  * serves stale fingerprints.
+  */
+object MediaGraph {
+
+  /** Bump when any fingerprint semantics change (dHash packing, audio
+    * flattening constants, frame stride, the twin derivation) — stale
+    * stored hashes would otherwise silently answer for a different scheme.
+    */
+  val FormatVersion = 1
+
+  private def sub(indexPath: String, t: String) = s"$indexPath/$t"
+  private val TableNames = Seq("phash", "audio", "frames")
+
+  // ---- fingerprint derivations (shared by build and appendBatch) ----------
+  // These ARE the stand-in decodes the registry queries historically ran
+  // inline (MultimodalQueries pre-round-10); a real-binary deployment swaps
+  // them for graft.operators.Multimodal.{phashImage, audioFingerprint,
+  // videoFrameHashes} over payload bytes — the store schema and every
+  // downstream query are identical either way.
+
+  /** 56-bit image dHash over the 8x8 body resample, PLUS the registry
+    * fixture's derived near-identical twins (every 5th doc perturbed one
+    * mid-body character, id → −(id+1)) so the differential gates exercise
+    * real banded candidates. Input: (doc_id, text).
+    */
+  def phashFrom(docs: DataFrame): DataFrame = {
+    val base = docs
+      .withColumn("body", trim(col("text")))
+      .filter(length(col("body")) >= 2)
+      .select(col("doc_id"), col("body"))
+    val pert = base.filter(col("doc_id") % 5 === 0)
+      .select((-(col("doc_id") + lit(1L))).as("doc_id"),
+        expr("concat(substring(body, 1, length(body) div 2 - 1), 'z', " +
+          "substring(body, length(body) div 2 + 1))").as("body"))
+    base.unionByName(pert)
+      .withColumn("pix", expr("transform(sequence(0, 63), i -> " +
+        "ascii(substring(body, cast(1 + (cast(i as bigint) * (length(body) - 1)) div 63 as int), 1)))"))
+      .select(col("doc_id"), expr("aggregate(sequence(0, 55), cast(0 as bigint), (a, i) -> " +
+        "a + if(element_at(pix, cast((i div 7) * 8 + (i % 7) + 1 as int)) > " +
+        "element_at(pix, cast((i div 7) * 8 + (i % 7) + 2 as int)), " +
+        "shiftleft(cast(1 as bigint), i), cast(0 as bigint)))").as("h"))
+  }
+
+  /** 56-bit audio envelope hash via the native `audio_fp56` expression
+    * (VectorExpressions must be registered). Input: (doc_id, text).
+    */
+  def audioFrom(docs: DataFrame): DataFrame = {
+    graft.functions.VectorExpressions.register(docs.sparkSession)
+    docs.withColumn("body", trim(col("text")))
+      .filter(length(col("body")) >= 64)
+      .select(col("doc_id"), expr("audio_fp56(body)").as("h"))
+  }
+
+  /** Per-video frame content hashes: contiguous 32-unit slices, rolling
+    * string hash per frame. Input: (doc_id, text); output (doc_id, fi, h).
+    */
+  def framesFrom(docs: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.strHashS
+    graft.Tables.spread(docs.select("doc_id", "text"), "doc_id")
+      .withColumn("body", trim(col("text")))
+      .select(col("doc_id"), col("body"),
+        explode(expr("if(length(body) = 0, cast(array() as array<int>), " +
+          "sequence(1, cast(ceil(length(body) / 32.0) as int)))")).as("fi"))
+      .select(col("doc_id"), col("fi"),
+        expr(strHashS("substring(body, (fi - 1) * 32 + 1, 32)")).as("h"))
+  }
+
+  /** Fingerprint the whole corpus at `dir` and overwrite the store. The
+    * documents table is read once per modality, never per query again.
+    */
+  def build(spark: SparkSession, dir: String, indexPath: String): Unit = {
+    val docs = graft.Tables.t(spark, dir, "documents").select("doc_id", "text")
+    phashFrom(docs).write.mode(SaveMode.Overwrite).parquet(sub(indexPath, "phash"))
+    audioFrom(docs).write.mode(SaveMode.Overwrite).parquet(sub(indexPath, "audio"))
+    framesFrom(docs).write.mode(SaveMode.Overwrite).parquet(sub(indexPath, "frames"))
+  }
+
+  /** Whether a completed store exists: all three tables either carry a root
+    * `_SUCCESS` marker (flat [[build]]) or hold `batch_id=` partition data
+    * ([[appendBatch]]-driven — per-partition commits write no root marker,
+    * and a partially written batch is safe because its replay overwrites
+    * exactly that partition).
+    */
+  def exists(spark: SparkSession, indexPath: String): Boolean =
+    TableNames.forall { t =>
+      val dir = new Path(sub(indexPath, t))
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(new Path(dir, "_SUCCESS")) ||
+        (fs.exists(dir) && fs.listStatus(dir).exists { st =>
+          st.isDirectory && st.getPath.getName.startsWith("batch_id=") &&
+            fs.listStatus(st.getPath).exists(_.getPath.getName.endsWith(".parquet"))
+        })
+    }
+
+  /** [[build]] unless a completed store is already present. */
+  def ensureBuilt(spark: SparkSession, dir: String, indexPath: String): Unit =
+    if (!exists(spark, indexPath)) build(spark, dir, indexPath)
+
+  private def read(spark: SparkSession, indexPath: String, t: String,
+      cols: Seq[String]): DataFrame =
+    spark.read.parquet(sub(indexPath, t)).select(cols.map(col): _*)
+
+  /** Stored image hashes (doc_id, h). */
+  def phash(spark: SparkSession, indexPath: String): DataFrame =
+    read(spark, indexPath, "phash", Seq("doc_id", "h"))
+
+  /** Stored audio hashes (doc_id, h). */
+  def audio(spark: SparkSession, indexPath: String): DataFrame =
+    read(spark, indexPath, "audio", Seq("doc_id", "h"))
+
+  /** Stored video frame hashes (doc_id, fi, h) — uncapped; consumers apply
+    * the boilerplate df cap over the store scan.
+    */
+  def frames(spark: SparkSession, indexPath: String): DataFrame =
+    read(spark, indexPath, "frames", Seq("doc_id", "fi", "h"))
+
+  /** Fold a new asset batch in for at-least-once callers: each modality's
+    * batch fingerprints land under their own `batch_id=N` partition via
+    * dynamic partition overwrite, so a replayed batch rewrites exactly its
+    * own partition instead of double-inserting. As with
+    * [[MinHashIndex.appendBatch]], a store driven through this method must
+    * use it for EVERY write including the first — flat and partitioned
+    * layouts must not mix under one root.
+    */
+  def appendBatch(newDocs: DataFrame, indexPath: String, batchId: Long): Unit = {
+    val docs = newDocs.select("doc_id", "text")
+    Seq("phash" -> phashFrom(docs), "audio" -> audioFrom(docs),
+        "frames" -> framesFrom(docs)).foreach { case (t, df) =>
+      df.withColumn("batch_id", lit(batchId))
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(sub(indexPath, t))
+    }
+  }
+
+  /** Remove a set of doc_ids from all three tables (retention / takedown).
+    * The phash table's derived twin rows follow their source doc (twin id
+    * = −(id+1)); deleting ids that never had a twin is a harmless no-op.
+    */
+  def delete(spark: SparkSession, indexPath: String, ids: DataFrame): Unit = {
+    val base = ids.select(col(ids.columns.head).as("doc_id")).distinct()
+    val withTwins = base.unionByName(
+      base.select((-(col("doc_id") + lit(1L))).as("doc_id")))
+    StoreDelete(spark, sub(indexPath, "phash"), "doc_id", withTwins, Seq("batch_id"))
+    StoreDelete(spark, sub(indexPath, "audio"), "doc_id", base, Seq("batch_id"))
+    StoreDelete(spark, sub(indexPath, "frames"), "doc_id", base, Seq("batch_id"))
+  }
+
+  /** Deterministic per-corpus store location for registry queries — keyed
+    * by the documents table's (length, mtime) fingerprint +
+    * [[FormatVersion]] (the [[DupGraph.registryPath]] scheme), under the
+    * JVM temp dir: a cache, not a deliverable.
+    */
+  def registryPath(spark: SparkSession, dir: String): String = {
+    val p = new Path(s"$dir/documents.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sum = fs.getContentSummary(p)
+    val mtime = fs.getFileStatus(p).getModificationTime
+    val fp = s"$dir|v$FormatVersion|${sum.getLength}|$mtime"
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(fp.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    s"${System.getProperty("java.io.tmpdir")}/graft-mediagraph/$h"
+  }
+}

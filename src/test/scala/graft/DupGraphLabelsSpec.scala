@@ -65,6 +65,43 @@ class DupGraphLabelsSpec extends AnyFunSuite {
     assert(labelMap(dir)(0L) == 0L && labelMap(dir)(100L) == 0L)
   }
 
+  test("delete propagates to the label store: bridge split + edge-less drop") {
+    val dir = java.nio.file.Files.createTempDirectory("dupgraph_del").toString
+    import spark.implicits._
+    // components: triangle {1,2,3}, bridge chain {10,11,12}, pair {20,21}
+    val all = Seq((1L, 2L, 0.9), (2L, 3L, 0.9), (1L, 3L, 0.9),
+      (10L, 11L, 0.8), (11L, 12L, 0.8), (20L, 21L, 0.7))
+      .toDF("doc_a", "doc_b", "j")
+    all.withColumn("batch_id", lit(0L))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(s"$dir/edges")
+    DupGraph.refreshLabels(spark, dir,
+      all.select(col("doc_a"), col("doc_b")))
+    assert(labelMap(dir) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+
+    // deleting the bridge doc 11 splits its chain; 10 and 12 become
+    // edge-less and must DROP from the store, not linger merged via 11
+    DupGraph.delete(spark, dir, Seq(11L).toDF("doc_id"))
+    assert(labelMap(dir) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      20L -> 20L, 21L -> 20L))
+    // the invariant the store pins: labels == from-scratch components of
+    // the surviving edge log
+    assert(labelMap(dir) ==
+      fromScratch(DupGraph.edges(spark, dir).select("doc_a", "doc_b")))
+
+    // deleting a triangle member keeps the survivors connected (1-3 edge)
+    DupGraph.delete(spark, dir, Seq(2L).toDF("doc_id"))
+    assert(labelMap(dir) == Map(1L -> 1L, 3L -> 1L, 20L -> 20L, 21L -> 20L))
+    assert(labelMap(dir) ==
+      fromScratch(DupGraph.edges(spark, dir).select("doc_a", "doc_b")))
+
+    // replay of the same delete is a no-op
+    DupGraph.delete(spark, dir, Seq(2L).toDF("doc_id"))
+    assert(labelMap(dir) == Map(1L -> 1L, 3L -> 1L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("mid-life adoption bootstraps from the existing edge log") {
     val dir = java.nio.file.Files.createTempDirectory("dupgraph_adopt").toString
     import spark.implicits._

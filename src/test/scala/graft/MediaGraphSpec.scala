@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.MediaGraph
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The persistent media-fingerprint store: a build-once set of per-asset
+  * hashes (image dHash, audio envelope, video frame hashes) that the mm
+  * pair/cluster registry rows read instead of re-deriving the decode →
+  * fingerprint pipeline per query. Pins (1) store ≡ recompute for every
+  * modality, (2) batch-driven ingestion with idempotent replay, (3) delete
+  * propagation including the phash table's derived twin rows.
+  */
+class MediaGraphSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def tmp(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def docsAt(d: String) =
+    Tables.t(spark, d, "documents").select("doc_id", "text")
+
+  test("stored fingerprints equal a from-scratch derivation per modality") {
+    val path = tmp("mediagraph_build")
+    MediaGraph.build(spark, sf, path)
+    val docs = docsAt(sf)
+    assert(MediaGraph.phash(spark, path)
+      .exceptAll(MediaGraph.phashFrom(docs)).isEmpty)
+    assert(MediaGraph.phashFrom(docs)
+      .exceptAll(MediaGraph.phash(spark, path)).isEmpty)
+    assert(MediaGraph.audio(spark, path)
+      .exceptAll(MediaGraph.audioFrom(docs)).isEmpty)
+    assert(MediaGraph.frames(spark, path)
+      .exceptAll(MediaGraph.framesFrom(docs)).isEmpty)
+    assert(MediaGraph.framesFrom(docs)
+      .exceptAll(MediaGraph.frames(spark, path)).isEmpty)
+    // ensureBuilt on a completed store is a no-op (mtime unchanged)
+    val before = MediaGraph.phash(spark, path).count()
+    MediaGraph.ensureBuilt(spark, sf, path)
+    assert(MediaGraph.phash(spark, path).count() == before)
+  }
+
+  test("batch-driven store: two batches == one build; replay idempotent") {
+    val flat = tmp("mediagraph_flat")
+    val batched = tmp("mediagraph_batched")
+    val docs = docsAt(sf)
+    MediaGraph.build(spark, sf, flat)
+    val b0 = docs.filter(col("doc_id") % 2 === 0)
+    val b1 = docs.filter(col("doc_id") % 2 === 1)
+    MediaGraph.appendBatch(b0, batched, 0L)
+    assert(MediaGraph.exists(spark, batched))
+    MediaGraph.appendBatch(b1, batched, 1L)
+    // replay of batch 1 rewrites exactly its own partition — no dupes
+    MediaGraph.appendBatch(b1, batched, 1L)
+    for ((get, cols) <- Seq(
+        ((p: String) => MediaGraph.phash(spark, p), Seq("doc_id", "h")),
+        ((p: String) => MediaGraph.audio(spark, p), Seq("doc_id", "h")),
+        ((p: String) => MediaGraph.frames(spark, p), Seq("doc_id", "fi", "h")))) {
+      val f = get(flat).select(cols.map(col): _*)
+      val b = get(batched).select(cols.map(col): _*)
+      assert(b.exceptAll(f).isEmpty && f.exceptAll(b).isEmpty)
+    }
+  }
+
+  test("delete propagates to all tables, twins follow their source doc") {
+    val path = tmp("mediagraph_del")
+    MediaGraph.build(spark, sf, path)
+    // pick a doc that HAS a twin (doc_id % 5 == 0, long enough body)
+    val victim = MediaGraph.phash(spark, path)
+      .filter(col("doc_id") >= 0 && col("doc_id") % 5 === 0)
+      .agg(min(col("doc_id"))).collect()(0).getLong(0)
+    import spark.implicits._
+    MediaGraph.delete(spark, path, Seq(victim).toDF("doc_id"))
+    assert(MediaGraph.phash(spark, path)
+      .filter(col("doc_id") === victim || col("doc_id") === -(victim + 1L))
+      .isEmpty)
+    assert(MediaGraph.audio(spark, path).filter(col("doc_id") === victim).isEmpty)
+    assert(MediaGraph.frames(spark, path).filter(col("doc_id") === victim).isEmpty)
+    // survivors untouched
+    assert(MediaGraph.phash(spark, path).count() > 0)
+  }
+}
