@@ -2,6 +2,18 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 object Bench {
+  /** The fixed untouched-row basket behind the artifact's `drift_basket`
+    * field: 10 rows spanning tl/rel/evt whose implementation files have
+    * been stable since round 8, chosen small and shuffle-light so the
+    * basket measures the HOST (JIT, disk, scheduler day-shape), not any
+    * operator under development.
+    */
+  val DriftBasket: Seq[String] = Seq(
+    "tl_batches", "tl_history", "tl_instant_parse", "tl_commit_groups",
+    "rel_join_revenue_by_segment", "rel_agg_pricing_summary",
+    "rel_percentiles", "rel_window_running_qty",
+    "evt_sessionize", "evt_daily_active_users")
+
   /** One SparkSession per benchmark chunk. Recreated (not getOrCreate'd)
     * so each chunk starts with empty shuffle dirs, an empty broadcast
     * manager and a fresh MapOutputTracker — round-7 measurements showed
@@ -11,15 +23,13 @@ object Bench {
     * warmth (JIT, the static codegen cache) survives the restart, so the
     * warmup pass stays meaningful.
     */
-  private def newSession(cpus: String): SparkSession = {
-    // Shuffle partitions default to the core count (right for sf<=0.1) but
-    // are overridable for scale probes: a 128x corpus through 32 partitions
-    // puts ~40M token-level rows in each per-partition sort — past the
-    // executor-memory envelope, so every wide stage tips into external
-    // sort/spill. Production sizing is partitions ~ input-bytes / 128MB,
-    // which is exactly what the probe passes here.
-    val shufflePartitions =
-      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+  private def newSession(cpus: String, sfDir: String): SparkSession = {
+    // Shuffle partitions derive from input bytes (graft.Sizing — the
+    // bytes-per-partition rule a production job runs), floored at the core
+    // count; SPARK_GRAFT_SHUFFLE_PARTITIONS stays as an explicit override
+    // for probes. A 100× deployment on the default no longer re-hits the
+    // 128× spill cliffs the fixed core-count default caused.
+    val shufflePartitions = Sizing.shufflePartitions(sfDir, cpus.toInt).toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
@@ -41,6 +51,8 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // corpus-size-derived constants (EVAL stride) resolve from this
+    System.setProperty("graft.sf.dir", sfDir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // SPARK_GRAFT_ONLY: optional regex to bench a subset (builder-side tool)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
@@ -67,7 +79,7 @@ object Bench {
     val verbose = sys.env.contains("SPARK_GRAFT_VERBOSE")
     val results = scala.collection.mutable.Map.empty[String, Double]
     chunks.foreach { chunk =>
-      val spark = newSession(cpus)
+      val spark = newSession(cpus, sfDir)
       // Warm-up pass (untimed): JIT + codegen + parquet-footer caches make
       // the first execution of JSON-parse/join-heavy queries swing up to
       // 12x vs warm runs on identical code; timings below are warm.
@@ -109,7 +121,19 @@ object Bench {
         .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
         .mkString("{", ",", "}")
       val total = f"${if (r.nonEmpty) r.values.sum else 0.0}%.4f"
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      // drift_basket: summed wall of a FIXED set of long-stable rows whose
+      // code hasn't changed since round 8 — cross-round artifact comparisons
+      // divide per-query times by the basket ratio to normalize out
+      // machine-day drift (round 9's uniform 1.31× on untouched rows had to
+      // be attributed by hand). Keep this list frozen; if a member's code
+      // ever changes, REPLACE it and note the swap in SURVEY.md.
+      val basketRows = DriftBasket.filter(r.contains)
+      val basket =
+        if (basketRows.size == DriftBasket.size)
+          f"${basketRows.map(r).sum}%.4f"
+        else "null" // partial run — a partial basket would mislead
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""drift_basket":$basket,"drift_basket_n":${basketRows.size},"sf":"$sfDir"}"""
     }
     val line = json(results.toMap)
     println(line)

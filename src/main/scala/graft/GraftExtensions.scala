@@ -44,6 +44,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // active session's catalog — the builder runs mid-resolution, so view
     // names give a fully-analyzed child plan without a second analyzer
     // phase); the remaining string literals name the key/time columns.
+    // DOCUMENTED LIMITATION: because resolution is eager-by-name, the
+    // sides must be PRE-REGISTERED catalog tables/views — inline subqueries
+    // or non-foldable name expressions are rejected at analysis time with
+    // the offending argument in the message (error paths pinned in
+    // `GraftExtensionsSpec`). Register a temp view first:
+    //   CREATE TEMP VIEW l AS SELECT ...; SELECT * FROM asof_join('l', ...)
     ext.injectTableFunction((
       new FunctionIdentifier("asof_join"),
       new ExpressionInfo(classOf[GraftExtensions].getName, "asof_join"),

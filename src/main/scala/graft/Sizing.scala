@@ -1,0 +1,47 @@
+package graft
+
+/** Input-size-derived session sizing. The shuffle partition count is the
+  * one knob that silently breaks at scale when left at a fixed default:
+  * the 128× probes showed `txt_cdc_chunking` at 122.7 s and
+  * `sim_knn_classify` at 220 s purely because 32 partitions (= core count,
+  * right for sf0.1) put ~40M token-level rows into each per-partition sort
+  * — external sort/spill on every wide stage; at 256 partitions the same
+  * plans ran 18.0 s / 47.1 s. AQE coalescing SHRINKS an oversized count
+  * but never grows an undersized one, so the INITIAL count must scale with
+  * the input. A production job derives it from input bytes; this does the
+  * same, with the env var kept as an explicit override for probes.
+  */
+object Sizing {
+
+  /** On-disk parquet bytes per shuffle partition. Token-level projections
+    * (shingles, frame hashes, posting lists) expand compressed parquet
+    * ~10-20× in unsafe-row form, so 8 MiB on disk lands each partition in
+    * the classic 64-128 MiB in-memory envelope. Calibration points: sf0.1
+    * (17.5 MB) → 32 partitions (the core-count floor, unchanged bench
+    * protocol), 128× (2.0 GB) → 256 — exactly the count the 128× probes
+    * fixed the two cliffs with.
+    */
+  val BytesPerPartition: Long = 8L << 20
+
+  /** Total bytes under `dir` (recursive). 0 when absent — local paths only,
+    * which is all the harness mains ever see; a cluster deployment would
+    * ask the FileSystem for `getContentSummary` instead.
+    */
+  def inputBytes(dir: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+      else f.length()
+    walk(new java.io.File(dir))
+  }
+
+  /** Shuffle partition count for a run over `sfDir`:
+    * `SPARK_GRAFT_SHUFFLE_PARTITIONS` when set (explicit probe override),
+    * else max(core count, input bytes / [[BytesPerPartition]]).
+    */
+  def shufflePartitions(sfDir: String, cores: Int): Int =
+    sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS").map(_.toInt).getOrElse {
+      val derived = ((inputBytes(sfDir) + BytesPerPartition - 1) /
+        BytesPerPartition).toInt
+      math.max(cores, derived)
+    }
+}

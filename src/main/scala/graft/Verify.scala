@@ -6,12 +6,16 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // publish the corpus dir BEFORE any registry access: corpus-size-
+    // derived constants (the EVAL sampling stride) resolve from it, and
+    // both engines must render the same resolved value
+    System.setProperty("graft.sf.dir", sfDir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      // overridable for scale replays — see Bench.newSession's sizing note
+      // derived from input bytes (graft.Sizing), env var as probe override
       .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
+        Sizing.shufflePartitions(sfDir, cpus.toInt).toString)
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       // match Bench: typed-Aggregator queries keep hash aggregation instead
       // of the 128-key sort-based fallback

@@ -45,16 +45,65 @@ object DedupQueries {
     * are per-vector and sampling the pair universe is how production recall
     * harnesses work). The oracle SQL renders the same predicate from the
     * same resolved constant, so the rows stay hash-checkable AT SCALE, not
-    * just at the gates. Default 1 = the full exact baseline (gate corpora
-    * are small enough); validated once at init.
+    * just at the gates.
+    *
+    * Resolution order: (1) the env var when set (explicit probe override);
+    * (2) AUTO-ENGAGE above a corpus-size threshold — when the run's sf dir
+    * is known (the harness mains publish it as the `graft.sf.dir` system
+    * property / `SPARK_GRAFT_SF_DIR`) and its embeddings table exceeds
+    * [[EvalAutoThreshold]] rows, the stride becomes the smallest power of
+    * two bringing the sampled side under [[EvalSampleTarget]] rows — so an
+    * UNCONFIGURED large run never executes all-pairs; (3) default 1 = the
+    * full exact baseline (gate corpora sit well under the threshold, so
+    * gate plans and gate SQL are byte-identical to the historical form).
     */
+  /** Above this many embedding rows the exact all-pairs EVAL baselines
+    * auto-engage a sampling stride (16k rows = 268M pairs — the knee where
+    * the quadratic term starts dominating a run). The driver gates (500 /
+    * 2k rows) sit far under it; the 32×/64×/128× probe corpora (64k+) far
+    * over. NOTE: declared before [[EvalStride]] — its initializer reads
+    * these, and a forward reference would silently see 0.
+    */
+  val EvalAutoThreshold = 16384
+
+  /** Auto-engaged strides bring the sampled side under this many rows
+    * (≤ 16.8M sampled pairs — baseline cost bounded regardless of corpus).
+    */
+  val EvalSampleTarget = 4096
+
   val EvalStride: Int = sys.env.get("SPARK_GRAFT_EVAL_STRIDE").map { raw =>
     val v = raw.toIntOption.getOrElse(throw new IllegalArgumentException(
       s"SPARK_GRAFT_EVAL_STRIDE must be an integer in 1..65536, got: '$raw'"))
     require(v >= 1 && v <= 65536,
       s"SPARK_GRAFT_EVAL_STRIDE must be in 1..65536, got: $v")
     v
-  }.getOrElse(1)
+  }.getOrElse {
+    embeddingRowsHint match {
+      case Some(n) if n > EvalAutoThreshold =>
+        var s = 2
+        while (n / s > EvalSampleTarget) s *= 2
+        System.err.println(s"[graft] EVAL stride auto-engaged: $s " +
+          s"(embeddings rows = $n > $EvalAutoThreshold)")
+        s
+      case _ => 1
+    }
+  }
+
+  /** Embeddings row count of the run's sf dir, read from the parquet
+    * footer (no session needed) — None when no dir hint was published or
+    * the table is absent (unit tests), which keeps the stride at 1.
+    */
+  private def embeddingRowsHint: Option[Long] =
+    sys.props.get("graft.sf.dir").orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
+      .flatMap { d =>
+        scala.util.Try {
+          val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet"),
+              new org.apache.hadoop.conf.Configuration()))
+          try rd.getRecordCount finally rd.close()
+        }.toOption
+      }
 
   /** Spark-side EVAL sample filter on a (possibly renamed) vec id column;
     * identity at the default stride so gate plans are unchanged.
@@ -587,6 +636,50 @@ object DedupQueries {
           .agg(
             count(lit(1)).as("n_docs"),
             expr("array_join(transform(array_sort(collect_list(id)), x -> cast(x as string)), ',')")
+              .as("members"))
+          .orderBy(col("cluster_rep"))
+      },
+      Some(s"""WITH RECURSIVE $MinhashPairsCte,
+             |e AS (SELECT doc_a AS a, doc_b AS b FROM v WHERE j >= 0.5),
+             |und AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+             |verts AS (SELECT DISTINCT a AS id FROM und),
+             |reach AS (SELECT id, id AS r FROM verts
+             |  UNION
+             |  SELECT u.a AS id, reach.r FROM und u JOIN reach ON u.b = reach.id),
+             |lbl AS (SELECT id, MIN(r) AS lbl FROM reach GROUP BY id)
+             |SELECT lbl AS cluster_rep, COUNT(*) AS n_docs,
+             |  string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
+             |FROM lbl GROUP BY lbl ORDER BY cluster_rep""".stripMargin)
+    ),
+
+    // ----- duplicate clusters from the PERSISTED label store ---------------
+    // dedup_clusters pays a full ConnectedComponents solve per query;
+    // this row answers the same question from
+    // [[graft.operators.DupGraph.labels]] — the incrementally maintained
+    // (doc_id, lbl) store that [[graft.operators.DupGraph.refreshLabels]]
+    // folds each ingested batch into. The plan is a label-bucket parquet
+    // scan + one aggregate: NO component iteration, no edge-log closure
+    // (`DupGraphLabelsSpec` pins the plan shape). The oracle stays the
+    // from-scratch recursive-CTE transitive closure, so the driver's hash
+    // compare pins store ≡ recompute — the maintained labels must equal
+    // ground-truth components or the row goes red. At 100 TB this is THE
+    // read-side dividend of label maintenance: cluster membership queries
+    // cost label-store bytes (one row per clustered doc), not a closure
+    // over the whole edge log per question.
+    "dedup_clusters_indexed" -> QuerySpec(
+      (s, d) => {
+        val path = graft.operators.DupGraph.registryPath(s, d)
+        graft.operators.DupGraph.ensureBuilt(s, d, path)
+        if (!graft.operators.DupGraph.labelsExist(s, path))
+          // adopt mid-life: bootstrap folds the whole existing edge log in
+          graft.operators.DupGraph.refreshLabels(s, path,
+            graft.operators.DupGraph.edges(s, path)
+              .select(col("doc_a"), col("doc_b")).limit(0))
+        graft.operators.DupGraph.labels(s, path)
+          .groupBy(col("lbl").as("cluster_rep"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            expr("array_join(transform(array_sort(collect_list(doc_id)), x -> cast(x as string)), ',')")
               .as("members"))
           .orderBy(col("cluster_rep"))
       },

@@ -24,6 +24,39 @@ object EventQueries {
   private def dsum(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(18, scale))).cast("double")
 
+  /** KMV pair statistics from per-type sketches `sk(event_type, h)`: for
+    * every type pair, the merged sketch (k smallest distinct over the two
+    * sketches' union — exact by mergeability), its size `n_m`, its k-th
+    * value `hk`, and `inter_k` = merged hashes present in BOTH sides.
+    * Shared by evt_kmv_overlap (corpus-built sketches) and
+    * evt_kmv_overlap_indexed (store-read sketches); everything downstream
+    * runs on |types|²·k rows.
+    */
+  private def kmvPairStats(sk: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val types = sk.select(col("event_type")).distinct()
+    val pairs = types.select(col("event_type").as("type_a"))
+      .crossJoin(types.select(col("event_type").as("type_b")))
+      .filter(col("type_a") < col("type_b"))
+    pairs
+      .join(sk.select(col("event_type").as("type_a"), col("h")), Seq("type_a"))
+      .unionByName(pairs
+        .join(sk.select(col("event_type").as("type_b"), col("h")), Seq("type_b"))
+        .select(col("type_a"), col("type_b"), col("h")))
+      .distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("type_a"), col("type_b")).orderBy(col("h"))))
+      .filter(col("rn") <= k)
+      .join(sk.select(col("event_type").as("type_a"), col("h"),
+        lit(1).as("in_a")), Seq("type_a", "h"), "left")
+      .join(sk.select(col("event_type").as("type_b"), col("h"),
+        lit(1).as("in_b")), Seq("type_b", "h"), "left")
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_m"), max(col("h")).as("hk"),
+        sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L))
+          .as("inter_k"))
+  }
+
   val all: Map[String, QuerySpec] = Map(
 
     // ----- tumbling time-window aggregation (hourly) -----
@@ -519,28 +552,7 @@ object EventQueries {
           .select(col("event_type"), explode(col("tk")).as("x"))
           .select(col("event_type"), col("x._2").as("h"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-        val types = sk.select(col("event_type")).distinct()
-        val pairs = types.select(col("event_type").as("type_a"))
-          .crossJoin(types.select(col("event_type").as("type_b")))
-          .filter(col("type_a") < col("type_b"))
-        // merged sketch = k smallest distinct over the two sketches' union
-        val merged = pairs
-          .join(sk.select(col("event_type").as("type_a"), col("h")), Seq("type_a"))
-          .unionByName(pairs
-            .join(sk.select(col("event_type").as("type_b"), col("h")), Seq("type_b"))
-            .select(col("type_a"), col("type_b"), col("h")))
-          .distinct()
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("type_a"), col("type_b")).orderBy(col("h"))))
-          .filter(col("rn") <= k)
-          .join(sk.select(col("event_type").as("type_a"), col("h"),
-            lit(1).as("in_a")), Seq("type_a", "h"), "left")
-          .join(sk.select(col("event_type").as("type_b"), col("h"),
-            lit(1).as("in_b")), Seq("type_b", "h"), "left")
-          .groupBy(col("type_a"), col("type_b"))
-          .agg(count(lit(1)).as("n_m"), max(col("h")).as("hk"),
-            sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L))
-              .as("inter_k"))
+        val merged = kmvPairStats(sk, k)
         // exact ground truth (gate-feasible; dropped at 100 TB)
         val nPer = ents.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
         val exactInter = ents.select(col("event_type").as("type_a"), col("ent"))
@@ -605,6 +617,68 @@ object EventQueries {
              |  LEFT JOIN ei ON g.type_a = ei.type_a AND g.type_b = ei.type_b
              |  JOIN np na ON na.event_type = g.type_a
              |  JOIN np nb ON nb.event_type = g.type_b
+             |ORDER BY g.type_a, g.type_b""".stripMargin)
+    ),
+
+    // ----- KMV overlaps answered from the PERSISTED sketch store -----------
+    // evt_kmv_overlap re-sketches the corpus per run; this row reads
+    // [[graft.operators.KmvStore]] — per-(type, day) bottom-k sketches
+    // built once per slice — and answers every pairwise overlap from
+    // sketch scans (≤ types × days × k stored longs), the shape the
+    // direct row documents as the 100 TB deployment. The read-side merge
+    // (distinct + bottom-k per type) is EXACT by KMV mergeability, so the
+    // estimates are bit-identical to from-scratch sketching — which is
+    // precisely what the oracle pins: DuckDB replays the full
+    // corpus-scan pipeline while Spark touches only the store. The exact
+    // ground-truth columns of the direct row are corpus reads by
+    // definition and are dropped here, as a sketch-serving tier would.
+    "evt_kmv_overlap_indexed" -> QuerySpec(
+      (s, d) => {
+        val k = 64
+        val path = graft.operators.KmvStore.registryPath(s, d)
+        graft.operators.KmvStore.ensureBuilt(s, d, path)
+        kmvPairStats(graft.operators.KmvStore.typeSketches(s, path), k)
+          .select(col("type_a"), col("type_b"),
+            when(col("n_m") < k, col("n_m"))
+              .otherwise(expr(s"(${k - 1}L * ${MP}L) div hk")).as("est_union"),
+            expr(s"(case when n_m < $k then n_m else (${k - 1}L * ${MP}L) div hk end) " +
+              "* inter_k div n_m").as("est_inter"),
+            expr("inter_k * 1000000L div n_m").as("est_jaccard_micro"))
+          .orderBy(col("type_a"), col("type_b"))
+      },
+      Some(s"""WITH ents AS (SELECT DISTINCT event_type,
+             |    user_id * 65536 + date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS ent
+             |  FROM events),
+             |hs AS (SELECT DISTINCT event_type,
+             |    (48271 * ((48271 * ((48271 * ent + 11) % $MP) + 11) % $MP) + 11) % $MP AS h
+             |  FROM ents),
+             |sk AS (SELECT event_type, h FROM (
+             |    SELECT event_type, h,
+             |      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM hs) z
+             |  WHERE rn <= 64),
+             |ty AS (SELECT DISTINCT event_type FROM sk),
+             |pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+             |  FROM ty a JOIN ty b ON a.event_type < b.event_type),
+             |mg0 AS (SELECT DISTINCT type_a, type_b, h FROM (
+             |  SELECT p.type_a, p.type_b, s.h FROM pr p JOIN sk s ON s.event_type = p.type_a
+             |  UNION ALL
+             |  SELECT p.type_a, p.type_b, s.h FROM pr p JOIN sk s ON s.event_type = p.type_b) u),
+             |mg AS (SELECT type_a, type_b, h FROM (
+             |    SELECT type_a, type_b, h,
+             |      ROW_NUMBER() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rn FROM mg0) z
+             |  WHERE rn <= 64),
+             |agg AS (SELECT m.type_a, m.type_b, COUNT(*) AS n_m, MAX(m.h) AS hk,
+             |    CAST(SUM(CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS inter_k
+             |  FROM mg m
+             |    LEFT JOIN sk sa ON sa.event_type = m.type_a AND sa.h = m.h
+             |    LEFT JOIN sk sb ON sb.event_type = m.type_b AND sb.h = m.h
+             |  GROUP BY m.type_a, m.type_b)
+             |SELECT g.type_a, g.type_b,
+             |  CAST(CASE WHEN g.n_m < 64 THEN g.n_m ELSE (63 * CAST($MP AS BIGINT)) // g.hk END AS BIGINT) AS est_union,
+             |  CAST((CASE WHEN g.n_m < 64 THEN g.n_m ELSE (63 * CAST($MP AS BIGINT)) // g.hk END)
+             |    * g.inter_k // g.n_m AS BIGINT) AS est_inter,
+             |  CAST(g.inter_k * 1000000 // g.n_m AS BIGINT) AS est_jaccard_micro
+             |FROM agg g
              |ORDER BY g.type_a, g.type_b""".stripMargin)
     ),
 

@@ -102,6 +102,23 @@ class DupGraphLabelsSpec extends AnyFunSuite {
     assert(labelMap(dir) == Map(1L -> 1L, 3L -> 1L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("dedup_clusters_indexed: label-store scan, no closure stage, result == recompute") {
+    val sf = "/root/testdata/sf0.001"
+    val indexed = SparkEntry.registry("dedup_clusters_indexed").fn(spark, sf)
+    // the read-side dividend the store exists for: the plan is a label-
+    // bucket parquet scan + one aggregate — no edge-log scan, no iterative
+    // component joins
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("labels"), "plan must scan the label store")
+    assert(!plan.contains("edges"), "plan must not read the edge log")
+    // and the maintained labels answer EXACTLY what the from-scratch
+    // ConnectedComponents row answers
+    val recompute = SparkEntry.registry("dedup_clusters").fn(spark, sf)
+    assert(indexed.exceptAll(recompute).isEmpty)
+    assert(recompute.exceptAll(indexed).isEmpty)
+    graft.CacheTracker.releaseAll()
+  }
+
   test("mid-life adoption bootstraps from the existing edge log") {
     val dir = java.nio.file.Files.createTempDirectory("dupgraph_adopt").toString
     import spark.implicits._

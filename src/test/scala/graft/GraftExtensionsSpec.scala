@@ -170,6 +170,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(rootMsgs(intercept[Exception](
         s.sql("SELECT * FROM asof_join('lv','rv','nope','rk','t','rt')")
           .collect())).contains("nope"))
+      // documented limitation: sides must be PRE-REGISTERED catalog view
+      // names — a missing view fails with the name in the error, and a
+      // non-foldable argument (a column reference, not a literal) is
+      // rejected at analysis, never silently planned
+      assert(rootMsgs(intercept[Exception](
+        s.sql("SELECT * FROM asof_join('no_such_view','rv','k','rk','t','rt')")
+          .collect())).contains("no_such_view"))
+      assert(rootMsgs(intercept[Exception](
+        s.sql("SELECT * FROM asof_join(k,'rv','k','rk','t','rt')")
+          .collect())).toLowerCase.matches("(?s).*(string literal|unresolved|cannot resolve).*"))
+      assert(rootMsgs(intercept[Exception](
+        s.sql("SELECT * FROM interval_join('wv','rv','k','rk','lo','hi')")
+          .collect())).contains("expects 7"))
       noImperative()
     } finally {
       SparkSession.setDefaultSession(base)
