@@ -113,30 +113,64 @@ object MediaGraph {
     framesFrom(docs).write.mode(SaveMode.Overwrite).parquet(sub(indexPath, "frames"))
   }
 
-  /** Whether a completed store exists: all three tables either carry a root
-    * `_SUCCESS` marker (flat [[build]]) or hold `batch_id=` partition data
-    * ([[appendBatch]]-driven — per-partition commits write no root marker,
-    * and a partially written batch is safe because its replay overwrites
-    * exactly that partition).
+  /** Whether a completed store exists. Flat [[build]] output is complete
+    * iff ALL THREE tables carry their root `_SUCCESS` marker (a killed
+    * build re-runs). A batch-driven store ([[appendBatch]]) counts as
+    * existing when ANY table holds `batch_id=` partition data — an empty
+    * modality (e.g. a batch whose docs are all too short for the audio
+    * fingerprint) writes no files under dynamic overwrite, and a partially
+    * written batch is safe because its replay overwrites exactly its own
+    * partitions.
     */
-  def exists(spark: SparkSession, indexPath: String): Boolean =
-    TableNames.forall { t =>
+  def exists(spark: SparkSession, indexPath: String): Boolean = {
+    def fsOf(dir: Path) = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hasSuccess(t: String) = {
       val dir = new Path(sub(indexPath, t))
-      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.exists(new Path(dir, "_SUCCESS")) ||
-        (fs.exists(dir) && fs.listStatus(dir).exists { st =>
-          st.isDirectory && st.getPath.getName.startsWith("batch_id=") &&
-            fs.listStatus(st.getPath).exists(_.getPath.getName.endsWith(".parquet"))
-        })
+      fsOf(dir).exists(new Path(dir, "_SUCCESS"))
     }
+    def hasBatchData(t: String) = {
+      val dir = new Path(sub(indexPath, t))
+      val fs = fsOf(dir)
+      fs.exists(dir) && fs.listStatus(dir).exists { st =>
+        st.isDirectory && st.getPath.getName.startsWith("batch_id=") &&
+          fs.listStatus(st.getPath).exists(_.getPath.getName.endsWith(".parquet"))
+      }
+    }
+    TableNames.forall(hasSuccess) || TableNames.exists(hasBatchData)
+  }
 
   /** [[build]] unless a completed store is already present. */
   def ensureBuilt(spark: SparkSession, dir: String, indexPath: String): Unit =
     if (!exists(spark, indexPath)) build(spark, dir, indexPath)
 
+  /** Read one table, tolerating an EMPTY one: a modality none of the
+    * corpus qualifies for (every doc too short for the audio fingerprint,
+    * say) has no data files at all — an empty-batch dynamic overwrite
+    * writes nothing, and a flat overwrite of an empty frame may leave only
+    * the commit marker — and that reads as the empty typed frame, not a
+    * schema-inference error (the [[DupGraph.edges]] convention).
+    */
   private def read(spark: SparkSession, indexPath: String, t: String,
-      cols: Seq[String]): DataFrame =
-    spark.read.parquet(sub(indexPath, t)).select(cols.map(col): _*)
+      cols: Seq[String]): DataFrame = {
+    val dir = new Path(sub(indexPath, t))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(dir) && fs.listStatus(dir).exists { st =>
+      (st.isFile && st.getPath.getName.endsWith(".parquet")) ||
+        (st.isDirectory && st.getPath.getName.startsWith("batch_id=") &&
+          fs.listStatus(st.getPath).exists(_.getPath.getName.endsWith(".parquet")))
+    }
+    if (hasData) spark.read.parquet(sub(indexPath, t)).select(cols.map(col): _*)
+    else {
+      import org.apache.spark.sql.types._
+      val fields = cols.map {
+        case "fi" => StructField("fi", IntegerType)
+        case c => StructField(c, LongType)
+      }
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(fields))
+    }
+  }
 
   /** Stored image hashes (doc_id, h). */
   def phash(spark: SparkSession, indexPath: String): DataFrame =

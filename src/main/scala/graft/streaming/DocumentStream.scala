@@ -413,22 +413,35 @@ object DocumentStream {
       indexPath: String,
       lakePath: String,
       checkpointDir: String,
-      textIndexPath: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
+      textIndexPath: Option[String] = None,
+      mediaIndexPath: Option[String] = None,
+      dupGraphPath: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
     requests.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Long], _: Long) =>
-        takedownBatch(batch.toDF("doc_id"), indexPath, lakePath, textIndexPath)
+        takedownBatch(batch.toDF("doc_id"), indexPath, lakePath,
+          textIndexPath, mediaIndexPath, dupGraphPath)
       }
       .start()
 
   /** The per-micro-batch body of [[takedownContinuous]] — exposed so the
     * propagation set and replay idempotence are directly testable.
+    * Optional stores extend the propagation surface: the media-fingerprint
+    * store ([[graft.operators.MediaGraph.delete]] — phash incl. derived
+    * twins, audio, frame hashes) and the dup graph
+    * ([[graft.operators.DupGraph.delete]] — edges, co-located signatures,
+    * AND the maintained component labels, which recompute surgically for
+    * the touched components).
     */
   def takedownBatch(ids: DataFrame, indexPath: String, lakePath: String,
-      textIndexPath: Option[String] = None): Unit = {
+      textIndexPath: Option[String] = None,
+      mediaIndexPath: Option[String] = None,
+      dupGraphPath: Option[String] = None): Unit = {
     val spark = ids.sparkSession
     graft.operators.MinHashIndex.delete(spark, indexPath, ids)
     textIndexPath.foreach(graft.operators.TextIndex.delete(spark, _, ids))
+    mediaIndexPath.foreach(graft.operators.MediaGraph.delete(spark, _, ids))
+    dupGraphPath.foreach(graft.operators.DupGraph.delete(spark, _, ids))
     // the lake lands docs as (docId, …) partitioned by (day, batch_id)
     graft.operators.StoreDelete(spark, lakePath, "docId", ids, Seq("day", "batch_id"))
   }

@@ -132,19 +132,31 @@ class StoreDeleteSpec extends AnyFunSuite {
       DocumentStream.DocEvent(3L, "red orange yellow green blue indigo", Timestamp.valueOf("2024-07-23 10:00:20"))).toDF()
     DocumentStream.ingestBatch(b0, 0L, idx, lake)
     TextIndex.appendBatch(b0.select(col("docId").as("doc_id"), col("text")), ti, 0L)
+    // media-fingerprint store over the same docs (batch-driven layout)
+    val mi = tmp("td_media")
+    graft.operators.MediaGraph.appendBatch(
+      b0.select(col("docId").as("doc_id"), col("text")), mi, 0L)
 
-    DocumentStream.takedownBatch(idFrame(Seq(2L), "doc_id"), idx, lake, Some(ti))
+    DocumentStream.takedownBatch(idFrame(Seq(2L), "doc_id"), idx, lake,
+      Some(ti), Some(mi))
     def lakeIds = spark.read.parquet(lake).select("docId")
       .collect().map(_.getLong(0)).toSet
     def sigIds = MinHashIndex.signatures(spark, idx).select("doc_id")
       .collect().map(_.getLong(0)).toSet
     def postIds = TextIndex.postings(spark, ti).select("doc_id")
       .collect().map(_.getLong(0)).toSet
+    def mediaIds = graft.operators.MediaGraph.phash(spark, mi).select("doc_id")
+      .unionByName(graft.operators.MediaGraph.audio(spark, mi).select("doc_id"))
+      .unionByName(graft.operators.MediaGraph.frames(spark, mi).select("doc_id"))
+      .collect().map(_.getLong(0)).toSet
     assert(lakeIds == Set(1L, 3L) && sigIds == Set(1L, 3L) && postIds == Set(1L, 3L))
+    assert(!mediaIds.contains(2L) && mediaIds.contains(1L))
 
     // at-least-once replay of the same request batch: same state, no error
-    DocumentStream.takedownBatch(idFrame(Seq(2L), "doc_id"), idx, lake, Some(ti))
+    DocumentStream.takedownBatch(idFrame(Seq(2L), "doc_id"), idx, lake,
+      Some(ti), Some(mi))
     assert(lakeIds == Set(1L, 3L) && sigIds == Set(1L, 3L) && postIds == Set(1L, 3L))
+    assert(!mediaIds.contains(2L))
     graft.CacheTracker.releaseAll()
   }
 

@@ -1,0 +1,31 @@
+#!/bin/bash
+# Scale-point oracle sweep: run every dumped query's DuckDB oracle against
+# a (possibly replicated / mutated) corpus one query at a time, each under
+# a wall timeout, and taxonomize PASS / FAIL / TIMEOUT. Builder-side
+# tooling (python/duckdb are driver-side deps).
+#
+# Usage: tools/sweep_oracle.sh <sfDir> <verifyOutDir> <resultFile> [timeoutSec]
+#
+# The per-query subprocess keeps one runaway oracle (recursive-closure /
+# per-token list CTEs that are DuckDB-infeasible at 64x+) from sinking the
+# sweep: a TIMEOUT row IS the taxonomy, not an error.
+set -u
+SF=$1; OUT=$2; RES=$3; TMO=${4:-300}
+: > "$RES"
+for q in $(python3 -c "
+import json
+print('\n'.join(sorted(json.load(open('$OUT/oracle_sql.json')))))"); do
+  if [ ! -d "$OUT/$q" ]; then
+    echo "NODUMP $q" >> "$RES"; continue
+  fi
+  r=$(GRAFT_ONLY="^$q\$" timeout "$TMO" python3 tools/check.py "$SF" "$OUT" 2>&1 |
+    grep -E "^(PASS|FAIL) $q" | head -1)
+  if [ -z "$r" ]; then echo "TIMEOUT $q (${TMO}s)" >> "$RES"
+  else echo "$r" >> "$RES"; fi
+  tail -1 "$RES"
+done
+echo "---- summary ----" >> "$RES"
+grep -c "^PASS" "$RES" | xargs -I{} echo "PASS: {}" >> "$RES"
+grep -c "^FAIL" "$RES" | xargs -I{} echo "FAIL: {}" >> "$RES"
+grep -c "^TIMEOUT" "$RES" | xargs -I{} echo "TIMEOUT: {}" >> "$RES"
+tail -4 "$RES"
