@@ -196,14 +196,53 @@ object MediaGraph {
     */
   def appendBatch(newDocs: DataFrame, indexPath: String, batchId: Long): Unit = {
     val docs = newDocs.select("doc_id", "text")
-    Seq("phash" -> phashFrom(docs), "audio" -> audioFrom(docs),
-        "frames" -> framesFrom(docs)).foreach { case (t, df) =>
-      df.withColumn("batch_id", lit(batchId))
-        .write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(sub(indexPath, t))
-    }
+    writeBatch(indexPath, batchId, phashFrom(docs), audioFrom(docs),
+      framesFrom(docs))
+  }
+
+  private def writeBatch(indexPath: String, batchId: Long, phash: DataFrame,
+      audio: DataFrame, frames: DataFrame): Unit =
+    Seq("phash" -> phash, "audio" -> audio, "frames" -> frames)
+      .foreach { case (t, df) =>
+        df.withColumn("batch_id", lit(batchId))
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(sub(indexPath, t))
+      }
+
+  /** Fold a batch of REAL media assets in: `assets` is (doc_id BIGINT,
+    * media_type STRING in image|audio|video, payload BINARY), decoded with
+    * the actual JDK codecs ([[Multimodal.phashImage]] /
+    * [[Multimodal.audioFingerprint]] / [[Multimodal.videoFrameHashes]])
+    * into the SAME store schema and 56-bit packing the stand-in build
+    * emits — every downstream pair/cluster query is identical either way.
+    * Payloads no codec accepts are skipped (the decoders return None), so
+    * the ingest is total over a dirty crawl. Decoding is a narrow
+    * per-partition pass over columnar binary — no shuffle; the store rows
+    * are bytes-per-asset while the payloads never leave this stage.
+    * Same batch_id idempotence contract as [[appendBatch]].
+    */
+  def appendAssets(assets: DataFrame, indexPath: String, batchId: Long): Unit = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    val ds = assets
+      .select(col("doc_id").cast("long"), col("media_type"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+    val ph = ds.filter(_._2 == "image")
+      .flatMap { case (id, _, p) => Multimodal.phashImage(p).map(h => (id, h)) }
+      .toDF("doc_id", "h")
+    val au = ds.filter(_._2 == "audio")
+      .flatMap { case (id, _, p) => Multimodal.audioFingerprint(p).map(h => (id, h)) }
+      .toDF("doc_id", "h")
+    val fr = ds.filter(_._2 == "video")
+      .flatMap { case (id, _, p) =>
+        Multimodal.videoFrameHashes(p).toSeq.flatMap(_.zipWithIndex.map {
+          case (h, i) => (id, i + 1, h)
+        })
+      }
+      .toDF("doc_id", "fi", "h")
+    writeBatch(indexPath, batchId, ph, au, fr)
   }
 
   /** Remove a set of doc_ids from all three tables (retention / takedown).

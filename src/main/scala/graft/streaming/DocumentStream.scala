@@ -279,6 +279,51 @@ object DocumentStream {
       }
       .start()
 
+  /** Continuous media fingerprinting: every micro-batch's assets land in
+    * the persistent [[graft.operators.MediaGraph]] store (image dHash,
+    * audio envelope hash, video frame hashes — each under the batch's own
+    * `batch_id=N` partition via dynamic overwrite, so foreachBatch's
+    * at-least-once replay is exactly-once on the store). The streaming
+    * twin of the batch [[graft.operators.MediaGraph.build]]: the mm
+    * pair/cluster queries stay fresh as assets arrive, and no query ever
+    * re-decodes the media corpus (`MediaGraphSpec` pins batch-driven ≡
+    * one-shot build; the fingerprints here are the deterministic stand-in
+    * decodes — a real-codec deployment maps
+    * [[graft.operators.Multimodal]] decode output through the same store
+    * schema).
+    */
+  def mediaContinuous(
+      docs: Dataset[DocEvent],
+      mediaPath: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[DocEvent], batchId: Long) =>
+        graft.operators.MediaGraph.appendBatch(
+          batch.toDF().select(col("docId").as("doc_id"), col("text")),
+          mediaPath, batchId)
+      }
+      .start()
+
+  /** Continuous KMV sketch maintenance over an event stream: each
+    * micro-batch's per-(type, day) bottom-k slices fold into the
+    * persistent [[graft.operators.KmvStore]] (batch_id dynamic overwrite =
+    * exactly-once under replay; slices may span batches arbitrarily — the
+    * read-side merge is exact by mergeability, `KmvStoreSpec`). The
+    * sketch-serving tier a 100 TB deployment answers audience-overlap
+    * questions from, maintained at stream time.
+    */
+  def kmvContinuous(
+      events: DataFrame,
+      sketchPath: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.KmvStore.appendBatch(batch, sketchPath, batchId)
+      }
+      .start()
+
   /** The per-micro-batch body of [[ingestContinuous]] — exposed so dedup
     * semantics and the replay path are directly testable without a running
     * query.
