@@ -114,6 +114,35 @@ object IngestionBench {
       spark.stop()
       return
     }
+    // SPARK_GRAFT_INGEST_MODE=media: probe the streaming media-fingerprint
+    // tier — per batch, MediaGraph.appendBatch lands the batch's hashes
+    // (fingerprint cost is batch-local by construction: each modality is a
+    // narrow per-row pass over THIS batch's docs, no stored-side read at
+    // all, so append must stay flat), then the store-reading phash pair
+    // pipeline runs against the accumulated store — the freshness query
+    // whose cost tracks stored hash mass, never corpus bytes.
+    if (sys.env.get("SPARK_GRAFT_INGEST_MODE").contains("media")) {
+      val phases = (0 until nBatches).map { i =>
+        val b = docs.filter(col("docId") % nBatches === i)
+          .select(col("docId").as("doc_id"), col("text"))
+        val t0 = System.nanoTime()
+        graft.operators.MediaGraph.appendBatch(b, idx, i)
+        val tAppend = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val pairs = graft.analytics.MultimodalQueries.phashPairsFromHashes(
+          graft.operators.MediaGraph.phash(spark, idx)).count()
+        val tQuery = (System.nanoTime() - t1) / 1e9
+        graft.CacheTracker.releaseAll()
+        (i, tAppend, tQuery, pairs)
+      }
+      val total = phases.map(p => p._2 + p._3).sum
+      val batches = phases.map { case (i, ta, tq, p) =>
+        f"""{"batch":$i,"append_sec":$ta%.3f,"pairs_sec":$tq%.3f,"pairs":$p}"""
+      }.mkString("[", ",", "]")
+      println(f"""{"metric":"ingest_media","value":$total%.3f,"unit":"sec","batches":$batches,"sf":"$sfDir"}""")
+      spark.stop()
+      return
+    }
     val phases = (0 until nBatches).map { i =>
       val b = docs.filter(col("docId") % nBatches === i)
       val t0 = System.nanoTime()

@@ -42,6 +42,18 @@ class MediaGraphSpec extends AnyFunSuite {
     assert(MediaGraph.phash(spark, path).count() == before)
   }
 
+  test("registry mm rows plan store scans, not per-query fingerprint derivation") {
+    // the read-side contract of the store: the pair plan scans the
+    // mediagraph parquet and contains NO dHash recompute (the 56-bit
+    // aggregate over the resampled pixel grid) and no documents-table scan
+    val df = SparkEntry.registry("mm_phash_pairs").fn(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-mediagraph"), "plan must scan the media store")
+    assert(!plan.contains("sequence(0, 55"), "plan must not re-derive dHash")
+    assert(!plan.contains("documents.parquet"), "plan must not re-read the corpus")
+    graft.CacheTracker.releaseAll()
+  }
+
   test("batch-driven store: two batches == one build; replay idempotent") {
     val flat = tmp("mediagraph_flat")
     val batched = tmp("mediagraph_batched")
