@@ -23,25 +23,57 @@ object Sizing {
     */
   val BytesPerPartition: Long = 8L << 20
 
-  /** Total bytes under `dir` (recursive). 0 when absent — local paths only,
-    * which is all the harness mains ever see; a cluster deployment would
-    * ask the FileSystem for `getContentSummary` instead.
+  /** Ceiling on the DERIVED partition count: past ~64k partitions the
+    * per-task scheduling and shuffle-file overheads dominate any spill
+    * relief (Spark's own shuffle tracking structures are O(maps×reduces)),
+    * and a petabyte input dir should raise bytes-per-partition instead of
+    * partition count. The explicit env override is NOT capped — probes may
+    * exceed it deliberately.
     */
-  def inputBytes(dir: String): Long = {
-    def walk(f: java.io.File): Long =
-      if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
-      else f.length()
-    walk(new java.io.File(dir))
-  }
+  val MaxDerivedPartitions = 65536
+
+  /** Total bytes under `dir` (recursive), resolved through the Hadoop
+    * FileSystem for the path's scheme — `getContentSummary` is one
+    * namenode/object-store call on a cluster deployment, and the local
+    * filesystem answers it by walking, so local harness runs and scheme'd
+    * cluster paths share one code path (`SizingSpec` drives it over the
+    * mock object store). Falls back to a plain java.io walk when the
+    * Hadoop resolution fails (an unregistered scheme), and to 0 when the
+    * path does not exist — the core-count floor then applies.
+    */
+  def inputBytes(dir: String): Long =
+    inputBytes(dir, new org.apache.hadoop.conf.Configuration())
+
+  /** [[inputBytes]] with an explicit Hadoop configuration (tests register
+    * mock filesystem schemes through it).
+    */
+  def inputBytes(dir: String, conf: org.apache.hadoop.conf.Configuration): Long =
+    scala.util.Try {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    }.getOrElse {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+        else f.length()
+      walk(new java.io.File(dir))
+    }
 
   /** Shuffle partition count for a run over `sfDir`:
-    * `SPARK_GRAFT_SHUFFLE_PARTITIONS` when set (explicit probe override),
-    * else max(core count, input bytes / [[BytesPerPartition]]).
+    * `SPARK_GRAFT_SHUFFLE_PARTITIONS` when set (explicit probe override,
+    * validated but uncapped), else
+    * min([[MaxDerivedPartitions]], max(core count, input bytes /
+    * [[BytesPerPartition]])).
     */
   def shufflePartitions(sfDir: String, cores: Int): Int =
-    sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS").map(_.toInt).getOrElse {
+    sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS").map { raw =>
+      val v = raw.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"SPARK_GRAFT_SHUFFLE_PARTITIONS must be a positive integer, got: '$raw'"))
+      require(v >= 1, s"SPARK_GRAFT_SHUFFLE_PARTITIONS must be >= 1, got: $v")
+      v
+    }.getOrElse {
       val derived = ((inputBytes(sfDir) + BytesPerPartition - 1) /
         BytesPerPartition).toInt
-      math.max(cores, derived)
+      math.min(MaxDerivedPartitions, math.max(cores, derived))
     }
 }

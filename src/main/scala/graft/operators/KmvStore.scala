@@ -129,19 +129,46 @@ object KmvStore {
     StoreDelete(spark, rowDir(indexPath), "day", days, Seq("batch_id"))
 
   /** Re-sketch specific days from a surviving corpus (the user-takedown
-    * path: drop the affected slices, rebuild them from post-delete events).
-    * Writes under the caller's batch id — batch-driven stores only.
+    * path: rebuild the affected slices from post-delete events, then drop
+    * the stale ones). Batch-driven stores only, and `batchId` must be
+    * FRESH: appendBatch's dynamic overwrite would replace an existing
+    * batch's whole partition with only the rebuilt days' sketches,
+    * silently dropping its other day slices — asserted here rather than
+    * documented-and-hoped.
+    *
+    * Staged for crash safety: the rebuilt slices land under the new batch
+    * partition FIRST, and only then do the stale day rows leave the OTHER
+    * partitions ([[StoreDelete.scoped]] with `batch_id =!= batchId`). A
+    * crash between the steps leaves the store temporarily serving both the
+    * old and new rows for those days (stale-but-complete reads — the
+    * read-side bottom-k merge still answers) and a re-run with the same
+    * batchId converges: the append idempotently rewrites the same
+    * partition, the scoped delete never touches it.
     */
   def rebuildDays(survivingEvents: DataFrame, indexPath: String,
       days: DataFrame, batchId: Long): Unit = {
     val spark = survivingEvents.sparkSession
-    deleteDays(spark, indexPath, days)
+    val part = new Path(s"${rowDir(indexPath)}/batch_id=$batchId")
+    val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a re-run after a crash legitimately finds its own partition; only a
+    // partition holding rows for OTHER days marks a reused foreign batch id
+    if (fs.exists(part) &&
+        fs.listStatus(part).exists(_.getPath.getName.endsWith(".parquet"))) {
+      val dayList = days.select(col(days.columns.head).as("day")).distinct()
+      val foreign = spark.read.parquet(part.toString)
+        .join(broadcast(dayList), Seq("day"), "left_anti")
+      require(foreign.isEmpty,
+        s"rebuildDays batchId=$batchId already holds other days' slices — " +
+          "pass a fresh batch id (dynamic overwrite would drop them)")
+    }
     val dayList = broadcast(days.select(col(days.columns.head).as("day")).distinct())
     appendBatch(
       survivingEvents.join(dayList,
         datediff(col("ts").cast("date"), lit("1970-01-01")) === col("day"))
         .drop("day"),
       indexPath, batchId)
+    StoreDelete.scoped(spark, rowDir(indexPath), Seq("day"), days,
+      Seq("batch_id"), col("batch_id") =!= lit(batchId))
   }
 
   /** Deterministic per-corpus store location for registry queries — keyed

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deletion propagation for the persistent derived stores (retention /
@@ -41,7 +41,20 @@ object StoreDelete {
     * stage-and-swaps whole. No-op on an absent store or an empty hit set.
     */
   def apply(spark: SparkSession, dir: String, keyCols: Seq[String],
-      ids: DataFrame, partCols: Seq[String]): Unit = {
+      ids: DataFrame, partCols: Seq[String]): Unit =
+    scoped(spark, dir, keyCols, ids, partCols, lit(true))
+
+  /** [[apply]] restricted to rows satisfying `scope` (a boolean predicate
+    * over the store's columns, partition columns included): rows OUTSIDE
+    * the scope are never deleted even when their keys match. The staged
+    * rebuild shape needs this — [[KmvStore.rebuildDays]] writes the rebuilt
+    * slices under a fresh batch partition FIRST, then deletes the stale
+    * day rows from every OTHER partition (`batch_id =!= fresh`), so a
+    * crash between the two steps only ever leaves extra stale rows, never
+    * lost slices.
+    */
+  def scoped(spark: SparkSession, dir: String, keyCols: Seq[String],
+      ids: DataFrame, partCols: Seq[String], scope: Column): Unit = {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // before anything else, repair a crashed prior flat-store swap (store
@@ -60,9 +73,11 @@ object StoreDelete {
     if (!hasParquet(root)) return
     val full = spark.read.parquet(dir)
     val del = broadcast(ids.select(col(ids.columns.head).as("__del_id")).distinct())
+    // rows outside `scope` survive unconditionally: drop = (key ∈ ids) ∧ scope
     def dropMatches(df: DataFrame): DataFrame =
-      keyCols.foldLeft(df)((d, kc) =>
+      keyCols.foldLeft(df.filter(scope))((d, kc) =>
         d.join(del, d(kc) === del("__del_id"), "left_anti"))
+        .unionByName(df.filter(!scope))
     val present = partCols.filter(full.columns.contains)
     if (present.nonEmpty) {
       // top-level partitions actually holding deleted keys — everything
@@ -72,7 +87,8 @@ object StoreDelete {
       // partition's subtree.
       val pc0 = present.head
       val affected = keyCols
-        .map(kc => full.join(del, full(kc) === del("__del_id")).select(col(pc0)))
+        .map(kc => full.filter(scope)
+          .join(del, full(kc) === del("__del_id")).select(col(pc0)))
         .reduce(_ union _)
         .distinct().collect().map(_.get(0))
       if (affected.isEmpty) return

@@ -78,4 +78,48 @@ class KmvStoreSpec extends AnyFunSuite {
     KmvStore.rebuildDays(surviving, path, victimDays, 99L)
     assert(stored(path) == fromScratch(surviving))
   }
+
+  test("rebuildDays is staged: a crash between append and delete loses no " +
+      "slices, and a re-run with the same batch id converges") {
+    val path = tmp("kmv_crash")
+    val ev = Tables.t(spark, sf, "events")
+    KmvStore.appendBatch(ev, path, 0L)
+    val victim = ev.agg(min(col("user_id"))).collect()(0).getLong(0)
+    val surviving = ev.filter(col("user_id") =!= victim)
+    val victimDays = ev.filter(col("user_id") === victim)
+      .select(datediff(col("ts").cast("date"), lit("1970-01-01")).as("day"))
+      .distinct()
+    // simulate the crash: the staged FIRST half only (rebuilt slices land
+    // under the new batch partition; the stale rows were never dropped)
+    import org.apache.spark.sql.functions.broadcast
+    KmvStore.appendBatch(
+      surviving.join(broadcast(victimDays),
+        datediff(col("ts").cast("date"), lit("1970-01-01")) === col("day"))
+        .drop("day"),
+      path, 7L)
+    // mid-crash reads still cover every day (stale-but-complete): the
+    // affected days' sketches answer — the victim's entries are still
+    // visible, but no slice is LOST
+    val days = KmvStore.rows(spark, path).select("day").distinct().count()
+    assert(days == ev.select(
+      datediff(col("ts").cast("date"), lit("1970-01-01"))).distinct().count())
+    // re-run with the SAME batch id completes the rebuild
+    KmvStore.rebuildDays(surviving, path, victimDays, 7L)
+    assert(stored(path) == fromScratch(surviving))
+  }
+
+  test("rebuildDays refuses a reused batch id holding other days' slices") {
+    val path = tmp("kmv_reuse")
+    val ev = Tables.t(spark, sf, "events")
+    KmvStore.appendBatch(ev, path, 0L)
+    val d = KmvStore.rows(spark, path)
+      .agg(min(col("day"))).collect()(0).getInt(0)
+    import spark.implicits._
+    // batch 0 holds every day's slices — rebuilding only day d under
+    // batch 0 would wipe the rest of the partition
+    val e = intercept[IllegalArgumentException] {
+      KmvStore.rebuildDays(ev, path, Seq(d).toDF("day"), 0L)
+    }
+    assert(e.getMessage.contains("fresh batch id"))
+  }
 }

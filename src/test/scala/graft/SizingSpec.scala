@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Input-derived session sizing: byte totals resolve through the Hadoop
+  * FileSystem of the path's scheme (the cluster form — probed over the
+  * mock object store), the derived shuffle-partition count floors at the
+  * core count and caps at [[Sizing.MaxDerivedPartitions]].
+  */
+class SizingSpec extends AnyFunSuite {
+
+  private def tmp(p: String) = java.nio.file.Files.createTempDirectory(p)
+
+  test("inputBytes resolves scheme'd paths through the Hadoop FileSystem") {
+    val conf = new Configuration()
+    conf.set("fs.mocks3.impl", classOf[MockObjectStoreFs].getName)
+    val root = new Path("mocks3://sizing-bucket/corpus")
+    val fs = root.getFileSystem(conf)
+    val o1 = fs.create(new Path(root, "a.parquet")); o1.write(new Array[Byte](1000)); o1.close()
+    val o2 = fs.create(new Path(root, "sub/b.parquet")); o2.write(new Array[Byte](234)); o2.close()
+    assert(Sizing.inputBytes(root.toString, conf) == 1234L)
+  }
+
+  test("inputBytes of a local dir sums recursively; absent dir is 0") {
+    val d = tmp("sizing_local")
+    java.nio.file.Files.write(d.resolve("x.bin"), new Array[Byte](500))
+    val sub = java.nio.file.Files.createDirectory(d.resolve("sub"))
+    java.nio.file.Files.write(sub.resolve("y.bin"), new Array[Byte](250))
+    assert(Sizing.inputBytes(d.toString) == 750L)
+    assert(Sizing.inputBytes(d.resolve("nope").toString) == 0L)
+  }
+
+  test("derived partition count: core floor, bytes/8MiB growth, 64k cap") {
+    // small input floors at the core count
+    val small = tmp("sizing_small")
+    java.nio.file.Files.write(small.resolve("t.parquet"), new Array[Byte](100))
+    assert(Sizing.shufflePartitions(small.toString, 16) == 16)
+    // sparse files carry length without disk usage — the rule reads length
+    val big = tmp("sizing_big")
+    val raf = new java.io.RandomAccessFile(big.resolve("t.parquet").toFile, "rw")
+    raf.setLength(170L << 20) // 170 MiB -> ceil(170/8) = 22 partitions
+    raf.close()
+    assert(Sizing.shufflePartitions(big.toString, 4) == 22)
+    // a petabyte-class dir caps at MaxDerivedPartitions
+    val huge = tmp("sizing_huge")
+    val raf2 = new java.io.RandomAccessFile(huge.resolve("t.parquet").toFile, "rw")
+    raf2.setLength(600L << 30) // 600 GiB -> 76,800 uncapped
+    raf2.close()
+    assert(Sizing.shufflePartitions(huge.toString, 4) == Sizing.MaxDerivedPartitions)
+  }
+}
