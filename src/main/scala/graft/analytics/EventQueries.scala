@@ -189,13 +189,13 @@ object EventQueries {
           .filter(col("user_id") < 30)
           .withColumn("prev_value", lag(col("value"), 1).over(w))
           .withColumn("delta",
-            round(col("value") - coalesce(col("prev_value"), lit(0.0)), 2))
+            expr("floor((value - coalesce(prev_value, 0.0d)) * 100 + 0.5) / 100"))
           .select(col("user_id"), col("event_id"), col("delta"))
           .orderBy(col("user_id"), col("event_id"))
       },
       Some("""SELECT user_id, event_id,
-             |  ROUND(value - COALESCE(LAG(value, 1) OVER (PARTITION BY user_id
-             |    ORDER BY ts, event_id), 0.0), 2) AS delta
+             |  floor((value - COALESCE(LAG(value, 1) OVER (PARTITION BY user_id
+             |    ORDER BY ts, event_id), 0.0)) * 100 + 0.5) / 100 AS delta
              |FROM events WHERE user_id < 30
              |ORDER BY user_id, event_id""".stripMargin)
     ),
@@ -256,7 +256,7 @@ object EventQueries {
             col("n").as("n_b"))), "type_b")
           .crossJoin(broadcast(nUsers))
           .withColumn("lift",
-            expr("round(n_both * n_users / (n_a * n_b), 6)"))
+            expr("floor(n_both * n_users / (n_a * n_b) * 1e6 + 0.5) / 1e6"))
           .select(col("type_a"), col("type_b"), col("n_both"), col("lift"))
           .orderBy(col("type_a"), col("type_b"))
       },
@@ -269,7 +269,7 @@ object EventQueries {
              |    AND a.event_type < b.event_type
              |  GROUP BY 1, 2)
              |SELECT type_a, type_b, n_both,
-             |  round(n_both * n_users / (ta.n * tb.n), 6) AS lift
+             |  floor(n_both * n_users / (ta.n * tb.n) * 1e6 + 0.5) / 1e6 AS lift
              |FROM p JOIN t ta ON p.type_a = ta.event_type
              |  JOIN t tb ON p.type_b = tb.event_type CROSS JOIN u
              |ORDER BY type_a, type_b""".stripMargin)

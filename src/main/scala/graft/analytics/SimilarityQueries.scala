@@ -810,7 +810,7 @@ object SimilarityQueries {
           .withColumn("c", expr("long_dot(qa, qe) / (sqrt(na) * sqrt(nrm))"))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 10)
-          .select(col("q_id"), col("vec_id"), expr("round(c, 6)").as("cosine"), col("rn"))
+          .select(col("q_id"), col("vec_id"), expr("floor(c * 1e6 + 0.5) / 1e6").as("cosine"), col("rn"))
           .orderBy(col("q_id"), col("rn"))
       },
       Some(s"""$OracleQ,
@@ -819,7 +819,7 @@ object SimilarityQueries {
              |  FROM n a JOIN n b ON a.vec_id < 5 AND b.vec_id <> a.vec_id),
              |r AS (SELECT q_id, vec_id, c,
              |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rn FROM p)
-             |SELECT q_id, vec_id, round(c, 6) AS cosine, rn FROM r
+             |SELECT q_id, vec_id, floor(c * 1e6 + 0.5) / 1e6 AS cosine, rn FROM r
              |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin)
     ),
 
@@ -851,7 +851,7 @@ object SimilarityQueries {
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 5)
           .select(col("a_id"), col("a_label"), col("vec_id"), col("label"),
-            expr("round(c, 6)").as("cosine"), col("rn"))
+            expr("floor(c * 1e6 + 0.5) / 1e6").as("cosine"), col("rn"))
           .orderBy(col("a_id"), col("rn"))
       },
       Some(s"""$OracleQ,
@@ -861,7 +861,7 @@ object SimilarityQueries {
              |  FROM n a JOIN n b ON a.vec_id < 6 AND b.label <> a.label),
              |r AS (SELECT a_id, a_label, vec_id, label, c,
              |    ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY c DESC, vec_id) AS rn FROM p)
-             |SELECT a_id, a_label, vec_id, label, round(c, 6) AS cosine, rn FROM r
+             |SELECT a_id, a_label, vec_id, label, floor(c * 1e6 + 0.5) / 1e6 AS cosine, rn FROM r
              |WHERE rn <= 5 ORDER BY a_id, rn""".stripMargin)
     ),
 
@@ -1210,7 +1210,7 @@ object SimilarityQueries {
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 5)
           .select(col("q_id"), col("vec_id"), col("bucket"),
-            expr("round(c, 6)").as("cosine"), col("rn"))
+            expr("floor(c * 1e6 + 0.5) / 1e6").as("cosine"), col("rn"))
           .orderBy(col("q_id"), col("rn"))
       },
       Some(s"""$OracleQ,
@@ -1221,7 +1221,7 @@ object SimilarityQueries {
              |    ON a.vec_id < 5 AND a.bucket = b.bucket AND b.vec_id <> a.vec_id),
              |r AS (SELECT q_id, vec_id, bucket, c,
              |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rn FROM p)
-             |SELECT q_id, vec_id, bucket, round(c, 6) AS cosine, rn FROM r
+             |SELECT q_id, vec_id, bucket, floor(c * 1e6 + 0.5) / 1e6 AS cosine, rn FROM r
              |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin)
     ),
 
@@ -1257,7 +1257,7 @@ object SimilarityQueries {
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 5)
           .select(col("q_id"), col("vec_id"), col("bucket"),
-            expr("round(c, 6)").as("cosine"), col("rn"))
+            expr("floor(c * 1e6 + 0.5) / 1e6").as("cosine"), col("rn"))
           .orderBy(col("q_id"), col("rn"))
       },
       Some(s"""$OracleQ,
@@ -1269,7 +1269,7 @@ object SimilarityQueries {
              |    AND bit_count(xor(a.bucket, b.bucket)) <= 1),
              |r AS (SELECT q_id, vec_id, bucket, c,
              |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rn FROM p)
-             |SELECT q_id, vec_id, bucket, round(c, 6) AS cosine, rn FROM r
+             |SELECT q_id, vec_id, bucket, floor(c * 1e6 + 0.5) / 1e6 AS cosine, rn FROM r
              |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin)
     ),
 
@@ -1468,7 +1468,7 @@ object SimilarityQueries {
           .withColumn("rn", row_number().over(wr))
           .filter(col("rn") <= 5)
           .select(col("q_id"), col("vec_id"), col("cell"),
-            expr("round(c, 6)").as("cosine"), col("rn"))
+            expr("floor(c * 1e6 + 0.5) / 1e6").as("cosine"), col("rn"))
           .orderBy(col("q_id"), col("rn"))
       },
       Some(s"""$OracleQ,
@@ -1495,7 +1495,7 @@ object SimilarityQueries {
              |  FROM probes p JOIN assigned a ON p.cell = a.cell AND a.vec_id <> p.q_id),
              |r AS (SELECT q_id, vec_id, cell, c,
              |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rn FROM res)
-             |SELECT q_id, vec_id, cell, round(c, 6) AS cosine, rn FROM r
+             |SELECT q_id, vec_id, cell, floor(c * 1e6 + 0.5) / 1e6 AS cosine, rn FROM r
              |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin)
     ),
 
@@ -1664,7 +1664,7 @@ object SimilarityQueries {
              |  FROM probes p JOIN assigned a ON p.cell = a.cell AND a.vec_id <> p.q_id),
              |r AS (SELECT q_id, vec_id, cell, c,
              |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rn FROM res)
-             |SELECT q_id, vec_id, cell, round(c, 6) AS cosine, rn FROM r
+             |SELECT q_id, vec_id, cell, floor(c * 1e6 + 0.5) / 1e6 AS cosine, rn FROM r
              |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin)
     ),
 
@@ -2003,8 +2003,8 @@ object SimilarityQueries {
             expr("cast(floor(long_dot(qe, ce) / (sqrt(nrm) * sqrt(cn)) * 1e6 + 0.5) as bigint)"))
           .groupBy(col("label"))
           .agg(count(lit(1)).as("n_vecs"),
-            expr("round(sum(ci) / count(1) / 1e6, 6)").as("avg_cos"),
-            expr("round(min(ci) / 1e6, 6)").as("min_cos"))
+            expr("floor(sum(ci) / count(1) + 0.5) / 1e6").as("avg_cos"),
+            expr("min(ci) / 1e6").as("min_cos"))
           .orderBy(col("label"))
       },
       Some(s"""$OracleQ,
@@ -2016,8 +2016,8 @@ object SimilarityQueries {
              |    CAST(floor(${dotD("n.qe", "c.ce")} / (sqrt(n.nrm) * sqrt(c.cn)) * 1e6 + 0.5) AS BIGINT) AS ci
              |  FROM n JOIN cn c ON n.label = c.label)
              |SELECT label, COUNT(*) AS n_vecs,
-             |  round(SUM(ci) / COUNT(*) / 1e6, 6) AS avg_cos,
-             |  round(MIN(ci) / 1e6, 6) AS min_cos
+             |  floor(SUM(ci) / COUNT(*) + 0.5) / 1e6 AS avg_cos,
+             |  MIN(ci) / 1e6 AS min_cos
              |FROM ci GROUP BY label ORDER BY label""".stripMargin)
     ),
 

@@ -294,7 +294,7 @@ object TimelineQueries {
         parts
           .withColumn("avg_size", expr(
             "cast(sum(cast(total_size as decimal(18,2))) over () as double) / count(*) over ()"))
-          .withColumn("skew", expr("round(total_size / avg_size - 1, 6)"))
+          .withColumn("skew", expr("floor((total_size / avg_size - 1) * 1e6 + 0.5) / 1e6"))
           .select(col("part_month"), col("n_files"), col("total_size"),
             col("p10"), col("p50"), col("p90"), col("skew"))
           .orderBy(col("part_month"))
@@ -308,8 +308,8 @@ object TimelineQueries {
              |    CAST(quantile_disc(o_totalprice, 0.9) AS DOUBLE) AS p90
              |  FROM orders GROUP BY 1)
              |SELECT part_month, n_files, total_size, p10, p50, p90,
-             |  round(total_size / (CAST(SUM(CAST(total_size AS DECIMAL(18,2))) OVER () AS DOUBLE)
-             |    / COUNT(*) OVER ()) - 1, 6) AS skew
+             |  floor((total_size / (CAST(SUM(CAST(total_size AS DECIMAL(18,2))) OVER () AS DOUBLE)
+             |    / COUNT(*) OVER ()) - 1) * 1e6 + 0.5) / 1e6 AS skew
              |FROM parts ORDER BY part_month""".stripMargin)
     ),
 
