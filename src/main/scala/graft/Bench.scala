@@ -132,8 +132,11 @@ object Bench {
         if (basketRows.size == DriftBasket.size)
           f"${basketRows.map(r).sum}%.4f"
         else "null" // partial run — a partial basket would mislead
+      // eval_stride: the resolved EVAL sampling stride of this run — the
+      // artifact must show whether the O(n²) baselines ran sampled
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""drift_basket":$basket,"drift_basket_n":${basketRows.size},"sf":"$sfDir"}"""
+        s""""drift_basket":$basket,"drift_basket_n":${basketRows.size},""" +
+        s""""eval_stride":${analytics.DedupQueries.EvalStride},"sf":"$sfDir"}"""
     }
     val line = json(results.toMap)
     println(line)

@@ -46,6 +46,23 @@ object DedupQueries {
           .select(col("doc_a"), col("doc_b")).limit(0))
     graft.operators.DupGraph.labels(s, path)
   }
+  /** Verified near-dup edges (doc_a, doc_b, j) of the registry corpus from
+    * the persisted [[graft.operators.DupGraph]] edge store (built once per
+    * corpus fingerprint): every consumer that needs PAIRS — clusters, the
+    * threshold curve, the leakage audit, the filtered corpus — reads a
+    * three-column pruned parquet scan instead of re-paying the tokenize →
+    * minhash → band-join → verify pipeline per query. The exact Jaccard
+    * rides the stored rows, so threshold consumers filter the scan. Every
+    * consumer's oracle stays the from-scratch pipeline, so the driver hash
+    * gate pins stored edges ≡ recompute on each run.
+    */
+  private def registryEdges(s: SparkSession, d: String): DataFrame = {
+    val path = graft.operators.DupGraph.registryPath(s, d)
+    graft.operators.DupGraph.ensureBuilt(s, d, path)
+    graft.operators.DupGraph.edges(s, path)
+      .select(col("doc_a"), col("doc_b"), col("j"))
+  }
+
   private def emb(s: SparkSession, d: String) = Tables.t(s, d, "embeddings")
 
   /** Skew guards (see the minhash/jaccard query docs): max docs per LSH band
@@ -83,8 +100,7 @@ object DedupQueries {
     * auto-engage a sampling stride (16k rows = 268M pairs — the knee where
     * the quadratic term starts dominating a run). The driver gates (500 /
     * 2k rows) sit far under it; the 32×/64×/128× probe corpora (64k+) far
-    * over. NOTE: declared before [[EvalStride]] — its initializer reads
-    * these, and a forward reference would silently see 0.
+    * over.
     */
   val EvalAutoThreshold = 16384
 
@@ -93,39 +109,69 @@ object DedupQueries {
     */
   val EvalSampleTarget = 4096
 
-  val EvalStride: Int = sys.env.get("SPARK_GRAFT_EVAL_STRIDE").map { raw =>
+  /** Resolved PER RUN, not at object init: a long-lived session serving two
+    * corpora of different sizes gets each corpus's own stride — the
+    * resolution keys on the CURRENT `graft.sf.dir` hint at every access,
+    * memoized per dir so one query build (Spark filter + oracle render)
+    * always sees one consistent value. [[graft.Bench]] records the engaged
+    * stride in the emitted JSON artifact so cross-round comparisons can see
+    * it.
+    */
+  def EvalStride: Int = sys.env.get("SPARK_GRAFT_EVAL_STRIDE").map { raw =>
     val v = raw.toIntOption.getOrElse(throw new IllegalArgumentException(
       s"SPARK_GRAFT_EVAL_STRIDE must be an integer in 1..65536, got: '$raw'"))
     require(v >= 1 && v <= 65536,
       s"SPARK_GRAFT_EVAL_STRIDE must be in 1..65536, got: $v")
     v
   }.getOrElse {
-    embeddingRowsHint match {
-      case Some(n) if n > EvalAutoThreshold =>
-        var s = 2
-        while (n / s > EvalSampleTarget) s *= 2
-        System.err.println(s"[graft] EVAL stride auto-engaged: $s " +
-          s"(embeddings rows = $n > $EvalAutoThreshold)")
-        s
-      case _ => 1
+    sys.props.get("graft.sf.dir").orElse(sys.env.get("SPARK_GRAFT_SF_DIR")) match {
+      case None => 1
+      case Some(dir) => strideByDir.computeIfAbsent(dir, d => {
+        val s = embeddingRowsHint(d) match {
+          case Some(n) if n > EvalAutoThreshold =>
+            var v = 2
+            while (n / v > EvalSampleTarget) v *= 2
+            System.err.println(s"[graft] EVAL stride auto-engaged: $v " +
+              s"(embeddings rows = $n > $EvalAutoThreshold, dir = $d)")
+            v
+          case _ => 1
+        }
+        Integer.valueOf(s)
+      }).intValue()
     }
   }
 
-  /** Embeddings row count of the run's sf dir, read from the parquet
-    * footer (no session needed) — None when no dir hint was published or
-    * the table is absent (unit tests), which keeps the stride at 1.
+  private val strideByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  /** Embeddings row count of a corpus dir, from parquet footers (no session
+    * needed). Handles BOTH layouts — a single parquet file and the standard
+    * Spark directory output (part files summed) — and LOGS when the hint
+    * cannot be resolved rather than silently defaulting: an unresolvable
+    * hint means the auto-engage guard is off and an all-pairs baseline
+    * could run unsampled.
     */
-  private def embeddingRowsHint: Option[Long] =
-    sys.props.get("graft.sf.dir").orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
-      .flatMap { d =>
-        scala.util.Try {
-          val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
-            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-              new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet"),
-              new org.apache.hadoop.conf.Configuration()))
-          try rd.getRecordCount finally rd.close()
-        }.toOption
-      }
+  private def embeddingRowsHint(d: String): Option[Long] = {
+    val res = scala.util.Try {
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val root = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
+      val fs = root.getFileSystem(conf)
+      val files =
+        if (fs.getFileStatus(root).isDirectory)
+          fs.listStatus(root).map(_.getPath)
+            .filter(_.getName.endsWith(".parquet")).toSeq
+        else Seq(root)
+      files.map { f =>
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+        try rd.getRecordCount finally rd.close()
+      }.sum
+    }.toOption
+    if (res.isEmpty)
+      System.err.println(s"[graft] embeddings row hint unresolved for $d — " +
+        "EVAL stride stays 1 (all-pairs baselines unsampled)")
+    res
+  }
 
   /** Spark-side EVAL sample filter on a (possibly renamed) vec id column;
     * identity at the default stride so gate plans are unchanged.
@@ -611,15 +657,17 @@ object DedupQueries {
     // ----- dedup yield vs Jaccard threshold: the curation lever curve ------
     // Before committing a dedup threshold, a pipeline asks what each
     // setting would remove: pairs surviving j >= thr and the count of
-    // documents touched, per threshold. One verified-pair computation
-    // (the same capped/star LSH pipeline, pairs already >= 0.5), then a
-    // tiny pairs x 5-threshold cross — the curve costs no more than the
-    // pair query it rides on. j is an integer-ratio double computed
-    // identically in both engines, so the threshold comparisons agree
-    // exactly.
+    // documents touched, per threshold. The verified pairs AND their exact
+    // Jaccard come from the persisted edge store (round 11 — the store
+    // carries j precisely so threshold consumers filter a scan instead of
+    // re-running the verify pipeline), then a tiny pairs x 5-threshold
+    // cross — the curve costs store bytes, not a corpus pass. j is an
+    // integer-ratio double computed identically in both engines, so the
+    // threshold comparisons agree exactly; the oracle replays the full
+    // from-scratch pipeline, pinning stored j ≡ recomputed j per run.
     "dedup_threshold_curve" -> QuerySpec(
       (s, d) => {
-        val p = graft.CacheTracker.track(minhashPairs(s, d)
+        val p = graft.CacheTracker.track(registryEdges(s, d)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val thr = p.sparkSession.range(0, 1)
           .selectExpr("explode(array(0.5d, 0.9d, 0.95d, 0.97d, 0.98d)) as thr")
@@ -646,13 +694,18 @@ object DedupQueries {
     // ----- duplicate clusters: connected components of the near-dup graph ---
     // Pairs say "A duplicates B"; a pipeline needs CLUSTERS (keep one
     // representative, drop the rest). Min-label propagation to fixpoint over
-    // the verified LSH pairs ([[graft.operators.ConnectedComponents]]);
-    // the oracle computes exact components with a recursive CTE, so the
-    // iterative Spark loop is checked against ground-truth transitive
-    // closure, not another iteration.
+    // the verified pairs ([[graft.operators.ConnectedComponents]]), read
+    // from the persisted edge store (round 11) — the per-query cost is the
+    // two-column scan plus the components solve, never the verify pipeline.
+    // This row deliberately KEEPS the per-query solve (its twin
+    // dedup_clusters_indexed answers from the maintained label store with
+    // no solve at all): the oracle computes exact components with a
+    // recursive CTE over the from-scratch pipeline, so the iterative Spark
+    // loop AND the stored edges are both checked against ground-truth
+    // transitive closure every run.
     "dedup_clusters" -> QuerySpec(
       (s, d) => {
-        val pairs = minhashPairs(s, d).select(col("doc_a"), col("doc_b"))
+        val pairs = registryEdges(s, d).select(col("doc_a"), col("doc_b"))
         graft.operators.ConnectedComponents.components(pairs, "doc_a", "doc_b")
           .groupBy(col("lbl").as("cluster_rep"))
           .agg(
@@ -712,21 +765,24 @@ object DedupQueries {
     ),
 
     // ----- end-to-end dedup materialization: the corpus that survives ------
-    // The full pipeline a training run consumes: near-dup pairs -> duplicate
-    // clusters -> drop every non-representative member -> corpus stats of
-    // the survivors. The drop list is tiny next to the corpus, so the final
-    // filter is a broadcast anti-join — the 100 TB side streams through one
-    // stage untouched by shuffle.
+    // The full pipeline a training run consumes: near-dup clusters -> drop
+    // every non-representative member -> corpus stats of the survivors.
+    // The drop list comes straight from the maintained label store (round
+    // 11: a non-representative member is exactly a labeled doc with
+    // doc_id != lbl), so the per-query cost is a label scan plus ONE
+    // tokenize pass for the surviving token count — no shingle/minhash/
+    // verify lineage, no components solve. The drop list is tiny next to
+    // the corpus, so the final filter is a broadcast anti-join — the
+    // 100 TB side streams through one stage untouched by shuffle. The
+    // oracle replays the whole from-scratch pipeline including exact
+    // closure, so maintained labels keep being pinned against ground truth
+    // through this row too.
     "dedup_filtered_corpus" -> QuerySpec(
       (s, d) => {
-        // one shingle projection feeds BOTH the pair pipeline and the final
-        // corpus stats: n_tok rides the persisted rows, so the corpus is
-        // tokenized once, not re-tokenized for the token count
-        val sh = shingleProjection(s, d)
-        val pairs = minhashPairsFrom(sh).select(col("doc_a"), col("doc_b"))
-        val comp = graft.operators.ConnectedComponents.components(pairs, "doc_a", "doc_b")
-        val drop = comp.filter(col("id") =!= col("lbl")).select(col("id").as("doc_id"))
-        sh.select(col("doc_id"), col("n_tok"))
+        val drop = registryLabels(s, d).filter(col("doc_id") =!= col("lbl"))
+          .select(col("doc_id"))
+        Tables.spread(docs(s, d).select("doc_id", "text"), "doc_id")
+          .select(col("doc_id"), size(expr(tokensS("text"))).as("n_tok"))
           .join(broadcast(drop.withColumn("dropped", lit(1))), Seq("doc_id"), "left")
           .agg(
             count(when(col("dropped").isNull, 1)).as("n_docs_kept"),
@@ -765,22 +821,26 @@ object DedupQueries {
     // oracle re-derives that zero from exact transitive closure rather
     // than trusting the construction.
     //
-    // Scale design: one components pass over verified pair mass (tiny next
-    // to the corpus), one join of the label frame back to the doc list
-    // (label cardinality = docs-that-have-a-duplicate, so AQE elects
-    // broadcast when it is small and shuffles on doc_id when a recrawl
-    // makes it corpus-sized — no hint forces the wrong plan), and a
-    // pair-mass leak audit per strategy. The corpus itself is scanned
-    // once; buckets are pure integer arithmetic on ids, replay-stable
-    // under re-runs and appends (a doc's bucket never depends on
-    // partition layout or row order).
+    // Scale design (round 11 — both halves read persisted stores): the
+    // component frame comes from the maintained label store and the leak
+    // audit's pair mass from the edge store, so NO verify pipeline and NO
+    // components solve run per query — the question costs label + edge
+    // bytes. One join of the label frame back to the doc list (label
+    // cardinality = docs-that-have-a-duplicate, so AQE elects broadcast
+    // when it is small and shuffles on doc_id when a recrawl makes it
+    // corpus-sized — no hint forces the wrong plan), and a pair-mass leak
+    // audit per strategy. The corpus itself is scanned once; buckets are
+    // pure integer arithmetic on ids, replay-stable under re-runs and
+    // appends (a doc's bucket never depends on partition layout or row
+    // order). The oracle stays the full from-scratch pipeline + exact
+    // closure, pinning stores ≡ recompute.
     "dedup_leakage_split" -> QuerySpec(
       (s, d) => {
-        val pairs = graft.CacheTracker.track(minhashPairs(s, d)
+        val pairs = graft.CacheTracker.track(registryEdges(s, d)
           .select(col("doc_a"), col("doc_b"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-        val comp = graft.operators.ConnectedComponents
-          .components(pairs, "doc_a", "doc_b")
+        val comp = registryLabels(s, d)
+          .select(col("doc_id").as("id"), col("lbl"))
         val rep = docs(s, d).select(col("doc_id"))
           .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
           .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("rep"))
@@ -1635,7 +1695,7 @@ object DedupQueries {
         a.join(b, col("vec_a") < col("vec_b"))
           .withColumn("c", expr("long_dot(qa, qb) / (sqrt(na) * sqrt(nb))"))
           .filter(col("c") >= 0.4)
-          .select(col("vec_a"), col("vec_b"), expr("round(c, 6)").as("cosine"))
+          .select(col("vec_a"), col("vec_b"), expr("floor(c * 1e6 + 0.5) / 1e6").as("cosine"))
           .orderBy(col("vec_a"), col("vec_b"))
       },
       Some(s"""WITH q AS (SELECT vec_id, ${quantizeD("embedding")} AS qe FROM embeddings$strideWhereD),
@@ -1643,7 +1703,7 @@ object DedupQueries {
              |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
              |    ${dotD("a.qe", "b.qe")} / (sqrt(a.nrm) * sqrt(b.nrm)) AS c
              |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
-             |SELECT vec_a, vec_b, round(c, 6) AS cosine FROM p
+             |SELECT vec_a, vec_b, floor(c * 1e6 + 0.5) / 1e6 AS cosine FROM p
              |WHERE c >= 0.4 ORDER BY vec_a, vec_b""".stripMargin)
     ),
 
@@ -1674,7 +1734,7 @@ object DedupQueries {
           .withColumn("c", expr("long_dot(qa, qb) / (sqrt(na) * sqrt(nb))"))
           .filter(col("c") >= 0.4)
           .select(col("vec_a"), col("vec_b"), col("bucket"),
-            expr("round(c, 6)").as("cosine"))
+            expr("floor(c * 1e6 + 0.5) / 1e6").as("cosine"))
           .orderBy(col("vec_a"), col("vec_b"))
       },
       Some(s"""WITH q AS (SELECT vec_id, ${quantizeD("embedding")} AS qe FROM embeddings),
@@ -1683,7 +1743,7 @@ object DedupQueries {
              |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
              |    ${dotD("a.qe", "b.qe")} / (sqrt(a.nrm) * sqrt(b.nrm)) AS c
              |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-             |SELECT vec_a, vec_b, bucket, round(c, 6) AS cosine FROM p
+             |SELECT vec_a, vec_b, bucket, floor(c * 1e6 + 0.5) / 1e6 AS cosine FROM p
              |WHERE c >= 0.4 ORDER BY vec_a, vec_b""".stripMargin)
     ),
 
@@ -1712,7 +1772,7 @@ object DedupQueries {
         t1.unionByName(t2)
           .withColumn("c", expr("long_dot(qa, qb) / (sqrt(na) * sqrt(nb))"))
           .filter(col("c") >= 0.4)
-          .select(col("vec_a"), col("vec_b"), expr("round(c, 6)").as("cosine"))
+          .select(col("vec_a"), col("vec_b"), expr("floor(c * 1e6 + 0.5) / 1e6").as("cosine"))
           .orderBy(col("vec_a"), col("vec_b"))
       },
       Some {
@@ -1726,7 +1786,7 @@ object DedupQueries {
            |    ${dotD("x.qe", "y.qe")} / (sqrt(x.nrm) * sqrt(y.nrm)) AS c
            |  FROM b x JOIN b y ON x.vec_id < y.vec_id
            |    AND (x.b1 = y.b1 OR x.b2 = y.b2))
-           |SELECT vec_a, vec_b, round(c, 6) AS cosine FROM pr
+           |SELECT vec_a, vec_b, floor(c * 1e6 + 0.5) / 1e6 AS cosine FROM pr
            |WHERE c >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
       }
     ),
@@ -1794,7 +1854,9 @@ object DedupQueries {
     // broadcast argmin (min(struct) under groupBy, combined map-side); the
     // assigned projection is persisted once and feeds both sides of the
     // in-cell equi-join. Same deterministic arithmetic as the IVF family:
-    // integer dots/norms, one IEEE division, round-6 cosines.
+    // integer dots/norms, one IEEE division, floor-convention 6-decimal
+    // cosines (floor(c*1e6+0.5)/1e6 — hash-stable across engines, unlike
+    // round() whose tie behavior differs between Spark and DuckDB).
     //
     // The cell count here is the corpus's label cardinality — FIXED, so a
     // 100x corpus would grow per-cell occupancy 100x and pair mass 10,000x,
@@ -1836,7 +1898,7 @@ object DedupQueries {
           .join(broadcast(cent.select(col("c_id").as("cell"), col("ce"), col("cnrm"))),
             Seq("cell"))
           .withColumn("c2c",
-            expr("round(long_dot(qe, ce) / (sqrt(nrm) * sqrt(cnrm)), 6)"))
+            expr("floor(long_dot(qe, ce) / (sqrt(nrm) * sqrt(cnrm)) * 1e6 + 0.5) / 1e6"))
           .withColumn("subkey",
             if (sub > 0) expr(s"hyperplane_key(qe, $sub)") else lit(0L))
           .select(col("cell"), col("subkey"), col("vec_id"), col("qe"),
@@ -1850,13 +1912,13 @@ object DedupQueries {
           .filter(col("vec_a") < col("vec_b"))
           .withColumn("c", expr("long_dot(qa, qb) / (sqrt(na) * sqrt(nb))"))
           .filter(col("c") >= 0.4)
-          // drop the member closer to the centroid; round-6 c2c compares
+          // drop the member closer to the centroid; floor-convention c2c compares
           // identically in both engines, ties drop the larger id
           .withColumn("drop_id", when(col("ca") > col("cb"), col("vec_a"))
             .when(col("cb") > col("ca"), col("vec_b"))
             .otherwise(greatest(col("vec_a"), col("vec_b"))))
           .select(col("cell"), col("vec_a"), col("vec_b"),
-            expr("round(c, 6)").as("cosine"), col("drop_id"))
+            expr("floor(c * 1e6 + 0.5) / 1e6").as("cosine"), col("drop_id"))
           .orderBy(col("cell"), col("vec_a"), col("vec_b"))
       },
       Some {
@@ -1876,7 +1938,7 @@ object DedupQueries {
            |      j -> (n.qe[j] - c.ce[j]) * (n.qe[j] - c.ce[j]))) AS BIGINT) AS dist
            |  FROM n CROSS JOIN nc c),
            |assigned AS (SELECT vec_id, qe, nrm, c_id AS cell, $subD AS subkey,
-           |    round(${dotD("qe", "ce")} / (sqrt(nrm) * sqrt(cnrm)), 6) AS c2c
+           |    floor(${dotD("qe", "ce")} / (sqrt(nrm) * sqrt(cnrm)) * 1e6 + 0.5) / 1e6 AS c2c
            |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c_id) AS arn
            |        FROM ad) z WHERE arn = 1),
            |pairs AS (SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -1884,7 +1946,7 @@ object DedupQueries {
            |    ${dotD("a.qe", "b.qe")} / (sqrt(a.nrm) * sqrt(b.nrm)) AS c
            |  FROM assigned a JOIN assigned b ON a.cell = b.cell
            |    AND a.subkey = b.subkey AND a.vec_id < b.vec_id)
-           |SELECT cell, vec_a, vec_b, round(c, 6) AS cosine,
+           |SELECT cell, vec_a, vec_b, floor(c * 1e6 + 0.5) / 1e6 AS cosine,
            |  CASE WHEN ca > cb THEN vec_a WHEN cb > ca THEN vec_b
            |       ELSE greatest(vec_a, vec_b) END AS drop_id
            |FROM pairs WHERE c >= 0.4 ORDER BY cell, vec_a, vec_b""".stripMargin
@@ -1921,7 +1983,7 @@ object DedupQueries {
         val assigned = s.read.parquet(s"$idx/vectors")
           .join(cent, Seq("cell"))
           .withColumn("c2c",
-            expr("round(long_dot(qe, ce) / (sqrt(nrm) * sqrt(cnrm)), 6)"))
+            expr("floor(long_dot(qe, ce) / (sqrt(nrm) * sqrt(cnrm)) * 1e6 + 0.5) / 1e6"))
           .withColumn("subkey",
             if (sub > 0) expr(s"hyperplane_key(qe, $sub)") else lit(0L))
           .select(col("cell"), col("subkey"), col("vec_id"), col("qe"),
@@ -1938,7 +2000,7 @@ object DedupQueries {
             .when(col("cb") > col("ca"), col("vec_b"))
             .otherwise(greatest(col("vec_a"), col("vec_b"))))
           .select(col("cell"), col("vec_a"), col("vec_b"),
-            expr("round(c, 6)").as("cosine"), col("drop_id"))
+            expr("floor(c * 1e6 + 0.5) / 1e6").as("cosine"), col("drop_id"))
           .orderBy(col("cell"), col("vec_a"), col("vec_b"))
       },
       Some {
@@ -1960,14 +2022,14 @@ object DedupQueries {
            |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS arn FROM ad) z
            |  WHERE arn = 1),
            |assigned AS (SELECT a.vec_id, a.qe, a.nrm, a.cell, $subD AS subkey,
-           |    round(${dotD("a.qe", "c.ce")} / (sqrt(a.nrm) * sqrt(c.cnrm)), 6) AS c2c
+           |    floor(${dotD("a.qe", "c.ce")} / (sqrt(a.nrm) * sqrt(c.cnrm)) * 1e6 + 0.5) / 1e6 AS c2c
            |  FROM assigned0 a JOIN nc c ON a.cell = c.cell),
            |pairs AS (SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
            |    a.c2c AS ca, b.c2c AS cb,
            |    ${dotD("a.qe", "b.qe")} / (sqrt(a.nrm) * sqrt(b.nrm)) AS c
            |  FROM assigned a JOIN assigned b ON a.cell = b.cell
            |    AND a.subkey = b.subkey AND a.vec_id < b.vec_id)
-           |SELECT cell, vec_a, vec_b, round(c, 6) AS cosine,
+           |SELECT cell, vec_a, vec_b, floor(c * 1e6 + 0.5) / 1e6 AS cosine,
            |  CASE WHEN ca > cb THEN vec_a WHEN cb > ca THEN vec_b
            |       ELSE greatest(vec_a, vec_b) END AS drop_id
            |FROM pairs WHERE c >= 0.4 ORDER BY cell, vec_a, vec_b""".stripMargin
@@ -2008,7 +2070,7 @@ object DedupQueries {
         val asg = s.read.parquet(s"$idx/vectors")
           .join(cent, Seq("cell"))
           .withColumn("c2c",
-            expr("round(long_dot(qe, ce) / (sqrt(nrm) * sqrt(cnrm)), 6)"))
+            expr("floor(long_dot(qe, ce) / (sqrt(nrm) * sqrt(cnrm)) * 1e6 + 0.5) / 1e6"))
           .select(col("cell"), col("vec_id"), col("c2c"))
         asg
           .withColumn("rnk", row_number().over(
@@ -2035,7 +2097,7 @@ object DedupQueries {
              |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS arn FROM ad) z
              |  WHERE arn = 1),
              |asg AS (SELECT a.vec_id, a.cell,
-             |    round(${dotD("a.qe", "c.ce")} / (sqrt(a.nrm) * sqrt(c.cnrm)), 6) AS c2c
+             |    floor(${dotD("a.qe", "c.ce")} / (sqrt(a.nrm) * sqrt(c.cnrm)) * 1e6 + 0.5) / 1e6 AS c2c
              |  FROM assigned0 a JOIN nc c ON a.cell = c.cell),
              |r AS (SELECT cell, vec_id, c2c,
              |    ROW_NUMBER() OVER (PARTITION BY cell ORDER BY c2c DESC, vec_id) AS rnk,
