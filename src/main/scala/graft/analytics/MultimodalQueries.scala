@@ -259,6 +259,47 @@ object MultimodalQueries {
              |FROM lbl GROUP BY lbl ORDER BY cluster_rep""".stripMargin)
     ),
 
+    // ----- media clusters from the PERSISTED label tier ---------------------
+    // mm_phash_clusters pays a components solve per query; this row answers
+    // the same question from the maintained media label store
+    // ([[graft.operators.MediaGraph.labels]] — the [[LabelStore]]
+    // contracted-graph machinery over the verified hamming <= 6 pair
+    // graph, bootstrapped on first touch, folded per appended batch, and
+    // takedown-consistent through MediaGraph.delete's surgical recompute).
+    // The plan is a label-bucket parquet scan + one aggregate: NO banded
+    // pair join, no component iteration (`MediaGraphSpec` pins the plan
+    // shape). The oracle stays the from-scratch recursive-CTE transitive
+    // closure over the replayed fingerprint pipeline, so the driver's hash
+    // compare pins maintained labels ≡ ground-truth components — the
+    // dedup_clusters_indexed contract, applied to binaries. At 100 TB this
+    // is the read-side dividend: media cluster membership costs label
+    // bytes (one row per clustered asset), not a banded join + closure
+    // over the hash store per question.
+    "mm_phash_clusters_indexed" -> QuerySpec(
+      (s, d) => {
+        val path = store(s, d)
+        graft.operators.MediaGraph.ensureLabels(s, path)
+        graft.operators.MediaGraph.labels(s, path)
+          .groupBy(col("lbl").as("cluster_rep"))
+          .agg(
+            count(lit(1)).as("n_assets"),
+            expr("array_join(transform(array_sort(collect_list(doc_id)), x -> cast(x as string)), ',')")
+              .as("members"))
+          .orderBy(col("cluster_rep"))
+      },
+      Some(s"""WITH RECURSIVE $PhashPairsCte,
+             |e AS (SELECT doc_a AS a, doc_b AS b FROM vp),
+             |und AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+             |verts AS (SELECT DISTINCT a AS id FROM und),
+             |reach AS (SELECT id, id AS r FROM verts
+             |  UNION
+             |  SELECT u.a AS id, reach.r FROM und u JOIN reach ON u.b = reach.id),
+             |lbl AS (SELECT id, MIN(r) AS lbl FROM reach GROUP BY id)
+             |SELECT lbl AS cluster_rep, COUNT(*) AS n_assets,
+             |  string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
+             |FROM lbl GROUP BY lbl ORDER BY cluster_rep""".stripMargin)
+    ),
+
     // ----- video shared-clip detection: frame hashes + diagonal runs --------
     // The ContentID shape: two videos share a CLIP when a RUN of
     // consecutive frames matches at a constant temporal offset. The

@@ -220,188 +220,59 @@ object DupGraph {
     * components of the surviving edge log (`DupGraphLabelsSpec`).
     */
   def delete(spark: SparkSession, indexPath: String, ids: DataFrame): Unit = {
+    // the surgical label recompute below assumes the label store is CURRENT
+    // with the edge log — an unfolded appendBatch (edges written,
+    // refreshLabels not yet run) would otherwise leave an unlabeled doc
+    // bridging a touched and an untouched component labeled from the
+    // touched subgraph only. Folding the full edge log first restores
+    // currency: when labels ARE current the contraction collapses every
+    // edge (a = b) and the refresh is a no-op after one edge-mass join —
+    // acceptable on the takedown path, and it also catches unfolded edges
+    // between two already-labeled components (which no unlabeled-doc scan
+    // would see).
+    if (labelsExist(spark, indexPath))
+      refreshLabels(spark, indexPath,
+        edges(spark, indexPath).select(col("doc_a"), col("doc_b")))
     // snapshot the touched-component survivor set BEFORE any store file is
     // rewritten — a lazy plan over files being replaced is a self-read race
-    val touchedSurvivors: Option[DataFrame] =
-      if (labelsExist(spark, indexPath)) {
-        val stored = spark.read.parquet(labelDir(indexPath))
-          .select(col("doc_id"), col("lbl"))
-        val del = broadcast(
-          ids.select(col(ids.columns.head).as("doc_id")).distinct())
-        val touchedLbls = stored.join(del, Seq("doc_id")).select(col("lbl")).distinct()
-        Some(stored.join(broadcast(touchedLbls), Seq("lbl"))
-          .join(del, Seq("doc_id"), "left_anti")
-          .select(col("doc_id")).localCheckpoint(true))
-      } else None
+    val touchedSurvivors =
+      LabelStore.snapshotTouched(spark, labelDir(indexPath), ids)
     StoreDelete(spark, edgeDir(indexPath), Seq("doc_a", "doc_b"), ids, Seq("batch_id"))
     MinHashIndex.delete(spark, s"$indexPath/sig", ids)
-    touchedSurvivors.foreach { surv =>
-      // surviving edges within the touched components: both endpoints of a
-      // surviving edge sat in the SAME old component, so one endpoint's
-      // membership implies the other's — a single semi-join suffices
-      val se = edges(spark, indexPath).select(col("doc_a"), col("doc_b"))
-        .join(surv.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
-      val comp = ConnectedComponents.components(se, "doc_a", "doc_b")
-        .select(col("id").as("doc_id"), col("lbl")).localCheckpoint(true)
-      // rows to REMOVE: the deleted ids plus touched survivors the delete
-      // left edge-less (from-scratch components only know docs with edges)
-      val dropIds = ids.select(col(ids.columns.head).as("doc_id")).distinct()
-        .unionByName(surv.join(comp.select(col("doc_id")), Seq("doc_id"), "left_anti"))
-      StoreDelete(spark, labelDir(indexPath), Seq("doc_id"), dropIds, Seq("bkt"))
-      // rows to REWRITE: recomputed labels of the surviving members
-      if (labelsExist(spark, indexPath))
-        upsertBuckets(spark, indexPath,
-          spark.read.parquet(labelDir(indexPath)), comp)
-      else if (!comp.isEmpty) writeBuckets(spark, indexPath, comp)
-      surv.unpersist(blocking = false)
-      comp.unpersist(blocking = false)
-    }
+    LabelStore.applyDelete(spark, labelDir(indexPath), ids, touchedSurvivors,
+      edges(spark, indexPath).select(col("doc_a"), col("doc_b")))
   }
 
   // ---- incremental component labels: contracted-graph maintenance --------
-  // Connected components are THE consumer of this store (clusters, canonical
-  // selection, leakage splits, soft weights), and recomputing them from the
-  // full edge log after every ingested batch re-pays closure over the whole
-  // graph. The incremental form exploits what a label store already knows:
-  // every stored component is internally connected, so for maintenance it
-  // can be CONTRACTED to its label. A new batch's edges project onto the
-  // contracted node space (stored endpoint → its label, new endpoint →
-  // itself), components run on that TINY graph (new-edge-mass nodes, not
-  // corpus), and the result is a label remap (old lbl → merged lbl) plus
-  // labels for the new docs. Min-label semantics compose exactly: a stored
-  // label is the min of its old component, so the contracted component's
-  // min is the true global min (`DupGraphLabelsSpec` pins N-batch
-  // maintenance ≡ from-scratch components).
-  //
-  // Store layout: parquet partitioned by bkt = doc_id % LabelBuckets, and
-  // the remap applies as a bucket-wise copy-on-write upsert — only buckets
-  // holding a relabeled or new doc are rewritten (the Hudi COW shape, apt
-  // for an engine mirroring a Hudi metadata tool). Per-batch cost is
-  // O(new edges + relabeled rows + touched-bucket rewrite), never a
-  // full-graph closure.
+  // The maintenance machinery itself lives in [[LabelStore]] (extracted in
+  // round 11 so the media fingerprint graph carries the same tier); this
+  // store keeps thin delegates bound to its `indexPath/labels` root.
 
-  /** Label-store bucket count: bounds the blast radius of one upsert (a
-    * touched bucket rewrites ~1/64 of the store) while keeping the
-    * driver-side touched-bucket list trivially small.
-    */
-  val LabelBuckets = 64
+  /** Label-store bucket count (see [[LabelStore.Buckets]]). */
+  val LabelBuckets: Int = LabelStore.Buckets
 
   private def labelDir(indexPath: String) = s"$indexPath/labels"
 
   /** Whether a label store exists (any bucket partition with data). */
-  def labelsExist(spark: SparkSession, indexPath: String): Boolean = {
-    val dir = new Path(labelDir(indexPath))
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(dir) && fs.listStatus(dir).exists { st =>
-      st.isDirectory && st.getPath.getName.startsWith("bkt=") &&
-        fs.listStatus(st.getPath).exists(_.getPath.getName.endsWith(".parquet"))
-    }
-  }
+  def labelsExist(spark: SparkSession, indexPath: String): Boolean =
+    LabelStore.exists(spark, labelDir(indexPath))
 
   /** Current component labels (doc_id, lbl) — one row per doc that appears
     * in the graph; lbl = min doc_id of its component (the
     * [[ConnectedComponents.components]] contract, maintained incrementally).
     */
   def labels(spark: SparkSession, indexPath: String): DataFrame =
-    if (labelsExist(spark, indexPath))
-      spark.read.parquet(labelDir(indexPath)).select(col("doc_id"), col("lbl"))
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("lbl", org.apache.spark.sql.types.LongType))))
+    LabelStore.labels(spark, labelDir(indexPath))
 
-  /** Fold a batch's verified edges into the label store. Bootstrap (no
-    * store yet) labels the edges directly; steady state contracts stored
-    * components to their labels, solves components over (contracted new
-    * edges), and applies the remap + new-doc labels as a bucket-pruned
-    * upsert. Idempotent under replay: re-applying an already-folded batch
-    * yields an identity remap and rewrites the same rows to the same
-    * values.
+  /** Fold a batch's verified edges into the label store
+    * ([[LabelStore.refresh]]); the bootstrap path folds in whatever the
+    * edge log already holds, so label maintenance can be adopted mid-life
+    * on an existing store.
     */
   def refreshLabels(spark: SparkSession, indexPath: String,
-      newEdges: DataFrame): Unit = {
-    val ne = newEdges.select(col("doc_a"), col("doc_b")).distinct()
-    if (!labelsExist(spark, indexPath)) {
-      // one-time bootstrap: fold in whatever the edge log already holds, so
-      // label maintenance can be adopted mid-life on an existing store
-      val seed = ne.unionByName(
-        edges(spark, indexPath).select(col("doc_a"), col("doc_b"))).distinct()
-      val lbls = ConnectedComponents.components(seed, "doc_a", "doc_b")
-        .select(col("id").as("doc_id"), col("lbl"))
-      writeBuckets(spark, indexPath, lbls)
-      return
-    }
-    val stored = spark.read.parquet(labelDir(indexPath))
-    // contract endpoints to stored labels (AQE elects broadcast for a
-    // steady-state small batch and shuffles when a recrawl makes the batch
-    // corpus-sized), then SHRINK before solving: an edge whose endpoints
-    // contract to the same label is pure within-component redundancy, and
-    // a recrawl batch collapses thousands of clique edges onto one
-    // contracted pair — the component solve should only ever see the
-    // merge SIGNAL, not the batch's edge mass (measured 600k raw → ~40k
-    // contracted-distinct on the 32× recrawl probe).
-    val la = stored.select(col("doc_id").as("doc_a"), col("lbl").as("la"))
-    val lb = stored.select(col("doc_id").as("doc_b"), col("lbl").as("lb"))
-    val contracted = ne
-      .join(la, Seq("doc_a"), "left")
-      .join(lb, Seq("doc_b"), "left")
-      .select(coalesce(col("la"), col("doc_a")).as("a"),
-        coalesce(col("lb"), col("doc_b")).as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
-    val comp = ConnectedComponents.components(contracted, "a", "b")
-    // stored labels whose component merged: (old lbl -> new lbl)
-    val remap = comp.filter(col("id") =!= col("lbl"))
-      .select(col("id").as("old"), col("lbl").as("nw"))
-    val changed = stored.join(broadcast(remap), stored("lbl") === col("old"))
-      .select(stored("doc_id"), col("nw").as("lbl"))
-    // docs the graph has never seen take their contracted-component label
-    val neIds = ne.select(col("doc_a").as("doc_id"))
-      .unionByName(ne.select(col("doc_b").as("doc_id"))).distinct()
-    val newRows = neIds
-      .join(stored.select(col("doc_id")), Seq("doc_id"), "left_anti")
-      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("lbl"))
-    upsertBuckets(spark, indexPath, stored, changed.unionByName(newRows))
-  }
-
-  private def bkt = pmod(col("doc_id"), lit(LabelBuckets)).cast("int")
-
-  private def writeBuckets(spark: SparkSession, indexPath: String,
-      rows: DataFrame): Unit =
-    // one file per bucket: without the bkt repartition every shuffle task
-    // writes a sliver into every bucket dir (64 buckets × tasks tiny
-    // files), and the per-refresh read pays file-open count, not bytes
-    rows.withColumn("bkt", bkt)
-      .repartition(LabelBuckets, col("bkt"))
-      .write.mode(SaveMode.Overwrite).partitionBy("bkt")
-      .parquet(labelDir(indexPath))
-
-  /** Bucket-wise copy-on-write upsert: rewrite exactly the buckets holding
-    * an upserted doc (survivors of those buckets carried over, everything
-    * else untouched). The merged rows materialize (localCheckpoint) before
-    * the dynamic overwrite so no lazy plan reads files being replaced.
-    */
-  private def upsertBuckets(spark: SparkSession, indexPath: String,
-      stored: DataFrame, up: DataFrame): Unit = {
-    val upB = up.withColumn("bkt", bkt)
-    val touched = upB.select(col("bkt")).distinct().collect().map(_.getInt(0))
-    if (touched.isEmpty) return
-    val keep = stored.filter(col("bkt").isin(touched.toSeq: _*))
-      .join(upB.select(col("doc_id")), Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("lbl"), col("bkt"))
-    val merged = keep.unionByName(upB).localCheckpoint(true)
-    merged.repartition(LabelBuckets, col("bkt"))
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bkt")
-      .parquet(labelDir(indexPath))
-    // the checkpointed blocks served their overwrite-barrier purpose; a
-    // long-running maintainLabels stream must not accumulate one block set
-    // per micro-batch in executor storage
-    merged.unpersist(blocking = false)
-  }
+      newEdges: DataFrame): Unit =
+    LabelStore.refresh(spark, labelDir(indexPath), newEdges,
+      edges(spark, indexPath).select(col("doc_a"), col("doc_b")))
 
   /** Deterministic per-corpus store location for registry queries: keyed by
     * the documents table's (length, mtime) fingerprint + [[FormatVersion]],

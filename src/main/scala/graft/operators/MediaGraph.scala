@@ -245,17 +245,84 @@ object MediaGraph {
     writeBatch(indexPath, batchId, ph, au, fr)
   }
 
+  // ---- perceptual-hash component labels: the DupGraph label tier ----------
+  // mm_phash_clusters solves connected components over the banded pair set
+  // per query; the maintained label tier ([[LabelStore]] over the verified
+  // hamming <= 6 pair graph) answers cluster membership from a bucket scan
+  // with NO per-query solve — the same asymmetry dedup_clusters_indexed
+  // eliminated for text in round 10. The pair set is DERIVED (banded join
+  // over stored hashes — bytes-per-asset, never corpus bytes), so the
+  // "edge log" here is the phash table itself.
+
+  private def labelRoot(indexPath: String) = s"$indexPath/phash_labels"
+
+  /** The verified perceptual-hash pair set of the CURRENT store — the
+    * derived edge set every label operation runs against.
+    */
+  private def phashPairs(spark: SparkSession, indexPath: String): DataFrame =
+    graft.analytics.MultimodalQueries
+      .phashPairsFromHashes(phash(spark, indexPath))
+      .select(col("doc_a"), col("doc_b"))
+
+  /** Whether the label tier exists. */
+  def labelsExist(spark: SparkSession, indexPath: String): Boolean =
+    LabelStore.exists(spark, labelRoot(indexPath))
+
+  /** Current component labels (doc_id, lbl) over the phash pair graph. */
+  def labels(spark: SparkSession, indexPath: String): DataFrame =
+    LabelStore.labels(spark, labelRoot(indexPath))
+
+  /** Bootstrap the label tier from the current store when absent. */
+  def ensureLabels(spark: SparkSession, indexPath: String): Unit =
+    if (!labelsExist(spark, indexPath))
+      LabelStore.refresh(spark, labelRoot(indexPath),
+        phashPairs(spark, indexPath).limit(0), phashPairs(spark, indexPath))
+
+  /** Fold an appended batch's doc ids into the label tier: the batch's
+    * new-touching pairs (its docs AND their derived twins) come from the
+    * banded join over the CURRENT store — band statistics over the whole
+    * union, exactly as a from-scratch solve would see them — and feed the
+    * contracted-graph refresh. Cost is the banded join over stored hash
+    * rows (bytes-per-asset), never a corpus decode.
+    */
+  def refreshLabels(spark: SparkSession, indexPath: String,
+      newDocIds: DataFrame): Unit = {
+    val base = newDocIds.select(col(newDocIds.columns.head).as("doc_id")).distinct()
+    val nid = broadcast(base.unionByName(
+      base.select((-(col("doc_id") + lit(1L))).as("doc_id"))))
+    val touching = phashPairs(spark, indexPath)
+      .join(nid.select(col("doc_id").as("doc_a"), lit(true).as("ma")),
+        Seq("doc_a"), "left")
+      .join(nid.select(col("doc_id").as("doc_b"), lit(true).as("mb")),
+        Seq("doc_b"), "left")
+      .filter(coalesce(col("ma"), lit(false)) || coalesce(col("mb"), lit(false)))
+      .select(col("doc_a"), col("doc_b"))
+    LabelStore.refresh(spark, labelRoot(indexPath), touching,
+      phashPairs(spark, indexPath))
+  }
+
   /** Remove a set of doc_ids from all three tables (retention / takedown).
     * The phash table's derived twin rows follow their source doc (twin id
     * = −(id+1)); deleting ids that never had a twin is a harmless no-op.
+    * The label tier follows: touched components recompute surgically over
+    * the post-delete pair set ([[LabelStore.applyDelete]]), with a
+    * currency-restoring refresh first (appendBatch without refreshLabels
+    * must not corrupt the takedown path — the [[DupGraph.delete]] rule).
     */
   def delete(spark: SparkSession, indexPath: String, ids: DataFrame): Unit = {
     val base = ids.select(col(ids.columns.head).as("doc_id")).distinct()
     val withTwins = base.unionByName(
       base.select((-(col("doc_id") + lit(1L))).as("doc_id")))
+    if (labelsExist(spark, indexPath))
+      LabelStore.refresh(spark, labelRoot(indexPath),
+        phashPairs(spark, indexPath), phashPairs(spark, indexPath))
+    val touchedSurvivors =
+      LabelStore.snapshotTouched(spark, labelRoot(indexPath), withTwins)
     StoreDelete(spark, sub(indexPath, "phash"), "doc_id", withTwins, Seq("batch_id"))
     StoreDelete(spark, sub(indexPath, "audio"), "doc_id", base, Seq("batch_id"))
     StoreDelete(spark, sub(indexPath, "frames"), "doc_id", base, Seq("batch_id"))
+    LabelStore.applyDelete(spark, labelRoot(indexPath), withTwins,
+      touchedSurvivors, phashPairs(spark, indexPath))
   }
 
   /** Deterministic per-corpus store location for registry queries — keyed

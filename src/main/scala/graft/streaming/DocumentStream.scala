@@ -302,6 +302,13 @@ object DocumentStream {
         graft.operators.MediaGraph.appendBatch(
           batch.toDF().select(col("docId").as("doc_id"), col("text")),
           mediaPath, batchId)
+        // keep the media label tier current at stream time: the batch's
+        // new-touching pairs fold through the contracted-graph refresh
+        // (idempotent under replay — an identity remap rewrites the same
+        // rows), so mm_phash_clusters_indexed answers freshly between
+        // micro-batches without a per-query components solve
+        graft.operators.MediaGraph.refreshLabels(batch.sparkSession,
+          mediaPath, batch.toDF().select(col("docId").as("doc_id")))
       }
       .start()
 

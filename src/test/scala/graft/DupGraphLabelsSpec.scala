@@ -102,6 +102,41 @@ class DupGraphLabelsSpec extends AnyFunSuite {
     assert(labelMap(dir) == Map(1L -> 1L, 3L -> 1L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("delete on a LAGGING label store folds unfolded edges first") {
+    val dir = java.nio.file.Files.createTempDirectory("dupgraph_lag").toString
+    import spark.implicits._
+    // batch 0 folded into labels: components {1,2} and {10,11}
+    val b0 = Seq((1L, 2L, 0.9), (10L, 11L, 0.9)).toDF("doc_a", "doc_b", "j")
+    b0.withColumn("batch_id", lit(0L))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(s"$dir/edges")
+    DupGraph.refreshLabels(spark, dir, b0.select(col("doc_a"), col("doc_b")))
+    // batch 1 lands in the edge log but refreshLabels was NEVER run for it:
+    // an UNLABELED doc 5 bridges component {1,2} to {10,11}, and an
+    // unfolded stored-stored edge merges {1,2} with a new pair {20,21}
+    Seq((5L, 2L, 0.9), (5L, 11L, 0.9), (20L, 21L, 0.9), (20L, 1L, 0.9))
+      .toDF("doc_a", "doc_b", "j")
+      .withColumn("batch_id", lit(1L))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(s"$dir/edges")
+    // deleting an UNRELATED doc must still leave labels == from-scratch
+    // components of the surviving log — delete syncs the lag first, so the
+    // bridge doc is not labeled from one touched subgraph only
+    DupGraph.delete(spark, dir, Seq(99L).toDF("doc_id"))
+    assert(labelMap(dir) ==
+      fromScratch(DupGraph.edges(spark, dir).select("doc_a", "doc_b")))
+    assert(labelMap(dir)(11L) == 1L && labelMap(dir)(21L) == 1L)
+    // and a delete that TOUCHES the lagging region is surgical over the
+    // now-synced components: dropping bridge 5 re-splits {10,11} from the
+    // 1-component (20,21 stay via the 20-1 edge)
+    DupGraph.delete(spark, dir, Seq(5L).toDF("doc_id"))
+    assert(labelMap(dir) ==
+      fromScratch(DupGraph.edges(spark, dir).select("doc_a", "doc_b")))
+    assert(labelMap(dir)(10L) == 10L && labelMap(dir)(21L) == 1L)
+  }
+
   test("dedup_clusters_indexed: label-store scan, no closure stage, result == recompute") {
     val sf = "/root/testdata/sf0.001"
     val indexed = SparkEntry.registry("dedup_clusters_indexed").fn(spark, sf)
@@ -117,6 +152,29 @@ class DupGraphLabelsSpec extends AnyFunSuite {
     assert(indexed.exceptAll(recompute).isEmpty)
     assert(recompute.exceptAll(indexed).isEmpty)
     graft.CacheTracker.releaseAll()
+  }
+
+  test("converted dedup rows read the stores, not the verify pipeline") {
+    val sf = "/root/testdata/sf0.001"
+    // round-11 conversions: pairs (and j) come from the edge store,
+    // components from the label store — no tokenize → shingle → minhash →
+    // band → verify lineage may appear in any of these plans. Oracles stay
+    // from-scratch, so the driver hash gate pins store ≡ recompute.
+    // dedup_clusters is converted too but not plan-pinnable: its
+    // ConnectedComponents solve materializes through localCheckpoint, so
+    // the final plan roots at an ExistingRDD that hides ALL lineage
+    // (store scan and pipeline alike); its store read is the same
+    // registryEdges call dedup_threshold_curve pins below, and its result
+    // stays oracle-pinned against ground-truth closure.
+    for (q <- Seq("dedup_threshold_curve",
+        "dedup_filtered_corpus", "dedup_leakage_split")) {
+      val plan = SparkEntry.registry(q).fn(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("graft-dupgraph"), s"$q must scan the dup-graph store")
+      assert(!plan.contains("shingle3_hash"), s"$q must not re-shingle the corpus")
+      assert(!plan.contains("minhash16"), s"$q must not re-run minhash")
+      graft.CacheTracker.releaseAll()
+    }
   }
 
   test("mid-life adoption bootstraps from the existing edge log") {

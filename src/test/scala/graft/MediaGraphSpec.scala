@@ -76,6 +76,69 @@ class MediaGraphSpec extends AnyFunSuite {
     }
   }
 
+  private def pairsOf(path: String) =
+    graft.analytics.MultimodalQueries
+      .phashPairsFromHashes(MediaGraph.phash(spark, path))
+      .select(col("doc_a"), col("doc_b"))
+
+  private def labelMap(path: String): Map[Long, Long] =
+    MediaGraph.labels(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def fromScratch(path: String): Map[Long, Long] = {
+    val m = graft.operators.ConnectedComponents
+      .components(pairsOf(path), "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.CacheTracker.releaseAll()
+    m
+  }
+
+  test("label tier: bootstrap == from-scratch; indexed row plans a label scan") {
+    val sfDir = sf
+    val path = MediaGraph.registryPath(spark, sfDir)
+    MediaGraph.ensureBuilt(spark, sfDir, path)
+    MediaGraph.ensureLabels(spark, path)
+    assert(labelMap(path) == fromScratch(path))
+    // the read-side contract: the indexed row's plan is a label-bucket
+    // scan + aggregate — no banded pair join, no components iteration,
+    // no fingerprint derivation
+    val df = SparkEntry.registry("mm_phash_clusters_indexed").fn(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("phash_labels"), "plan must scan the label tier")
+    assert(!plan.contains("16383"), "plan must not run the banded pair join")
+    assert(!plan.contains("sequence(0, 55"), "plan must not re-derive dHash")
+    // and it answers EXACTLY what the per-query components row answers
+    val solve = SparkEntry.registry("mm_phash_clusters").fn(spark, sfDir)
+    assert(df.exceptAll(solve).isEmpty && solve.exceptAll(df).isEmpty)
+    graft.CacheTracker.releaseAll()
+  }
+
+  test("label tier follows appends and deletes (maintained == from-scratch)") {
+    val path = tmp("mediagraph_lbl")
+    val docs = docsAt(sf)
+    val b0 = docs.filter(col("doc_id") % 2 === 0)
+    val b1 = docs.filter(col("doc_id") % 2 === 1)
+    MediaGraph.appendBatch(b0, path, 0L)
+    MediaGraph.refreshLabels(spark, path, b0.select("doc_id"))
+    assert(labelMap(path) == fromScratch(path))
+    MediaGraph.appendBatch(b1, path, 1L)
+    MediaGraph.refreshLabels(spark, path, b1.select("doc_id"))
+    assert(labelMap(path) == fromScratch(path))
+    // replay of batch 1's refresh: identity remap, store unchanged
+    MediaGraph.refreshLabels(spark, path, b1.select("doc_id"))
+    assert(labelMap(path) == fromScratch(path))
+    // takedown: the deleted doc AND its twin leave the tier, touched
+    // components recompute over the post-delete pair set
+    val victim = MediaGraph.phash(spark, path)
+      .filter(col("doc_id") >= 0 && col("doc_id") % 5 === 0)
+      .agg(min(col("doc_id"))).collect()(0).getLong(0)
+    import spark.implicits._
+    MediaGraph.delete(spark, path, Seq(victim).toDF("doc_id"))
+    val after = labelMap(path)
+    assert(!after.contains(victim) && !after.contains(-(victim + 1L)))
+    assert(after == fromScratch(path))
+  }
+
   test("delete propagates to all tables, twins follow their source doc") {
     val path = tmp("mediagraph_del")
     MediaGraph.build(spark, sf, path)
