@@ -20,12 +20,23 @@ print('\n'.join(sorted(json.load(open('$OUT/oracle_sql.json')))))"); do
   fi
   r=$(GRAFT_ONLY="^$q\$" timeout "$TMO" python3 tools/check.py "$SF" "$OUT" 2>&1 |
     grep -E "^(PASS|FAIL) $q" | head -1)
-  if [ -z "$r" ]; then echo "TIMEOUT $q (${TMO}s)" >> "$RES"
+  if [ -z "$r" ]; then
+    # one-shot evaluation infeasible at this scale — retry in SCALE MODE
+    # (tools/scale_check.py: CTE-by-CTE temp-table materialization with the
+    # canonical recursive closure replaced by iterative min-label
+    # propagation — same ground truth, bounded memory, linear rounds)
+    r=$(GRAFT_ONLY="^$q\$" timeout $((TMO * 2)) \
+      python3 tools/scale_check.py "$SF" "$OUT" 2>&1 |
+      grep -E "^(PASS|FAIL) $q" | head -1)
+    if [ -z "$r" ]; then echo "TIMEOUT $q (${TMO}s + scale-mode $((TMO * 2))s)" >> "$RES"
+    else echo "SCALE-$r" >> "$RES"; fi
   else echo "$r" >> "$RES"; fi
   tail -1 "$RES"
 done
 echo "---- summary ----" >> "$RES"
 grep -c "^PASS" "$RES" | xargs -I{} echo "PASS: {}" >> "$RES"
+grep -c "^SCALE-PASS" "$RES" | xargs -I{} echo "SCALE-PASS: {}" >> "$RES"
 grep -c "^FAIL" "$RES" | xargs -I{} echo "FAIL: {}" >> "$RES"
+grep -c "^SCALE-FAIL" "$RES" | xargs -I{} echo "SCALE-FAIL: {}" >> "$RES"
 grep -c "^TIMEOUT" "$RES" | xargs -I{} echo "TIMEOUT: {}" >> "$RES"
-tail -4 "$RES"
+tail -6 "$RES"
