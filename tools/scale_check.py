@@ -75,7 +75,10 @@ def split_ctes(sql: str):
     i = m.end()
     ctes = []
     while True:
-        m = re.match(r"\s*([A-Za-z_][A-Za-z0-9_]*)\s*(\([^)]*\))?\s*AS\s*\(", s[i:])
+        m = re.match(
+            r"\s*([A-Za-z_][A-Za-z0-9_]*)\s*(\([^)]*\))?\s*AS\s*"
+            r"(?:NOT\s+MATERIALIZED\s*|MATERIALIZED\s*)?\(",
+            s[i:], re.I)
         if not m:
             raise ValueError(f"CTE parse failed at: {s[i:i+80]!r}")
         name = m.group(1)
