@@ -4,17 +4,21 @@
 # a wall timeout, and taxonomize PASS / FAIL / TIMEOUT. Builder-side
 # tooling (python/duckdb are driver-side deps).
 #
-# Usage: tools/sweep_oracle.sh <sfDir> <verifyOutDir> <resultFile> [timeoutSec]
+# Usage: tools/sweep_oracle.sh <sfDir> <verifyOutDir> <resultFile> [timeoutSec] [nameRegex]
 #
 # The per-query subprocess keeps one runaway oracle (recursive-closure /
 # per-token list CTEs that are DuckDB-infeasible at 64x+) from sinking the
-# sweep: a TIMEOUT row IS the taxonomy, not an error.
+# sweep: a TIMEOUT row IS the taxonomy, not an error. nameRegex (python re,
+# default all) restricts the sweep — the mutated-corpus probes only re-check
+# the text-reading families, whose inputs the mutation actually changes.
 set -u
-SF=$1; OUT=$2; RES=$3; TMO=${4:-300}
+SF=$1; OUT=$2; RES=$3; TMO=${4:-300}; NAMES=${5:-.}
 : > "$RES"
 for q in $(python3 -c "
-import json
-print('\n'.join(sorted(json.load(open('$OUT/oracle_sql.json')))))"); do
+import json, re
+pat = re.compile('$NAMES')
+print('\n'.join(sorted(q for q in json.load(open('$OUT/oracle_sql.json'))
+                       if pat.search(q))))"); do
   if [ ! -d "$OUT/$q" ]; then
     echo "NODUMP $q" >> "$RES"; continue
   fi
