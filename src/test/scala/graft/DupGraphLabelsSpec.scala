@@ -166,8 +166,9 @@ class DupGraphLabelsSpec extends AnyFunSuite {
     // (store scan and pipeline alike); its store read is the same
     // registryEdges call dedup_threshold_curve pins below, and its result
     // stays oracle-pinned against ground-truth closure.
-    for (q <- Seq("dedup_threshold_curve",
-        "dedup_filtered_corpus", "dedup_leakage_split")) {
+    for (q <- Seq("dedup_threshold_curve", "dedup_filtered_corpus",
+        "dedup_leakage_split", "dedup_minhash_lsh", "dedup_sig_jaccard",
+        "dedup_contamination", "dedup_contamination_bloom")) {
       val plan = SparkEntry.registry(q).fn(spark, sf)
         .queryExecution.executedPlan.toString
       assert(plan.contains("graft-dupgraph"), s"$q must scan the dup-graph store")
