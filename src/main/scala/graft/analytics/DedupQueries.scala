@@ -35,7 +35,7 @@ object DedupQueries {
     * stays the from-scratch recursive-CTE closure, so the driver hash gate
     * pins maintained-labels ≡ ground-truth components on each run.
     */
-  private def registryLabels(s: SparkSession, d: String)
+  private[graft] def registryLabels(s: SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
     val path = graft.operators.DupGraph.registryPath(s, d)
     graft.operators.DupGraph.ensureBuilt(s, d, path)

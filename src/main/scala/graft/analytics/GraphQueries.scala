@@ -90,6 +90,129 @@ object GraphQueries {
     lbl
   }
 
+  /** Single-task tier for the fixed-round algorithms (LPA / PageRank /
+    * k-core peeling), guarded by the edge-count threshold
+    * [[graft.operators.ConnectedComponents.LocalSolveEdgesDefault]] shares —
+    * the measured crossover where one distributed round's fixed shuffle +
+    * plan cost exceeds solving the whole graph in a single executor task.
+    * A verified near-dup graph is ~0.1% of its corpus (255 edges at sf0.1,
+    * ~150k at 64×), so the common case pays milliseconds of task compute
+    * instead of `rounds × 3` shuffle stages; graphs past the threshold take
+    * the unchanged distributed rounds. Results are bit-equal by
+    * construction: every algorithm here is integer arithmetic over
+    * order-independent aggregates (sums, min-by), and `GraphQueriesSpec`
+    * pins local ≡ distributed on a generated graph. The solve runs INSIDE
+    * one task (coalesce(1).mapPartitions), never on the driver — the
+    * [[graft.operators.ConnectedComponents]] localSolve pattern.
+    */
+  private def localRows(
+      arcs: DataFrame, fieldNames: Seq[String])(
+      algo: Array[(Long, Long)] => Iterator[org.apache.spark.sql.Row]): DataFrame = {
+    val spark = arcs.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(fieldNames.map(n =>
+      org.apache.spark.sql.types.StructField(n,
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val rdd = graft.CacheTracker.trackRdd(
+      arcs.rdd.coalesce(1).mapPartitions { it =>
+        algo(it.map(r => (r.getLong(0), r.getLong(1))).toArray)
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    rdd.count() // materialize inside the tracked scope
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Whether this undirected edge frame is under the local-solve threshold
+    * (symmetrized arc count ≈ 2×edges — compared against the same knob the
+    * components solver uses, so one env override steers every local tier).
+    */
+  private def underLocalThreshold(e: DataFrame): Boolean =
+    e.count() * 2 <= graft.operators.ConnectedComponents.LocalSolveEdgesDefault
+
+  /** [[lpaRounds]] in one task: symmetric arcs in, (node, community,
+    * community_size) out; the self-vote is applied in code instead of via
+    * materialized self-loop arcs — identical votes, identical tie-break.
+    */
+  private[graft] def lpaLocal(arcs: Array[(Long, Long)], iters: Int)
+      : Iterator[org.apache.spark.sql.Row] = {
+    import scala.collection.mutable
+    val adj = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Long]]
+    arcs.foreach { case (a, b) => adj.getOrElseUpdate(a, mutable.ArrayBuffer.empty) += b }
+    var lbl = mutable.HashMap.empty[Long, Long]
+    adj.keysIterator.foreach(v => lbl(v) = v)
+    for (_ <- 1 to iters) {
+      val next = mutable.HashMap.empty[Long, Long]
+      adj.foreach { case (v, ns) =>
+        val cnt = mutable.HashMap.empty[Long, Long].withDefaultValue(0L)
+        ns.foreach(u => cnt(lbl(u)) += 1)
+        cnt(lbl(v)) += 1 // the self-vote (the withSelf arc)
+        var bestL = Long.MaxValue; var bestC = 0L
+        cnt.foreach { case (l, c) =>
+          if (c > bestC || (c == bestC && l < bestL)) { bestC = c; bestL = l }
+        }
+        next(v) = bestL
+      }
+      lbl = next
+    }
+    val sizes = mutable.HashMap.empty[Long, Long].withDefaultValue(0L)
+    lbl.valuesIterator.foreach(l => sizes(l) += 1)
+    lbl.iterator.map { case (v, l) => org.apache.spark.sql.Row(v, l, sizes(l)) }
+  }
+
+  /** PageRank's [[PrIters]] fixed-point rounds in one task: symmetric arcs
+    * in, (node, rank_e12) out — the same integer arithmetic as the
+    * distributed rounds (sum of `r div deg` over incoming arcs, then
+    * `BaseMass/n + (85·m) div 100`), which is order-independent, so the
+    * tiers are bit-equal.
+    */
+  private[graft] def pagerankLocal(arcs: Array[(Long, Long)], iters: Int)
+      : Iterator[org.apache.spark.sql.Row] = {
+    import scala.collection.mutable
+    val adj = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Long]]
+    arcs.foreach { case (a, b) => adj.getOrElseUpdate(a, mutable.ArrayBuffer.empty) += b }
+    val n = adj.size
+    var r = mutable.HashMap.empty[Long, Long]
+    adj.keysIterator.foreach(v => r(v) = Scale / n)
+    for (_ <- 1 to iters) {
+      val m = mutable.HashMap.empty[Long, Long].withDefaultValue(0L)
+      adj.foreach { case (src, dsts) =>
+        val c = r(src) / dsts.size // contribution r div deg, same per arc
+        dsts.foreach(dst => m(dst) += c)
+      }
+      val next = mutable.HashMap.empty[Long, Long]
+      m.foreach { case (v, mm) => next(v) = BaseMass / n + (85L * mm) / 100L }
+      r = next
+    }
+    r.iterator.map { case (v, rank) => org.apache.spark.sql.Row(v, rank) }
+  }
+
+  /** [[kcoreRounds]] in one task: symmetric arcs in, (node, core_degree)
+    * out — `iters` synchronous peels against the previous round's alive
+    * set, then the survivors' induced degrees (nodes whose final induced
+    * degree is 0 drop, as the distributed join+aggregate form does).
+    */
+  private[graft] def kcoreLocal(arcs: Array[(Long, Long)], k: Int, iters: Int)
+      : Iterator[org.apache.spark.sql.Row] = {
+    import scala.collection.mutable
+    val adj = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Long]]
+    arcs.foreach { case (a, b) => adj.getOrElseUpdate(a, mutable.ArrayBuffer.empty) += b }
+    var alive = mutable.HashSet.empty[Long]
+    adj.keysIterator.foreach(alive += _)
+    for (_ <- 1 to iters) {
+      val next = mutable.HashSet.empty[Long]
+      alive.foreach { v =>
+        var c = 0L
+        adj(v).foreach(u => if (alive(u)) c += 1)
+        if (c >= k) next += v
+      }
+      alive = next
+    }
+    alive.iterator.flatMap { v =>
+      var c = 0L
+      adj(v).foreach(u => if (alive(u)) c += 1)
+      if (c > 0) Iterator.single(org.apache.spark.sql.Row(v, c))
+      else Iterator.empty
+    }
+  }
+
   /** graph_common_neighbors: wedge centers above this degree are excluded
     * from candidate generation — a hub's wedge fan-out is degree² and a
     * star rep's neighborhood is its whole bucket (no discriminative
@@ -135,6 +258,40 @@ object GraphQueries {
     }
     induced(alive)
       .select(col("src").as("node"), col("c").as("core_degree"))
+  }
+
+  /** The distributed PageRank rounds (graphs past the local threshold):
+    * adjacency persists PRE-PARTITIONED on the join key — every iteration
+    * joins adj on `src`, and an InMemoryRelation keeps its child's hash
+    * partitioning, so the (larger) adjacency side never re-shuffles; only
+    * the one-row-per-node rank state moves each round. Node count is a
+    * driver scalar off the persisted degrees (one tiny action) — a
+    * per-iteration broadcast cross-join would add a BroadcastExchange to
+    * all unrolled stages. Lineage is cut every 2 rounds: the cached plan
+    * substitutes an InMemoryRelation leaf, so the optimizer and scheduler
+    * see a bounded-depth tree instead of an 8-join chain (materialization
+    * stays lazy — one cascading action at the end).
+    */
+  private[graft] def pagerankDistributed(e: DataFrame): DataFrame = {
+    val deg = graft.CacheTracker.track(degrees(e)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val adj = graft.CacheTracker.track(
+      arcs(e).join(deg.withColumnRenamed("node", "src"), "src")
+        .repartition(col("src"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val n = deg.count()
+    var ranks = deg.select(col("node"), lit(Scale / n).as("r"))
+    for (i <- 1 to PrIters) {
+      ranks = adj.join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"), expr("r div degree").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("m"))
+        .select(col("dst").as("node"),
+          expr(s"${BaseMass / n} + (85 * m) div 100").as("r"))
+      if (i % 2 == 0 && i < PrIters)
+        ranks = graft.CacheTracker.track(ranks
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+    ranks.select(col("node"), col("r").as("rank_e12")).orderBy(col("node"))
   }
 
   /** Undirected near-dup edges (doc_a < doc_b), Jaccard-verified — read
@@ -247,37 +404,10 @@ object GraphQueries {
     "graph_pagerank" -> QuerySpec(
       (s, d) => {
         val e = edges(s, d)
-        val deg = graft.CacheTracker.track(degrees(e)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-        // adjacency persists PRE-PARTITIONED on the join key: every
-        // iteration joins adj on `src`, and an InMemoryRelation keeps its
-        // child's hash partitioning, so the (larger) adjacency side never
-        // re-shuffles — only the one-row-per-node rank state moves each
-        // round
-        val adj = graft.CacheTracker.track(
-          arcs(e).join(deg.withColumnRenamed("node", "src"), "src")
-            .repartition(col("src"))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-        // node count as a driver scalar off the persisted degrees (one
-        // tiny action) — the previous per-iteration broadcast cross-join
-        // added a BroadcastExchange to all 8 unrolled stages
-        val n = deg.count()
-        var ranks = deg.select(col("node"), lit(Scale / n).as("r"))
-        for (i <- 1 to PrIters) {
-          ranks = adj.join(ranks.withColumnRenamed("node", "src"), "src")
-            .select(col("dst"), expr("r div degree").as("c"))
-            .groupBy(col("dst")).agg(sum(col("c")).as("m"))
-            .select(col("dst").as("node"),
-              expr(s"${BaseMass / n} + (85 * m) div 100").as("r"))
-          // cut the unrolled lineage every 2 rounds: the cached plan
-          // substitutes an InMemoryRelation leaf, so the optimizer and
-          // scheduler see a bounded-depth tree instead of an 8-join chain
-          // (materialization stays lazy — one cascading action at the end)
-          if (i % 2 == 0 && i < PrIters)
-            ranks = graft.CacheTracker.track(ranks
-              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-        }
-        ranks.select(col("node"), col("r").as("rank_e12")).orderBy(col("node"))
+        if (underLocalThreshold(e))
+          localRows(arcs(e), Seq("node", "rank_e12"))(
+            pagerankLocal(_, PrIters)).orderBy(col("node"))
+        else pagerankDistributed(e)
       },
       Some {
         val iters = (1 to PrIters).map { i =>
@@ -313,17 +443,25 @@ object GraphQueries {
     "graph_label_prop" -> QuerySpec(
       (s, d) => {
         val e = edges(s, d)
-        val sym = arcs(e)
-        val withSelf = sym.unionByName(
-          sym.select(col("src")).distinct().select(col("src"), col("src").as("dst")))
-        val adj = graft.CacheTracker.track(withSelf
-          .repartition(col("dst"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-        val lbl = lpaRounds(adj, LpaIters)
-        val sizes = lbl.groupBy(col("lbl")).agg(count(lit(1)).as("community_size"))
-        lbl.join(sizes, "lbl")
-          .select(col("node"), col("lbl").as("community"), col("community_size"))
-          .orderBy(col("node"))
+        if (underLocalThreshold(e))
+          // single-task tier (see localRows): rounds + community sizes in
+          // one task, no per-round shuffles — bit-equal to the distributed
+          // form (GraphQueriesSpec pins it)
+          localRows(arcs(e), Seq("node", "community", "community_size"))(
+            lpaLocal(_, LpaIters)).orderBy(col("node"))
+        else {
+          val sym = arcs(e)
+          val withSelf = sym.unionByName(
+            sym.select(col("src")).distinct().select(col("src"), col("src").as("dst")))
+          val adj = graft.CacheTracker.track(withSelf
+            .repartition(col("dst"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+          val lbl = lpaRounds(adj, LpaIters)
+          val sizes = lbl.groupBy(col("lbl")).agg(count(lit(1)).as("community_size"))
+          lbl.join(sizes, "lbl")
+            .select(col("node"), col("lbl").as("community"), col("community_size"))
+            .orderBy(col("node"))
+        }
       },
       Some {
         val iters = (1 to LpaIters).map { i =>
@@ -368,10 +506,16 @@ object GraphQueries {
     "graph_kcore" -> QuerySpec(
       (s, d) => {
         import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-        val sym = graft.CacheTracker.track(arcs(edges(s, d))
-          .repartition(col("src"))
-          .persist(MEMORY_AND_DISK))
-        kcoreRounds(sym, KcoreK, KcoreIters).orderBy(col("node"))
+        val e = edges(s, d)
+        if (underLocalThreshold(e))
+          localRows(arcs(e), Seq("node", "core_degree"))(
+            kcoreLocal(_, KcoreK, KcoreIters)).orderBy(col("node"))
+        else {
+          val sym = graft.CacheTracker.track(arcs(e)
+            .repartition(col("src"))
+            .persist(MEMORY_AND_DISK))
+          kcoreRounds(sym, KcoreK, KcoreIters).orderBy(col("node"))
+        }
       },
       Some {
         val rounds = (1 to KcoreIters).map { i =>

@@ -1503,8 +1503,19 @@ object TextQueries {
     // should exercise every stage, not let one swallow the corpus.
     "txt_curation_funnel" -> QuerySpec(
       (s, d) => {
-        val fl = graft.jobs.CorpusCuration.flagWithMinhash(
+        // duplicate-stage labels from the maintained DupGraph label store:
+        // the funnel's pair universe (distinct token-hash trigrams ->
+        // minhash16 -> banded LSH -> j >= 0.5 verify) IS the registry dup
+        // graph, so the per-run tokenize -> sign -> band-join -> verify
+        // pipeline plus a components solve collapses to a label-bucket
+        // scan — the one corpus pass left is the signal projection. The
+        // oracle below stays the full from-scratch recursive-closure
+        // replay, so the driver hash gate re-pins store == recompute on
+        // every run (guide §1.2/§2.4: remove the recompute, keep the
+        // contract).
+        val fl = graft.jobs.CorpusCuration.flagWithLabels(
           Tables.t(s, d, "documents"),
+          graft.analytics.DedupQueries.registryLabels(s, d),
           graft.jobs.CorpusCuration.CurationConfig(minContamFrac = 0.05))
         fl.groupBy(coalesce(col("reason"), lit("kept")).as("reason"))
           .agg(count(lit(1)).as("n_docs"),
@@ -2004,10 +2015,16 @@ object TextQueries {
           .agg(sum(col("tf")).cast("bigint").as("dl"))
         val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).cast("bigint").as("total"))
           .withColumn("avgdl", expr("cast(total as double) / n"))
-        val qids = docs(s, d).filter(col("source") === "src0")
-          .select(col("doc_id").as("qid")).orderBy(col("qid")).limit(8)
-        val qt = tf.join(broadcast(qids), col("doc_id") === col("qid"))
-          .select(col("qid"), col("w")).distinct()
+        // bounded query batch -> driver literals (same move as
+        // bm25RankedFrom): the qids subquery stops being replayed as a
+        // broadcast subtree at three use sites, and the qid predicates
+        // become plain filters over the one persisted chunk-tf frame
+        val qidList = docs(s, d).filter(col("source") === "src0")
+          .select(col("doc_id")).orderBy(col("doc_id")).limit(8)
+          .collect().map(_.getLong(0)).toSeq
+        val qidCol = col("doc_id").isin(qidList: _*)
+        val qt = tf.filter(qidCol)
+          .select(col("doc_id").as("qid"), col("w")).distinct()
         val dfq = tf.join(broadcast(qt.select(col("w")).distinct()), Seq("w"))
           .groupBy(col("w")).agg(count(lit(1)).as("df"))
         val qti = dfq.join(broadcast(qt), Seq("w"))
@@ -2016,7 +2033,7 @@ object TextQueries {
           .select(col("qid"), col("w"),
             expr("cast(floor(ln((n - df + 0.5) / (df + 0.5) + 1) * 1e6) as bigint)")
               .as("idf_micro"))
-        val cand = tf.join(broadcast(qids), col("doc_id") === col("qid"), "left_anti")
+        val cand = tf.filter(!qidCol)
         val chunkScores = cand.join(broadcast(qti), Seq("w"))
           .join(dl, Seq("doc_id", "idx"))
           .crossJoin(broadcast(stats.select(col("avgdl"))))
@@ -2108,20 +2125,25 @@ object TextQueries {
           .filter(size(col("bset")) > 0)
           .withColumn("bn", size(col("bset")))
           .persist(MEMORY_AND_DISK))
-        val qids = docs(s, d).filter(col("source") === "src0")
-          .select(col("doc_id").as("qid")).orderBy(col("qid")).limit(3)
+        // bounded query batch -> driver literals (the bm25RankedFrom move):
+        // no broadcast subtree per qids use site, qid predicates are plain
+        // filters over the one persisted chunk frame
+        val qidList = docs(s, d).filter(col("source") === "src0")
+          .select(col("doc_id")).orderBy(col("doc_id")).limit(3)
+          .collect().map(_.getLong(0)).toSeq
+        val qidCol = col("doc_id").isin(qidList: _*)
         val inv = chunks.select(col("doc_id"), col("idx"), explode(col("bset")).as("w"))
         val wdf = inv.groupBy(col("w")).agg(count(lit(1)).as("cdf"))
           .filter(col("cdf") <= graft.analytics.DedupQueries.ShingleDfCap)
         val invc = inv.join(broadcast(wdf.select(col("w"))), Seq("w"))
-        val qinv = invc.join(broadcast(qids), col("doc_id") === col("qid"))
-          .select(col("qid"), col("idx").as("qidx"), col("w"))
+        val qinv = invc.filter(qidCol)
+          .select(col("doc_id").as("qid"), col("idx").as("qidx"), col("w"))
         val cand = invc.join(broadcast(qinv), Seq("w"))
           .filter(col("doc_id") =!= col("qid"))
           .select(col("qid"), col("qidx"), col("doc_id"), col("idx").as("didx"))
           .distinct()
-        val qch = chunks.join(broadcast(qids), col("doc_id") === col("qid"))
-          .select(col("qid"), col("idx").as("qidx"),
+        val qch = chunks.filter(qidCol)
+          .select(col("doc_id").as("qid"), col("idx").as("qidx"),
             col("bset").as("qb"), col("bn").as("qn"))
         val ver = cand
           .join(broadcast(qch), Seq("qid", "qidx"))
@@ -2489,14 +2511,22 @@ object TextQueries {
       qids: org.apache.spark.sql.DataFrame, k: Int,
       storedDl: Option[org.apache.spark.sql.DataFrame] = None): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // The query batch is BOUNDED by contract (a retrieval batch, never a
+    // corpus), so resolve it to driver-side literals once: every prior use
+    // site re-evaluated the qids subquery as its own broadcast-join subtree
+    // (the sf0.1 plan carried the documents scan SIX times / 38 Exchanges),
+    // and literal IN-filters push into the postings scan as PushedFilters,
+    // which a broadcast join never can (guide §2.4/§6: one evaluation,
+    // predicate pushdown to the columnar scan).
+    val qidList = qids.select(col("qid")).collect().map(_.getLong(0)).toSeq
+    val qidCol = col("doc_id").isin(qidList: _*)
     // doc lengths: derived with one full-postings aggregate, unless the
     // caller (the persistent TextIndex) already stores them
     val dl = storedDl.getOrElse(
       tf.groupBy(col("doc_id")).agg(sum(col("tf")).cast("bigint").as("dl")))
     val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).cast("bigint").as("total"))
       .withColumn("avgdl", expr("cast(total as double) / n"))
-    val qt = tf.join(broadcast(qids), col("doc_id") === col("qid"))
-      .select(col("qid"), col("w"))
+    val qt = tf.filter(qidCol).select(col("doc_id").as("qid"), col("w"))
     // document frequency ONLY for query terms: restricting the postings
     // BEFORE the per-term aggregate gives the identical df value (df is a
     // per-term count, unaffected by dropping other terms' rows) but the
@@ -2510,7 +2540,7 @@ object TextQueries {
       .select(col("qid"), col("w"),
         expr("cast(floor(ln((n - df + 0.5) / (df + 0.5) + 1) * 1e6) as bigint)")
           .as("idf_micro"))
-    val cand = tf.join(broadcast(qids), col("doc_id") === col("qid"), "left_anti")
+    val cand = tf.filter(!qidCol)
     cand.join(broadcast(qti), Seq("w"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats.select(col("avgdl"))))

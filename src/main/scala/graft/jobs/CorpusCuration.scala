@@ -88,7 +88,25 @@ object CorpusCuration {
       docs: DataFrame,
       nearDupPairs: DataFrame,
       cfg: CurationConfig = CurationConfig()): DataFrame =
-    flagFromBase(signalBase(docs), docs.columns, nearDupPairs, cfg)
+    flagFromBase(signalBase(docs), docs.columns,
+      ConnectedComponents.components(nearDupPairs, "doc_a", "doc_b"), cfg)
+
+  /** [[flag]] with the duplicate-cluster labels supplied by the caller
+    * (doc_id, lbl — the [[graft.operators.LabelStore]] schema, lbl = min
+    * doc_id of the component). The pair graph and its components solve drop
+    * out of the per-run plan entirely: a pipeline that maintains the
+    * persistent dup-graph label store answers the duplicate stage from a
+    * label scan, so the funnel's only corpus pass is the one signal
+    * projection. Labels must cover exactly the docs that appear in the
+    * verified pair graph (the store contract); semantics are identical to
+    * [[flag]] over the same graph's pairs.
+    */
+  def flagWithLabels(
+      docs: DataFrame,
+      labels: DataFrame,
+      cfg: CurationConfig = CurationConfig()): DataFrame =
+    flagFromBase(signalBase(docs), docs.columns,
+      labels.select(col("doc_id").as("id"), col("lbl")), cfg)
 
   /** [[flag]] with the near-dup pairs derived from the SAME persisted
     * signal projection the curation signals read (`tri` is exactly the
@@ -104,13 +122,19 @@ object CorpusCuration {
     val pairs = graft.analytics.DedupQueries
       .minhashPairsFrom(base.select(col("doc_id"), col("tri").as("hs")))
       .select(col("doc_a"), col("doc_b"))
-    flagFromBase(base, docs.columns, pairs, cfg)
+    flagFromBase(base, docs.columns,
+      ConnectedComponents.components(pairs, "doc_a", "doc_b"), cfg)
   }
 
+  /** @param comp duplicate-component labels (id, lbl) over the verified
+    *             pair graph — solved from pairs by [[flag]] /
+    *             [[flagWithMinhash]], read from the persistent label store
+    *             by [[flagWithLabels]]
+    */
   private def flagFromBase(
       base: DataFrame,
       srcColNames: Array[String],
-      nearDupPairs: DataFrame,
+      comp: DataFrame,
       cfg: CurationConfig): DataFrame = {
 
     // benchmark n-gram set is tiny next to the corpus -> broadcast; `tri`
@@ -140,7 +164,6 @@ object CorpusCuration {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
     // duplicate clusters: among surviving members keep the min doc_id
-    val comp = ConnectedComponents.components(nearDupPairs, "doc_a", "doc_b")
     val survivingMembers = pre.filter(col("pre_reason").isNull)
       .select(col("doc_id"))
       .join(broadcast(comp), col("doc_id") === col("id"))

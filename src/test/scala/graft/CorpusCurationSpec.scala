@@ -88,6 +88,25 @@ class CorpusCurationSpec extends AnyFunSuite {
     assert(fused == external)
   }
 
+  test("flagWithLabels (store-supplied components) == flag over the same graph's pairs") {
+    val d = "/root/testdata/sf0.001"
+    val docs = Tables.t(spark, d, "documents")
+    def verdicts(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "reason").collect()
+        .map(r => r.getAs[Long]("doc_id") -> Option(r.getAs[String]("reason"))).toMap
+    val pairs = graft.analytics.DedupQueries.minhashPairs(spark, d)
+      .select("doc_a", "doc_b")
+    // labels exactly as the store maintains them: min-id component labels
+    // over the verified pair graph
+    val labels = graft.operators.ConnectedComponents
+      .components(pairs, "doc_a", "doc_b")
+      .select(org.apache.spark.sql.functions.col("id").as("doc_id"),
+        org.apache.spark.sql.functions.col("lbl"))
+    val fromPairs = verdicts(CorpusCuration.flag(docs, pairs))
+    val fromLabels = verdicts(CorpusCuration.flagWithLabels(docs, labels))
+    assert(fromLabels == fromPairs)
+  }
+
   test("integrates with the MinHash+LSH pair pipeline on real data") {
     val d = "/root/testdata/sf0.001"
     val docs = Tables.t(spark, d, "documents")

@@ -153,4 +153,50 @@ class GraphQueriesSpec extends AnyFunSuite {
     // triangles containing a fixed K5 node = C(4,2) = 6
     assert(naive(0L) === 6L)
   }
+
+  test("single-task tier == distributed rounds (LPA, PageRank, k-core) on random graphs") {
+    import spark.implicits._
+    import graft.analytics.GraphQueries
+    val rnd = new scala.util.Random(20260817L)
+    for (trial <- 1 to 3) {
+      val n = 10 + rnd.nextInt(20)
+      val p = 0.10 + rnd.nextDouble() * 0.30
+      val es = (for {
+        a <- 0L until n; b <- (a + 1) until n if rnd.nextDouble() < p
+      } yield (a, b)).toSeq
+      if (es.nonEmpty) {
+        val e = es.toDF("doc_a", "doc_b")
+        val sym = e.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .unionByName(e.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        val symArr = es.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toArray
+
+        // LPA: distributed rounds run over self-loop-extended arcs; the
+        // local tier applies the self-vote in code
+        val withSelf = sym.unionByName(
+          sym.select(col("src")).distinct().select(col("src"), col("src").as("dst")))
+        val distLpa = GraphQueries.lpaRounds(withSelf, GraphQueries.LpaIters)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val locLpa = GraphQueries.lpaLocal(symArr, GraphQueries.LpaIters)
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(locLpa === distLpa, s"LPA diverged (trial $trial, n=$n, p=$p)")
+
+        // PageRank: integer fixed-point — tiers must be bit-equal
+        val distPr = GraphQueries.pagerankDistributed(e)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val locPr = GraphQueries.pagerankLocal(symArr, GraphQueries.PrIters)
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(locPr === distPr, s"PageRank diverged (trial $trial, n=$n, p=$p)")
+
+        // k-core peeling
+        val distKc = GraphQueries.kcoreRounds(sym,
+            GraphQueries.KcoreK, GraphQueries.KcoreIters)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val locKc = GraphQueries.kcoreLocal(symArr,
+            GraphQueries.KcoreK, GraphQueries.KcoreIters)
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(locKc === distKc, s"k-core diverged (trial $trial, n=$n, p=$p)")
+        CacheTracker.releaseAll()
+      }
+    }
+  }
 }
