@@ -30,6 +30,25 @@ object CacheTracker {
     live.add(new java.lang.ref.WeakReference[Dataset[_]](df)); df
   }
 
+  /** [[track]] + EAGER materialization (one count() over the freshly
+    * persisted frame). For a cached frame consumed by several independent
+    * downstream stages, lazy materialization is a measured trap: AQE
+    * launches the consumer stages CONCURRENTLY over the still-cold cache
+    * and each recomputes the full lineage — profiled on txt_dsir_weights,
+    * whose persisted (doc, token, k) projection executed its tokenize
+    * pipeline 4× per run (once per consumer stage) despite the persist.
+    * Block-level caching dedupes nothing across concurrently RUNNING
+    * stages; forcing the build with one action before the consuming action
+    * restores build-once/read-many. Use where profiling shows ≥2
+    * independent consumers; a chain with one consumer needs no eager step.
+    */
+  def eager[T <: Dataset[_]](df: T): T = {
+    track(df)
+    df.count()
+    df
+  }
+
+
   /** Register a persisted RDD (the connected-components lineage-cut
     * snapshots — `spark.catalog.clearCache()` does NOT drop RDD-level
     * persists, so untracked they would accumulate across a query sweep).

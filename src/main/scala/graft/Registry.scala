@@ -17,12 +17,27 @@ object Tables {
     * EXPLICIT partition count: compute-heavy per-row projections (signature
     * hashing, vector math) otherwise serialize, because a small file arrives
     * as one split and AQE coalesces count-less `repartition(col)` exchanges
-    * right back to one partition. At 100 TB the source has natural splits
-    * and this exchange is a no-op cost-wise.
+    * right back to one partition.
+    *
+    * CONDITIONAL (round 11): `repartition` is never a no-op — it is a full
+    * Exchange of every input byte, and for `documents` that means shuffling
+    * the whole corpus (text payload included) before a narrow projection.
+    * At 100 TB that is exactly the shuffle guide §2.4 says to remove: a
+    * large input already arrives in enough file splits to fill the
+    * session's cores, so the exchange only applies when the scan is
+    * under-split (estimated splits below the core count — the gate/bench
+    * corpora, sub-MB single-row-group files, estimate to 0-1 splits and
+    * keep the historical plan byte-identical). The estimate is
+    * statistics-only (optimizer size-in-bytes / files.maxPartitionBytes) —
+    * no RDD materialization, no job.
     */
-  def spread(df: DataFrame, key: String): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism,
-      org.apache.spark.sql.functions.col(key))
+  def spread(df: DataFrame, key: String): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val maxSplit = org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes / maxSplit >= target) df
+    else df.repartition(target, org.apache.spark.sql.functions.col(key))
+  }
   /** Load one of the driver-provided tables from a scale-factor dir.
     *
     * `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark's vectorized

@@ -348,7 +348,7 @@ object GraphQueries {
         // twice (degrees + the orientation join); persisting it would cost
         // more than the second scan
         val e = edges(s, d)
-        val deg = graft.CacheTracker.track(degrees(e)
+        val deg = graft.CacheTracker.eager(degrees(e)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val withDeg = e
           .join(deg.select(col("node").as("doc_a"), col("degree").as("da")), "doc_a")
@@ -356,7 +356,7 @@ object GraphQueries {
         // orient a->b iff (deg, id)(a) < (deg, id)(b)
         val aFirst: Column = col("da") < col("db") ||
           (col("da") === col("db") && col("doc_a") < col("doc_b"))
-        val dirE = graft.CacheTracker.track(withDeg.select(
+        val dirE = graft.CacheTracker.eager(withDeg.select(
           when(aFirst, col("doc_a")).otherwise(col("doc_b")).as("src"),
           when(aFirst, col("doc_b")).otherwise(col("doc_a")).as("dst"),
           when(aFirst, col("db")).otherwise(col("da")).as("dstDeg"))
@@ -571,12 +571,19 @@ object GraphQueries {
           .withColumn("t", expr(graft.functions.TextFunctions.tokensS("text")))
           .select((-(col("doc_id") * 2 + par)).as("doc_id"),
             expr(s"array_join(slice(t, $from, 12), ' ')").as("text"))
-        val e = graft.CacheTracker.track(
-          DedupQueries.containmentEdges(
-            base.unionByName(excerpt(1L, 1)).unionByName(excerpt(2L, 7)))
+        // real docs' shingle sets come from the persisted signature store
+        // (dedup_ngram_jaccard's move); only the two derived excerpt slices
+        // (2/17 of the corpus) still shingle from text. Shingling is
+        // per-row, so store ∪ derived == withShingles over the whole union
+        // and the containment edge set is identical (oracle recomputes).
+        val sh = DedupQueries.registrySignatures(s, d).select("doc_id", "hs")
+          .unionByName(DedupQueries.withShingles(excerpt(1L, 1)).select("doc_id", "hs"))
+          .unionByName(DedupQueries.withShingles(excerpt(2L, 7)).select("doc_id", "hs"))
+        val e = graft.CacheTracker.eager(
+          DedupQueries.containmentEdgesFromShingles(sh)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val und = arcs(e)
-        val deg = graft.CacheTracker.track(degrees(e)
+        val deg = graft.CacheTracker.eager(degrees(e)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val centers = und.select(col("src").as("ctr"), col("dst").as("x"))
           .join(broadcast(deg.filter(col("degree") > CnHubCap)

@@ -336,21 +336,41 @@ object TextQueries {
           .select(("qm" +: "y" +: (0 until NF).map(i => s"x$i")).map(col): _*)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val tr = feat.filter(expr("abs(qm - 430000) > 20000"))
-        var w = Array.fill(NF)(0L)
-        var pocket = Array.fill(NF)(0L)
-        var pocketWrong = Long.MaxValue
-        for (_ <- 0 until 16) {
-          val score = (0 until NF).map(i => s"${w(i)} * x$i").mkString(" + ")
-          val pred = s"if(($score) > 0, cast(1 as bigint), cast(0 as bigint))"
-          val aggCols = count(lit(1)).as("n") +:
-            sum(expr(s"abs(y - $pred)")).as("wrong") +:
-            (0 until NF).map(i => sum(expr(s"(y - $pred) * x$i")).as(s"u$i"))
-          val r = tr.select(aggCols: _*).collect()(0)
-          val n = r.getLong(0)
-          val wrong = r.getLong(1)
-          if (wrong < pocketWrong) { pocket = w.clone(); pocketWrong = wrong }
-          w = Array.tabulate(NF)(i => w(i) + Math.floorDiv(r.getLong(i + 2), n))
-        }
+        // Pocket-perceptron training: 16 synchronous rounds over the
+        // confident slice. Two tiers on the training-row count (the
+        // graph-family local-solve move): under [[DistillLocalRows]] the
+        // WHOLE loop runs inside one executor task over primitive arrays —
+        // one job instead of 16 sequential collect() round-trips, each of
+        // which pays a full job/stage launch against the cached features —
+        // and above it the unchanged per-round distributed aggregates
+        // (map-side-combined, the 100 TB shape). Both tiers are exact
+        // integer arithmetic over order-independent sums, so the learned
+        // weights are bit-equal (TextQueriesSpec pins it).
+        val pocket: Array[Long] =
+          if (tr.count() <= DistillLocalRows)
+            tr.select(("y" +: (0 until NF).map(i => s"x$i")).map(col): _*)
+              .rdd.coalesce(1).mapPartitions { it =>
+                val rows = it.map(r => Array.tabulate(NF + 1)(r.getLong)).toArray
+                Iterator.single(distillTrainLocal(rows, NF, iters = 16))
+              }.collect()(0)
+          else {
+            var w = Array.fill(NF)(0L)
+            var p = Array.fill(NF)(0L)
+            var pocketWrong = Long.MaxValue
+            for (_ <- 0 until 16) {
+              val score = (0 until NF).map(i => s"${w(i)} * x$i").mkString(" + ")
+              val pred = s"if(($score) > 0, cast(1 as bigint), cast(0 as bigint))"
+              val aggCols = count(lit(1)).as("n") +:
+                sum(expr(s"abs(y - $pred)")).as("wrong") +:
+                (0 until NF).map(i => sum(expr(s"(y - $pred) * x$i")).as(s"u$i"))
+              val r = tr.select(aggCols: _*).collect()(0)
+              val n = r.getLong(0)
+              val wrong = r.getLong(1)
+              if (wrong < pocketWrong) { p = w.clone(); pocketWrong = wrong }
+              w = Array.tabulate(NF)(i => w(i) + Math.floorDiv(r.getLong(i + 2), n))
+            }
+            p
+          }
         val pscore = (0 until NF).map(i => s"${pocket(i)} * x$i").mkString(" + ")
         val out = feat
           .withColumn("confident", expr("abs(qm - 430000) > 20000"))
@@ -759,6 +779,7 @@ object TextQueries {
             count(lit(1)).as("n_docs"), sum(col("w")).as("true_tokens"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         graft.CacheTracker.track(agg)
+        agg.count() // eager: tops + the final report both consume agg
         val tops = agg
           .select(col("source"), posexplode(col("top")).as(Seq("pos", "t")))
           .select(col("source"), (col("pos") + 1).as("rn"),
@@ -822,7 +843,7 @@ object TextQueries {
         // persist: four consumers (totals x3 + the main join) read tf, and
         // its lineage is the corpus-sized explode; the cached table itself
         // is only vocabulary-sized
-        val tf = graft.CacheTracker.track(docs(s, d)
+        val tf = graft.CacheTracker.eager(docs(s, d)
           .select(col("lang"), explode(expr(tokensS("text"))).as("w"))
           .groupBy(col("lang"), col("w"))
           .agg(count(lit(1)).as("tf_lang"))
@@ -1087,18 +1108,28 @@ object TextQueries {
         // same (doc_id, token, k) pre-aggregation as perplexityFor: the
         // hot/cold lambda lookup moves distinct (doc, token) pairs, not
         // token instances; n_tok = sum(k), sm = sum(k * lm)
-        val tok = graft.CacheTracker.track(
+        // eager: tok feeds cr, ct, and both scored legs — four independent
+        // stages that would otherwise each rebuild the tokenize pipeline
+        // over the cold cache (profiled: 4 corpus passes per run)
+        val tok = graft.CacheTracker.eager(
           docs(s, d).select(col("doc_id"), col("lang"),
             explode(expr(tokensS("text"))).as("w"))
             .groupBy(col("doc_id"), col("lang"), col("w"))
             .agg(count(lit(1)).as("k"))
             .persist(MEMORY_AND_DISK))
-        val cr = tok.groupBy(col("w")).agg(sum(col("k")).cast("bigint").as("c_r"))
-        val ct = tok.filter(col("lang") === "en")
-          .groupBy(col("w")).agg(sum(col("k")).cast("bigint").as("c_t"))
+        // vocab-sized count tables, each consumed twice (lam + its own
+        // total): eager-cache so the tok aggregation runs once per table,
+        // not once per consumer stage
+        val cr = graft.CacheTracker.eager(
+          tok.groupBy(col("w")).agg(sum(col("k")).cast("bigint").as("c_r"))
+            .persist(MEMORY_AND_DISK))
+        val ct = graft.CacheTracker.eager(
+          tok.filter(col("lang") === "en")
+            .groupBy(col("w")).agg(sum(col("k")).cast("bigint").as("c_t"))
+            .persist(MEMORY_AND_DISK))
         val tots = cr.agg(sum(col("c_r")).cast("bigint").as("r"), count(lit(1)).as("v"))
         val ttot = ct.agg(sum(col("c_t")).cast("bigint").as("t")).na.fill(0L, Seq("t"))
-        val lam = graft.CacheTracker.track(
+        val lam = graft.CacheTracker.eager(
           cr.join(ct, Seq("w"), "left").na.fill(0L, Seq("c_t"))
             .crossJoin(broadcast(tots)).crossJoin(broadcast(ttot))
             .select(col("w"), col("c_r"),
@@ -1162,7 +1193,7 @@ object TextQueries {
     "txt_bigram_perplexity" -> QuerySpec(
       (s, d) => {
         import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-        val bgk = graft.CacheTracker.track(docs(s, d)
+        val bgk = graft.CacheTracker.eager(docs(s, d)
           .withColumn("t", expr(tokensS("text")))
           .select(col("doc_id"), explode(expr(
             "if(size(t) < 2, cast(array() as array<string>), " +
@@ -1170,7 +1201,7 @@ object TextQueries {
               "j -> concat(element_at(t, j), ' ', element_at(t, j + 1))))")).as("b"))
           .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("k"))
           .persist(MEMORY_AND_DISK))
-        val cnt = graft.CacheTracker.track(
+        val cnt = graft.CacheTracker.eager(
           bgk.groupBy(col("b")).agg(sum(col("k")).cast("bigint").as("cb"))
             .persist(MEMORY_AND_DISK))
         val c1 = cnt.withColumn("w1", expr("substring_index(b, ' ', 1)"))
@@ -1179,7 +1210,7 @@ object TextQueries {
             expr("substring_index(b, ' ', 1)"),
             expr("substring_index(b, ' ', -1)"))).as("w"))
           .agg(countDistinct(col("w")).as("v"))
-        val cost = graft.CacheTracker.track(
+        val cost = graft.CacheTracker.eager(
           cnt.withColumn("w1", expr("substring_index(b, ' ', 1)"))
             .join(c1, Seq("w1"))
             .crossJoin(broadcast(vocab))
@@ -1304,7 +1335,7 @@ object TextQueries {
     "txt_domain_reweight" -> QuerySpec(
       (s, d) => {
         import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-        val tok = graft.CacheTracker.track(docs(s, d)
+        val tok = graft.CacheTracker.eager(docs(s, d)
           .select(col("source"), explode(expr(tokensS("text"))).as("w"))
           .groupBy(col("source"), col("w")).agg(count(lit(1)).as("k"))
           .persist(MEMORY_AND_DISK))
@@ -1996,7 +2027,7 @@ object TextQueries {
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-        val tf = graft.CacheTracker.track(
+        val tf = graft.CacheTracker.eager(
           docs(s, d)
             .withColumn("t", expr(tokensS("text")))
             .filter(expr("size(t) > 1"))
@@ -2112,7 +2143,7 @@ object TextQueries {
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-        val chunks = graft.CacheTracker.track(docs(s, d)
+        val chunks = graft.CacheTracker.eager(docs(s, d)
           .withColumn("t", expr(tokensS("text")))
           .filter(expr("size(t) > 1"))
           .select(col("doc_id"), explode(expr(
@@ -2217,7 +2248,7 @@ object TextQueries {
       (s, d) => {
         import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
         graft.functions.SketchAggregators.register(s)
-        val tok = graft.CacheTracker.track(
+        val tok = graft.CacheTracker.eager(
           docs(s, d).select(explode(expr(tokensS("text"))).as("w"))
             .filter(length(col("w")) > 0)
             .persist(MEMORY_AND_DISK))
@@ -2272,7 +2303,7 @@ object TextQueries {
           .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("k"))
           .persist(MEMORY_AND_DISK))
         // one row per bigram TYPE; w1/w2 splits feed every model table
-        val sp = graft.CacheTracker.track(
+        val sp = graft.CacheTracker.eager(
           bgk.groupBy(col("b")).agg(sum(col("k")).cast("bigint").as("cb"))
             .withColumn("w1", expr("substring_index(b, ' ', 1)"))
             .withColumn("w2", expr("substring_index(b, ' ', -1)"))
@@ -2282,7 +2313,7 @@ object TextQueries {
             count(lit(1)).as("n1a"))
         val c2 = sp.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
         val tt = sp.agg(count(lit(1)).as("t"))
-        val cost = graft.CacheTracker.track(
+        val cost = graft.CacheTracker.eager(
           sp.join(c1, Seq("w1")).join(c2, Seq("w2")).crossJoin(broadcast(tt))
             .select(col("b"), col("cb"),
               expr("cast(floor(ln(cast(4 * c1 as double) * cast(t as double) / " +
@@ -2442,6 +2473,44 @@ object TextQueries {
     * side); only the Zipf tail shuffle-joins. */
   val HotVocab = 4096
 
+  /** txt_quality_distill's local-training threshold: under this many
+    * confident training rows the 16-round pocket-perceptron loop runs in
+    * ONE executor task (each row is 7 longs, so 4M rows ≈ 250 MB of
+    * primitive arrays — comfortably inside a task, the
+    * ConnectedComponents-localSolve sizing rule); past it the per-round
+    * distributed aggregates take over unchanged.
+    */
+  val DistillLocalRows = 4000000L
+
+  /** The 16-round pocket-perceptron over materialized (y, x0..x{nf-1})
+    * rows — bit-equal to the distributed rounds: per-round `wrong` and
+    * update sums are order-independent integer sums, the pocket keeps the
+    * pre-update weights of the best round, updates are floorDiv(u, n).
+    */
+  private[graft] def distillTrainLocal(
+      rows: Array[Array[Long]], nf: Int, iters: Int): Array[Long] = {
+    var w = Array.fill(nf)(0L)
+    var pocket = Array.fill(nf)(0L)
+    var pocketWrong = Long.MaxValue
+    val n = rows.length.toLong
+    for (_ <- 0 until iters) {
+      var wrong = 0L
+      val u = Array.fill(nf)(0L)
+      rows.foreach { r =>
+        var score = 0L
+        var i = 0
+        while (i < nf) { score += w(i) * r(i + 1); i += 1 }
+        val diff = r(0) - (if (score > 0) 1L else 0L)
+        wrong += math.abs(diff)
+        i = 0
+        while (i < nf) { u(i) += diff * r(i + 1); i += 1 }
+      }
+      if (wrong < pocketWrong) { pocket = w.clone(); pocketWrong = wrong }
+      w = Array.tabulate(nf)(i => w(i) + Math.floorDiv(u(i), n))
+    }
+    pocket
+  }
+
   /** txt_perplexity body, parameterized by the hot-vocab split size so
     * `TextQueriesSpec` can force the tail path on the tiny test corpus.
     *
@@ -2496,7 +2565,7 @@ object TextQueries {
       s: org.apache.spark.sql.SparkSession, d: String,
       qids: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val tf = graft.CacheTracker.track(
+    val tf = graft.CacheTracker.eager(
       bm25Postings(docs(s, d)).persist(MEMORY_AND_DISK))
     bm25RankedFrom(tf, qids, k)
   }
@@ -2660,7 +2729,7 @@ object TextQueries {
     // from shuffling instances verbatim). Semantics identical:
     // n_tok = sum(k), doc cost = sum(k * cm). Two consumers (vocab counts
     // + the score join) — persist so tokenization runs once.
-    val tok = graft.CacheTracker.track(
+    val tok = graft.CacheTracker.eager(
       docs(s, d).select(col("doc_id"), explode(expr(tokensS("text"))).as("w"))
         .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("k"))
         .persist(MEMORY_AND_DISK))
@@ -2668,7 +2737,7 @@ object TextQueries {
     val tot = cnt.agg(sum(col("c")).as("total"))
     // fixed-point per-token cost; three consumers (head topK, tail
     // anti-join, and nothing else re-derives it) — persist
-    val cost = graft.CacheTracker.track(
+    val cost = graft.CacheTracker.eager(
       cnt.crossJoin(broadcast(tot))
         .select(col("w"), col("c"),
           expr("cast(floor(ln(cast(total as double) / c) * 1e6) as bigint)").as("cm"))

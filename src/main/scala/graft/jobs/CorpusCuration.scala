@@ -57,7 +57,7 @@ object CorpusCuration {
     */
   private def signalBase(docs: DataFrame): DataFrame = {
     graft.functions.VectorExpressions.register(docs.sparkSession)
-    graft.CacheTracker.track(graft.Tables.spread(docs, "doc_id")
+    graft.CacheTracker.eager(graft.Tables.spread(docs, "doc_id")
       .withColumn("t", expr(tokensS("text")))
       .withColumn("th", expr(tokenHashesS("t")))
       .withColumn("tri", expr("array_distinct(shingle3_hash(th))"))
@@ -151,7 +151,7 @@ object CorpusCuration {
     // cluster's representative among docs that SURVIVE the earlier stages,
     // or a cluster whose min-id member fails (say) quality loses every copy
     // of its content
-    val pre = graft.CacheTracker.track(base
+    val pre = graft.CacheTracker.eager(base
       .join(hits, Seq("doc_id"), "left")
       .withColumn("contam_frac", expr(
         "floor(coalesce(n_hits, 0) / greatest(size(tri), 1) * 1e6 + 0.5) / 1e6"))

@@ -50,4 +50,24 @@ class SizingSpec extends AnyFunSuite {
     raf2.close()
     assert(Sizing.shufflePartitions(huge.toString, 4) == Sizing.MaxDerivedPartitions)
   }
+
+  test("Tables.spread: under-split inputs spread, well-split inputs skip the exchange") {
+    val spark = SparkSpec.spark
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    def hasExchange(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString.contains("Exchange")
+    // a sub-MB file estimates to 0 splits -> the parallelism exchange applies
+    assert(hasExchange(Tables.spread(docs, "doc_id")),
+      "small input must be repartitioned for parallelism")
+    // force the estimate over the core count: with 1 KiB max split size the
+    // same file estimates to hundreds of splits -> the corpus-wide Exchange
+    // must disappear (the 100 TB plan shape)
+    val key = "spark.sql.files.maxPartitionBytes"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "1024")
+      assert(!hasExchange(Tables.spread(docs, "doc_id")),
+        "well-split input must not pay a corpus-wide repartition")
+    } finally spark.conf.set(key, old)
+  }
 }

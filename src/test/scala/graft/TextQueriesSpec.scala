@@ -48,4 +48,38 @@ class TextQueriesSpec extends AnyFunSuite {
     assert(tail1 == plain, "hotK=1 diverged from the plain join")
     assert(tail0 == plain, "hotK=0 diverged from the plain join")
   }
+
+  test("distill local training tier == distributed per-round aggregates") {
+    import spark.implicits._
+    val NF = 6
+    val rnd = new scala.util.Random(20260817L)
+    // synthetic confident-slice rows in the query's micro-unit ranges
+    val rows = Array.fill(400)(Array.tabulate(NF + 1) {
+      case 0 => if (rnd.nextBoolean()) 1L else 0L
+      case 1 => 1000000L // x0 bias term, as the query builds it
+      case _ => rnd.nextInt(1000001).toLong
+    })
+    val local = graft.analytics.TextQueries.distillTrainLocal(rows, NF, iters = 16)
+
+    // the distributed form, verbatim from the query's >threshold branch
+    val tr = rows.toSeq.map(r => (r(0), r(1), r(2), r(3), r(4), r(5), r(6)))
+      .toDF("y", "x0", "x1", "x2", "x3", "x4", "x5")
+    var w = Array.fill(NF)(0L)
+    var pocket = Array.fill(NF)(0L)
+    var pocketWrong = Long.MaxValue
+    for (_ <- 0 until 16) {
+      val score = (0 until NF).map(i => s"${w(i)} * x$i").mkString(" + ")
+      val pred = s"if(($score) > 0, cast(1 as bigint), cast(0 as bigint))"
+      val aggCols = count(lit(1)).as("n") +:
+        sum(expr(s"abs(y - $pred)")).as("wrong") +:
+        (0 until NF).map(i => sum(expr(s"(y - $pred) * x$i")).as(s"u$i"))
+      val r = tr.select(aggCols: _*).collect()(0)
+      val n = r.getLong(0)
+      val wrong = r.getLong(1)
+      if (wrong < pocketWrong) { pocket = w.clone(); pocketWrong = wrong }
+      w = Array.tabulate(NF)(i => w(i) + Math.floorDiv(r.getLong(i + 2), n))
+    }
+    assert(local.toSeq == pocket.toSeq,
+      s"tiers diverged: local=${local.toSeq} distributed=${pocket.toSeq}")
+  }
 }
