@@ -305,7 +305,7 @@ object DedupQueries {
     val e0 = sh.select(col("doc_id"), explode(col("hs")).as("h"))
     val hot = e0.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") > ShingleDfCap).select(col("h"))
-    val e = graft.CacheTracker.eager(e0.join(hot, Seq("h"), "left_anti")
+    val e = graft.CacheTracker.track(e0.join(hot, Seq("h"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val shared = e.as("x")
       .join(e.as("y"), col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
@@ -375,7 +375,7 @@ object DedupQueries {
     * dedup_filtered_corpus without a second tokenization pass.
     */
   private[graft] def shingleProjection(s: SparkSession, d: String): DataFrame =
-    graft.CacheTracker.eager(withShingles(docs(s, d).select("doc_id", "text"))
+    graft.CacheTracker.track(withShingles(docs(s, d).select("doc_id", "text"))
       .select(col("doc_id"), col("hs"), size(col("t")).as("n_tok"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
@@ -517,7 +517,7 @@ object DedupQueries {
     val bstats = bands0.groupBy(col("b"), col("k"))
       .agg(count(lit(1)).as("bs"), min(col("doc_id")).as("rep"))
       .filter(col("bs") > cap)
-    graft.CacheTracker.eager(
+    graft.CacheTracker.track(
       bands0.join(bstats.select(col("b"), col("k"), col("rep")), Seq("b", "k"), "left")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
@@ -696,7 +696,7 @@ object DedupQueries {
     // from-scratch pipeline, pinning stored j ≡ recomputed j per run.
     "dedup_threshold_curve" -> QuerySpec(
       (s, d) => {
-        val p = graft.CacheTracker.eager(registryEdges(s, d)
+        val p = graft.CacheTracker.track(registryEdges(s, d)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val thr = p.sparkSession.range(0, 1)
           .selectExpr("explode(array(0.5d, 0.9d, 0.95d, 0.97d, 0.98d)) as thr")
@@ -867,7 +867,7 @@ object DedupQueries {
     // closure, pinning stores ≡ recompute.
     "dedup_leakage_split" -> QuerySpec(
       (s, d) => {
-        val pairs = graft.CacheTracker.eager(registryEdges(s, d)
+        val pairs = graft.CacheTracker.track(registryEdges(s, d)
           .select(col("doc_a"), col("doc_b"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val comp = registryLabels(s, d)
@@ -878,7 +878,7 @@ object DedupQueries {
         def bucket(c: String) = expr(
           s"CASE WHEN $c % 10 < 8 THEN 'train' WHEN $c % 10 = 8 THEN 'val' " +
             "ELSE 'test' END")
-        val sp = graft.CacheTracker.eager(rep
+        val sp = graft.CacheTracker.track(rep
           .select(col("doc_id"), bucket("doc_id").as("naive"),
             bucket("rep").as("cluster"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -1151,7 +1151,7 @@ object DedupQueries {
       (s, d) => {
         // round 11: per-doc shingle sets come from the signature store —
         // the check never re-tokenizes the corpus (oracle re-derives)
-        val sh = graft.CacheTracker.eager(
+        val sh = graft.CacheTracker.track(
           registrySignatures(s, d)
             .select("doc_id", "hs")
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -1208,7 +1208,7 @@ object DedupQueries {
         val mBits = w.toLong * BloomBitsPerWord
         // round 11: shingle sets from the signature store (see
         // dedup_contamination) — only the Bloom bit math runs per query
-        val sh = graft.CacheTracker.eager(
+        val sh = graft.CacheTracker.track(
           registrySignatures(s, d)
             .select("doc_id", "hs")
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -1350,7 +1350,7 @@ object DedupQueries {
         val e0 = sh.select(col("doc_id"), explode(col("hs")).as("h"))
         val hot = e0.groupBy(col("h")).agg(count(lit(1)).as("df"))
           .filter(col("df") > ShingleDfCap).select(col("h"))
-        val e = graft.CacheTracker.eager(e0.join(hot, Seq("h"), "left_anti")
+        val e = graft.CacheTracker.track(e0.join(hot, Seq("h"), "left_anti")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val shared = e.as("x")
           .join(e.as("y"), col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
@@ -1412,7 +1412,7 @@ object DedupQueries {
         val e0 = sh.select(col("doc_id"), explode(col("hs")).as("h"))
         val hot = e0.groupBy(col("h")).agg(count(lit(1)).as("df"))
           .filter(col("df") > ShingleDfCap).select(col("h"))
-        val e = graft.CacheTracker.eager(e0.join(hot, Seq("h"), "left_anti")
+        val e = graft.CacheTracker.track(e0.join(hot, Seq("h"), "left_anti")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val shared = e.as("x")
           .join(e.as("y"), col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
@@ -1488,7 +1488,7 @@ object DedupQueries {
         // still sort-free on the big side, if the hot set is ever large)
         val hot = pc0.groupBy(col("h")).agg(count(lit(1)).as("df"))
           .filter(col("df") > ShingleDfCap).select(col("h"))
-        val pc = graft.CacheTracker.eager(pc0.join(hot, Seq("h"), "left_anti")
+        val pc = graft.CacheTracker.track(pc0.join(hot, Seq("h"), "left_anti")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val m = pc.as("x")
           .join(pc.as("y"), col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
@@ -1551,7 +1551,7 @@ object DedupQueries {
         import org.apache.spark.sql.expressions.Window
         import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
         graft.functions.VectorExpressions.register(s)
-        val base = graft.CacheTracker.eager(Tables.spread(docs(s, d), "doc_id")
+        val base = graft.CacheTracker.track(Tables.spread(docs(s, d), "doc_id")
           .withColumn("t", expr(tokensS("text")))
           .withColumn("th", expr(tokenHashesS("t")))
           .select(col("doc_id"), col("source"), size(col("t")).as("n_tok"),
@@ -1561,7 +1561,7 @@ object DedupQueries {
           .withColumn("pos", col("pos0") + 1).drop("pos0")
         val hot = pc0.groupBy(col("h")).agg(count(lit(1)).as("df"))
           .filter(col("df") > ShingleDfCap).select(col("h"))
-        val pc = graft.CacheTracker.eager(pc0.join(hot, Seq("h"), "left_anti")
+        val pc = graft.CacheTracker.track(pc0.join(hot, Seq("h"), "left_anti")
           .persist(MEMORY_AND_DISK))
         val m = pc.as("x")
           .join(pc.as("y"), col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
@@ -1670,7 +1670,7 @@ object DedupQueries {
           .select(col("doc_id"), col("f.pos").as("pos"), col("f.h").as("h"))
         val hot = fp0.groupBy(col("h")).agg(count(lit(1)).as("df"))
           .filter(col("df") > ShingleDfCap).select(col("h"))
-        val fp = graft.CacheTracker.eager(fp0.join(hot, Seq("h"), "left_anti")
+        val fp = graft.CacheTracker.track(fp0.join(hot, Seq("h"), "left_anti")
           .persist(MEMORY_AND_DISK))
         val m = fp.as("x")
           .join(fp.as("y"), col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
@@ -1916,12 +1916,12 @@ object DedupQueries {
       (s, d) => {
         graft.functions.VectorExpressions.register(s)
         val sub = resolveSemSub(s, d)
-        val n = graft.CacheTracker.eager(Tables.spread(emb(s, d), "vec_id")
+        val n = graft.CacheTracker.track(Tables.spread(emb(s, d), "vec_id")
           .select(col("vec_id"), col("label"), expr(quantizeS("embedding")).as("qe"))
           .withColumn("nrm", expr("long_dot(qe, qe)"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         // per-label integer-mean centroids (coarse k-means, as sim_ivf_topk)
-        val cent = graft.CacheTracker.eager(n
+        val cent = graft.CacheTracker.track(n
           .select(col("label"), posexplode(col("qe")).as(Seq("j", "v")))
           .groupBy(col("label").as("c_id"), col("j"))
           .agg(expr("cast(round(sum(v) / count(1)) as bigint)").as("cj"))
@@ -1931,7 +1931,7 @@ object DedupQueries {
           .withColumn("cnrm", expr("long_dot(ce, ce)"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         // nearest-cell assignment + cosine-to-centroid (the drop criterion)
-        val assigned = graft.CacheTracker.eager(n
+        val assigned = graft.CacheTracker.track(n
           .crossJoin(broadcast(cent))
           .withColumn("dist", expr("long_l2(qe, ce)"))
           .groupBy(col("vec_id"))
@@ -2175,7 +2175,7 @@ object DedupQueries {
     // full group exactly as in the minhash family.
     "dedup_edit_distance" -> QuerySpec(
       (s, d) => {
-        val f = graft.CacheTracker.eager(docs(s, d)
+        val f = graft.CacheTracker.track(docs(s, d)
           .withColumn("t", expr(tokensS("text")))
           .select(col("doc_id"), col("text"), col("n_chars"),
             length(col("text")).as("rl"),

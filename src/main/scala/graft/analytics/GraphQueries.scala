@@ -348,7 +348,7 @@ object GraphQueries {
         // twice (degrees + the orientation join); persisting it would cost
         // more than the second scan
         val e = edges(s, d)
-        val deg = graft.CacheTracker.eager(degrees(e)
+        val deg = graft.CacheTracker.track(degrees(e)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val withDeg = e
           .join(deg.select(col("node").as("doc_a"), col("degree").as("da")), "doc_a")
@@ -356,7 +356,7 @@ object GraphQueries {
         // orient a->b iff (deg, id)(a) < (deg, id)(b)
         val aFirst: Column = col("da") < col("db") ||
           (col("da") === col("db") && col("doc_a") < col("doc_b"))
-        val dirE = graft.CacheTracker.eager(withDeg.select(
+        val dirE = graft.CacheTracker.track(withDeg.select(
           when(aFirst, col("doc_a")).otherwise(col("doc_b")).as("src"),
           when(aFirst, col("doc_b")).otherwise(col("doc_a")).as("dst"),
           when(aFirst, col("db")).otherwise(col("da")).as("dstDeg"))
@@ -579,11 +579,11 @@ object GraphQueries {
         val sh = DedupQueries.registrySignatures(s, d).select("doc_id", "hs")
           .unionByName(DedupQueries.withShingles(excerpt(1L, 1)).select("doc_id", "hs"))
           .unionByName(DedupQueries.withShingles(excerpt(2L, 7)).select("doc_id", "hs"))
-        val e = graft.CacheTracker.eager(
+        val e = graft.CacheTracker.track(
           DedupQueries.containmentEdgesFromShingles(sh)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val und = arcs(e)
-        val deg = graft.CacheTracker.eager(degrees(e)
+        val deg = graft.CacheTracker.track(degrees(e)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val centers = und.select(col("src").as("ctr"), col("dst").as("x"))
           .join(broadcast(deg.filter(col("degree") > CnHubCap)

@@ -327,7 +327,7 @@ object MultimodalQueries {
         val fr0 = graft.operators.MediaGraph.frames(s, store(s, d))
         val hot = fr0.groupBy(col("h")).agg(count(lit(1)).as("df"))
           .filter(col("df") > VideoFrameDfCap).select(col("h"))
-        val fr = graft.CacheTracker.eager(fr0.join(hot, Seq("h"), "left_anti")
+        val fr = graft.CacheTracker.track(fr0.join(hot, Seq("h"), "left_anti")
           .persist(MEMORY_AND_DISK))
         val m = fr.as("x")
           .join(fr.as("y"), col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
