@@ -529,13 +529,13 @@ object EventQueries {
       (s, d) => {
         graft.functions.SketchAggregators.register(s)
         val k = 64
-        val ents = graft.CacheTracker.eager(ev(s, d)
+        val ents = graft.CacheTracker.track(ev(s, d)
           .select(col("event_type"),
             (col("user_id") * 65536L +
               datediff(col("ts").cast("date"), lit("1970-01-01"))).as("ent"))
           .distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-        val sk = graft.CacheTracker.eager(ents
+        val sk = graft.CacheTracker.track(ents
           // triple-iterated Lehmer map (the priority-sample draw's move):
           // one LCG pass over the STRUCTURED entity ids (user·65536 + day)
           // leaves a lattice whose minima skew small — measured 1.8x union
