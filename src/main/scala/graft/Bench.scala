@@ -78,7 +78,13 @@ object Bench {
     val runs = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(2)
     val verbose = sys.env.contains("SPARK_GRAFT_VERBOSE")
     val results = scala.collection.mutable.Map.empty[String, Double]
-    chunks.foreach { chunk =>
+    // per-pass raw timings + chunk index per query (round 12): family-level
+    // anomalies were unattributable from min-only data — a degraded session
+    // inflates one chunk's every pass, which only per-pass, per-chunk
+    // records can show. Artifact-only fields (never on stdout).
+    val passTimes = scala.collection.mutable.Map.empty[String, Seq[Double]]
+    val chunkOf = scala.collection.mutable.Map.empty[String, Int]
+    chunks.zipWithIndex.foreach { case (chunk, chunkIdx) =>
       val spark = newSession(cpus, sfDir)
       // Warm-up pass (untimed): JIT + codegen + parquet-footer caches make
       // the first execution of JSON-parse/join-heavy queries swing up to
@@ -107,6 +113,8 @@ object Bench {
       }
       chunk.foreach { case (name, _) =>
         results(name) = passes.map(_(name)).min
+        passTimes(name) = passes.map(_(name))
+        chunkOf(name) = chunkIdx
       }
       // stop() removes the context's local shuffle/block dirs — the
       // residue that inflated late-sweep rows never reaches the next chunk
@@ -133,18 +141,52 @@ object Bench {
           f"${basketRows.map(r).sum}%.4f"
         else "null" // partial run — a partial basket would mislead
       // eval_stride: the resolved EVAL sampling stride of this run — the
-      // artifact must show whether the O(n²) baselines ran sampled
+      // artifact must show whether the O(n²) baselines ran sampled.
+      // cpus (round 12, additive): ties each artifact/line to its core
+      // count — round 11's 8-core scaling run was only identifiable by
+      // external forensics.
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""drift_basket":$basket,"drift_basket_n":${basketRows.size},""" +
-        s""""eval_stride":${analytics.DedupQueries.EvalStride},"sf":"$sfDir"}"""
+        s""""eval_stride":${analytics.DedupQueries.EvalStride},""" +
+        s""""cpus":$cpus,"sf":"$sfDir"}"""
     }
     val line = json(results.toMap)
     println(line)
     // Complete artifact on disk as well — the stdout line is subject to
-    // whatever capture window the harness uses, the file never is.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    // whatever capture window the harness uses, the file never is. The
+    // default name includes the core count (round 12): a scaling re-run at
+    // a different SPARK_GRAFT_CPUS lands in its OWN file instead of
+    // clobbering the primary artifact (which is exactly what destroyed the
+    // round-11 32-core record).
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", s"BENCH_FULL_c$cpus.json")
+    // Artifact = the stdout object plus two artifact-only diagnostic maps:
+    // per-pass raw seconds (which pass won the min, and whether a whole
+    // chunk's passes were uniformly inflated — the session-degradation
+    // signature) and each query's chunk index. Strictly additive: parsing
+    // the artifact as the stdout line's schema still works.
+    val passesJson = passTimes.toSeq.sortBy(_._1).map { case (k, v) =>
+      "\"" + k + "\":" + v.map(x => f"$x%.4f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val chunksJson = chunkOf.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val artifact = line.dropRight(1) +
+      s""","passes":$passesJson,"chunks":$chunksJson}"""
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), artifact + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] artifact write failed: ${e.getMessage}") }
+    // Final COMPACT line: the full metric line above (~4.5 KB at 174
+    // queries) overruns a ~2 KB tail-capture window, which left the
+    // round-11 driver per-query-blind. This one always fits and points at
+    // the complete artifact. No "queries" key and a distinct metric name,
+    // so a parser looking for the full line can never mistake it for a
+    // (nearly empty) result.
+    val total = f"${if (results.nonEmpty) results.values.sum else 0.0}%.4f"
+    val basketRows = DriftBasket.filter(results.contains)
+    val basket = if (basketRows.size == DriftBasket.size)
+      f"${basketRows.map(results).sum}%.4f" else "null"
+    println(s"""{"metric":"bench_summary","total_sec":$total,""" +
+      s""""n_queries":${results.size},"drift_basket":$basket,""" +
+      s""""eval_stride":${analytics.DedupQueries.EvalStride},"cpus":$cpus,""" +
+      s""""sf":"$sfDir","artifact":"$out"}""")
   }
 }

@@ -120,12 +120,20 @@ object GraphQueries {
     spark.createDataFrame(rdd, schema)
   }
 
-  /** Whether this undirected edge frame is under the local-solve threshold
+  /** Whether the registry dup graph is under the local-solve threshold
     * (symmetrized arc count ≈ 2×edges — compared against the same knob the
     * components solver uses, so one env override steers every local tier).
+    * Round 12 (VERDICT item 7): the count comes from the edge store's
+    * parquet FOOTERS ([[graft.operators.DupGraph.edgeRowsHint]]) — the old
+    * `e.count()` ran a full job on every graph query's critical path just
+    * to pick a tier. Falls back to counting only when footers are
+    * unreadable.
     */
-  private def underLocalThreshold(e: DataFrame): Boolean =
-    e.count() * 2 <= graft.operators.ConnectedComponents.LocalSolveEdgesDefault
+  private def underLocalThreshold(s: SparkSession, d: String, e: DataFrame): Boolean = {
+    val path = graft.operators.DupGraph.registryPath(s, d)
+    val n = graft.operators.DupGraph.edgeRowsHint(s, path).getOrElse(e.count())
+    n * 2 <= graft.operators.ConnectedComponents.LocalSolveEdgesDefault
+  }
 
   /** [[lpaRounds]] in one task: symmetric arcs in, (node, community,
     * community_size) out; the self-vote is applied in code instead of via
@@ -404,7 +412,7 @@ object GraphQueries {
     "graph_pagerank" -> QuerySpec(
       (s, d) => {
         val e = edges(s, d)
-        if (underLocalThreshold(e))
+        if (underLocalThreshold(s, d, e))
           localRows(arcs(e), Seq("node", "rank_e12"))(
             pagerankLocal(_, PrIters)).orderBy(col("node"))
         else pagerankDistributed(e)
@@ -443,7 +451,7 @@ object GraphQueries {
     "graph_label_prop" -> QuerySpec(
       (s, d) => {
         val e = edges(s, d)
-        if (underLocalThreshold(e))
+        if (underLocalThreshold(s, d, e))
           // single-task tier (see localRows): rounds + community sizes in
           // one task, no per-round shuffles — bit-equal to the distributed
           // form (GraphQueriesSpec pins it)
@@ -507,7 +515,7 @@ object GraphQueries {
       (s, d) => {
         import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
         val e = edges(s, d)
-        if (underLocalThreshold(e))
+        if (underLocalThreshold(s, d, e))
           localRows(arcs(e), Seq("node", "core_degree"))(
             kcoreLocal(_, KcoreK, KcoreIters)).orderBy(col("node"))
         else {
@@ -572,14 +580,21 @@ object GraphQueries {
           .select((-(col("doc_id") * 2 + par)).as("doc_id"),
             expr(s"array_join(slice(t, $from, 12), ' ')").as("text"))
         // real docs' shingle sets come from the persisted signature store
-        // (dedup_ngram_jaccard's move); only the two derived excerpt slices
-        // (2/17 of the corpus) still shingle from text. Shingling is
+        // (dedup_ngram_jaccard's move), and — round 12 — the two derived
+        // excerpt slices ride their own signature tier (deterministic
+        // derivations of the corpus; see DedupQueries.excerptSignatures),
+        // so no leg of this query tokenizes text per run. Shingling is
         // per-row, so store ∪ derived == withShingles over the whole union
         // and the containment edge set is identical (oracle recomputes).
         val sh = DedupQueries.registrySignatures(s, d).select("doc_id", "hs")
-          .unionByName(DedupQueries.withShingles(excerpt(1L, 1)).select("doc_id", "hs"))
-          .unionByName(DedupQueries.withShingles(excerpt(2L, 7)).select("doc_id", "hs"))
-        val e = graft.CacheTracker.track(
+          .unionByName(DedupQueries.excerptSignatures(s, d, "exc_cn",
+            excerpt(1L, 1).unionByName(excerpt(2L, 7))).select("doc_id", "hs"))
+        // e: EAGER cache (round 12) — three independent consumers (arcs,
+        // degrees, the final anti-join) over the whole containment
+        // pipeline, the provably-heavy case for a forced build; deg stays
+        // lazy (its lineage on top of the cached e is two cheap
+        // aggregates, and the A/B measured eager-vs-lazy as a wash there).
+        val e = graft.CacheTracker.eager(
           DedupQueries.containmentEdgesFromShingles(sh)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val und = arcs(e)
@@ -588,10 +603,16 @@ object GraphQueries {
         val centers = und.select(col("src").as("ctr"), col("dst").as("x"))
           .join(broadcast(deg.filter(col("degree") > CnHubCap)
             .select(col("node").as("ctr"))), Seq("ctr"), "left_anti")
-        val cn = centers.as("p")
-          .join(centers.as("q"),
-            col("p.ctr") === col("q.ctr") && col("p.x") < col("q.x"))
-          .groupBy(col("p.x").as("doc_a"), col("q.x").as("doc_b"))
+        // round 12: wedge pairs from each under-cap center's SORTED
+        // neighbor array (bounded by CnHubCap) instead of the centers
+        // self-join — one exchange + a C(deg,2) array explode replaces the
+        // second exchange and both SortMergeJoin sorts; ascending order ≡
+        // the old p.x < q.x predicate (guide §2.3/§2.4). Map-side partial
+        // aggregation of the (doc_a, doc_b) counts is unchanged.
+        val cn = DedupQueries.pairsFromGroups(
+          centers.groupBy(col("ctr"))
+            .agg(sort_array(collect_list(col("x"))).as("ds")))
+          .groupBy(col("doc_a"), col("doc_b"))
           .agg(count(lit(1)).as("cn"))
           .join(e, Seq("doc_a", "doc_b"), "left_anti")
         cn.join(deg.select(col("node").as("doc_a"), col("degree").as("da")), "doc_a")

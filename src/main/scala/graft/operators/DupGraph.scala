@@ -83,6 +83,36 @@ object DupGraph {
   def ensureBuilt(spark: SparkSession, dir: String, indexPath: String): Unit =
     if (!exists(spark, indexPath)) build(spark, dir, indexPath)
 
+  /** Stored edge row count from parquet FOOTERS — no Spark job (round 12,
+    * the `embeddingRowsHint` move): the graph queries' local-vs-distributed
+    * tier switch needs only a row count, and running `e.count()` per query
+    * added a full job/stage launch to every graph row's critical path.
+    * Sums data-file record counts under the edge dir (flat and `batch_id=`
+    * layouts); deletes rewrite files, so footers stay exact. None when the
+    * listing/footers are unreadable — callers fall back to counting.
+    */
+  def edgeRowsHint(spark: SparkSession, indexPath: String): Option[Long] =
+    scala.util.Try {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val dir = new Path(edgeDir(indexPath))
+      val fs = dir.getFileSystem(conf)
+      if (!fs.exists(dir)) 0L
+      else {
+        val files = fs.listStatus(dir).flatMap { st =>
+          if (st.isFile && st.getPath.getName.endsWith(".parquet")) Seq(st.getPath)
+          else if (st.isDirectory && st.getPath.getName.startsWith("batch_id="))
+            fs.listStatus(st.getPath).map(_.getPath)
+              .filter(_.getName.endsWith(".parquet")).toSeq
+          else Seq.empty
+        }
+        files.map { f =>
+          val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+          try rd.getRecordCount finally rd.close()
+        }.sum
+      }
+    }.toOption
+
   /** The stored verified edges (doc_a < doc_b, j >= 0.5) — a bare columnar
     * scan; consumers that only need structure prune to (doc_a, doc_b). A
     * batch-driven graph whose batches found no pairs yet has no edge files
