@@ -103,10 +103,40 @@ object TextQueries {
           .withColumn("syms",
             expr("transform(sequence(1, length(wd)), i -> substring(wd, i, 1))"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-        val (_, rounds) = bpeMergeRounds(w0, 3)
-        rounds.map { case (r, a, b, cnt, after) => (r, a, b, a + b, cnt, after) }
-          .toDF("rank", "a", "b", "merged", "cnt", "corpus_symbols_after")
-          .orderBy(col("rank"))
+        // two tiers on the vocabulary size (round 12, the quality_distill
+        // move): under [[BpeLocalWords]] all merge rounds run inside one
+        // executor task — one job instead of rounds × 2 sequential driver
+        // actions — and the count doubles as the eager cache build. Above
+        // it, the unchanged distributed rounds.
+        if (w0.count() <= BpeLocalWords) {
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("rank",
+              org.apache.spark.sql.types.IntegerType, nullable = false),
+            org.apache.spark.sql.types.StructField("a",
+              org.apache.spark.sql.types.StringType, nullable = true),
+            org.apache.spark.sql.types.StructField("b",
+              org.apache.spark.sql.types.StringType, nullable = true),
+            org.apache.spark.sql.types.StructField("merged",
+              org.apache.spark.sql.types.StringType, nullable = true),
+            org.apache.spark.sql.types.StructField("cnt",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("corpus_symbols_after",
+              org.apache.spark.sql.types.LongType, nullable = false)))
+          val rdd = graft.CacheTracker.trackRdd(
+            w0.select(col("wd"), col("n")).rdd.coalesce(1).mapPartitions { it =>
+              val words = it.map(r => (r.getString(0), r.getLong(1))).toArray
+              bpeLocalLoop(words, 3)._1.iterator.map { case (r, a, b, cnt, after) =>
+                org.apache.spark.sql.Row(r, a, b, a + b, cnt, after)
+              }
+            }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+          rdd.count()
+          s.createDataFrame(rdd, schema).orderBy(col("rank"))
+        } else {
+          val (_, rounds) = bpeMergeRounds(w0, 3)
+          rounds.map { case (r, a, b, cnt, after) => (r, a, b, a + b, cnt, after) }
+            .toDF("rank", "a", "b", "merged", "cnt", "corpus_symbols_after")
+            .orderBy(col("rank"))
+        }
       },
       Some {
         s"""WITH toks AS (SELECT unnest(${tokensD("text")}) AS wd FROM documents),
@@ -153,8 +183,31 @@ object TextQueries {
             .withColumn("syms",
               expr("transform(sequence(1, length(wd)), i -> substring(wd, i, 1))"))
             .persist(MEMORY_AND_DISK))
-        val (merged, _) = bpeMergeRounds(w0, 3)
-        val ap = merged.select(col("wd"), size(col("syms")).cast("long").as("np"))
+        // same two-tier switch as txt_bpe_train: the local task re-learns
+        // the merge chain and emits each word's final PIECE COUNT — a
+        // vocabulary-sized frame — for the join back to the per-source
+        // word counts; distributed rounds above the bound.
+        val ap =
+          if (w0.count() <= BpeLocalWords) {
+            val schema = org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("wd",
+                org.apache.spark.sql.types.StringType, nullable = true),
+              org.apache.spark.sql.types.StructField("np",
+                org.apache.spark.sql.types.LongType, nullable = false)))
+            val rdd = graft.CacheTracker.trackRdd(
+              w0.select(col("wd"), col("n")).rdd.coalesce(1).mapPartitions { it =>
+                val words = it.map(r => (r.getString(0), r.getLong(1))).toArray
+                val nps = bpeLocalLoop(words, 3)._2
+                words.iterator.zip(nps.iterator).map { case ((wd, _), np) =>
+                  org.apache.spark.sql.Row(wd, np)
+                }
+              }.persist(MEMORY_AND_DISK))
+            rdd.count()
+            s.createDataFrame(rdd, schema)
+          } else {
+            val (merged, _) = bpeMergeRounds(w0, 3)
+            merged.select(col("wd"), size(col("syms")).cast("long").as("np"))
+          }
         swk.join(ap, Seq("wd"))
           .groupBy(col("source"))
           .agg(sum(col("k")).cast("bigint").as("n_words"),
@@ -2658,7 +2711,103 @@ object TextQueries {
     * holds only each round's argmax row — the vocabulary itself never
     * leaves the cluster (the BPE scale contract SURVEY §2 documents).
     */
-  private def bpeMergeRounds(
+  /** Local-tier bound for the BPE merge loop (round 12, VERDICT item 4 —
+    * the txt_quality_distill / graph local-solve move): vocabularies under
+    * this many distinct words run every merge round inside ONE executor
+    * task instead of `rounds × 2` sequential driver actions (argmax
+    * collect + corpus-symbol count per round, each paying a full job/stage
+    * launch). Heap bound, stated: a word averages ~8 chars → ~9 single-char
+    * Strings (~48 B each with object headers) + the symbol array + the
+    * (wd, n) row ≈ 600 B/word → ~0.6 GB at the bound, safe in any
+    * reasonable executor; larger vocabularies take the unchanged
+    * distributed rounds. Both tiers are exact integer/argmax arithmetic
+    * over order-independent sums, so the learned merges are bit-equal
+    * (`BpeLocalSpec` pins it on random vocabularies).
+    */
+  val BpeLocalWords = 1000000L
+
+  /** UTF-8 binary string ordering — exactly Spark's StringType `<` (and
+    * DuckDB's collation on this corpus), NOT Java's UTF-16 compareTo,
+    * whose code-unit order diverges on supplementary characters.
+    */
+  private[graft] def utf8Lt(x: String, y: String): Boolean = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val ai = a(i) & 0xff; val bi = b(i) & 0xff
+      if (ai != bi) return ai < bi
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /** [[bpeMergeRounds]] in one task: (wd, n) vocabulary rows in, the
+    * per-round stats plus each word's final symbol count out — the same
+    * greedy pair-count → tie-broken argmax → left-to-right non-overlapping
+    * fold, over Scala arrays. Pair counts are order-independent integer
+    * sums and the tie-break replays `ORDER BY cnt DESC, a, b` under UTF-8
+    * binary order, so the merge chain is bit-equal to the distributed
+    * rounds.
+    */
+  private[graft] def bpeLocalLoop(words: Array[(String, Long)], rounds: Int)
+      : (Seq[(Int, String, String, Long, Long)], Array[Long]) = {
+    import scala.collection.mutable
+    val syms: Array[mutable.ArrayBuffer[String]] = words.map { case (w, _) =>
+      val a = new mutable.ArrayBuffer[String](w.length)
+      var i = 0
+      while (i < w.length) { a += String.valueOf(w.charAt(i)); i += 1 }
+      a
+    }
+    val ns = words.map(_._2)
+    val stats = (1 to rounds).map { r =>
+      val cnt = mutable.HashMap.empty[(String, String), Long]
+      var wi = 0
+      while (wi < syms.length) {
+        val s = syms(wi); val n = ns(wi)
+        var i = 0
+        while (i + 1 < s.length) {
+          val k = (s(i), s(i + 1))
+          cnt.update(k, cnt.getOrElse(k, 0L) + n)
+          i += 1
+        }
+        wi += 1
+      }
+      // argmax: cnt desc, then (a, b) asc in UTF-8 binary order — the
+      // distributed form's ORDER BY cnt DESC, a, b LIMIT 1
+      var bestA: String = null; var bestB: String = null; var bestC = -1L
+      cnt.foreach { case ((a, b), c) =>
+        val better = c > bestC || (c == bestC && (utf8Lt(a, bestA) ||
+          (a == bestA && utf8Lt(b, bestB))))
+        if (better) { bestA = a; bestB = b; bestC = c }
+      }
+      val ab = bestA + bestB
+      var after = 0L
+      wi = 0
+      while (wi < syms.length) {
+        val s = syms(wi)
+        if (s.length >= 2) {
+          val out = new mutable.ArrayBuffer[String](s.length)
+          var i = 0
+          while (i < s.length) {
+            val x = s(i)
+            if (out.nonEmpty && out.last == bestA && x == bestB)
+              out(out.length - 1) = ab
+            else out += x
+            i += 1
+          }
+          syms(wi) = out
+        }
+        after += ns(wi) * syms(wi).length
+        wi += 1
+      }
+      (r, bestA, bestB, bestC, after)
+    }
+    (stats, syms.map(_.length.toLong))
+  }
+
+  private[graft] def bpeMergeRounds(
       w0: org.apache.spark.sql.DataFrame, rounds: Int)
       : (org.apache.spark.sql.DataFrame, Seq[(Int, String, String, Long, Long)]) = {
     // words fully merged down to one symbol contribute no pairs; the
