@@ -1521,27 +1521,42 @@ object DedupQueries {
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         graft.functions.VectorExpressions.register(s)
-        // positions are 1-based to match the oracle's generate_series
-        val pc0 = Tables.spread(docs(s, d).select("doc_id", "text"), "doc_id")
-          .withColumn("t", expr(tokensS("text")))
-          .withColumn("th", expr(tokenHashesS("t")))
-          .withColumn("hs", expr("shingle3_hash(th)"))
+        // positions are 1-based to match the oracle's generate_series.
+        // Round 12: ONE eager tokenize — the old shape tokenized twice
+        // (hot-set count + the cached posting list) and raced its cache;
+        // A/B'd: no-cache re-tokenizes per pass (30.7 s at 64x), eager
+        // base tokenizes once (8.9 s at 64x) for ~1 s of extra job latency
+        // at the gate — the 64x cut is the design point.
+        val base = graft.CacheTracker.eager(
+          Tables.spread(docs(s, d).select("doc_id", "text"), "doc_id")
+            .withColumn("t", expr(tokensS("text")))
+            .withColumn("th", expr(tokenHashesS("t")))
+            .select(col("doc_id"), expr("shingle3_hash(th)").as("hs"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val pc0 = base
           .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos0", "h")))
           .withColumn("pos", col("pos0") + 1).drop("pos0")
         // DF cap as an anti-join against the (tiny) over-cap hash set rather
-        // than a count window: the window form shuffle-SORTS the whole
-        // exploded posting list by h, while groupBy+anti-join shuffles only
-        // map-side-combined counts and AQE broadcasts the hot set — the
-        // corpus-sized side stays narrow (and degrades to a shuffle join,
-        // still sort-free on the big side, if the hot set is ever large)
+        // than a count window (no shuffle-sort of the posting list); then —
+        // round 12, the cappedShingleGroups move — matches come from each
+        // capped h-bucket's SORTED (doc_id, pos) array instead of the
+        // positional self-join, dropping the second posting exchange and
+        // both SortMergeJoin sorts. Ascending struct order ≡ the old
+        // x.doc_id < y.doc_id predicate (same-doc entries are filtered —
+        // a shingle repeating within one document never matched itself).
         val hot = pc0.groupBy(col("h")).agg(count(lit(1)).as("df"))
           .filter(col("df") > ShingleDfCap).select(col("h"))
-        val pc = graft.CacheTracker.track(pc0.join(hot, Seq("h"), "left_anti")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-        val m = pc.as("x")
-          .join(pc.as("y"), col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-            col("x.pos").as("pa"), (col("x.pos") - col("y.pos")).as("diag"))
+        val grouped = pc0.join(hot, Seq("h"), "left_anti")
+          .groupBy(col("h"))
+          .agg(sort_array(collect_list(struct(col("doc_id"), col("pos")))).as("ds"))
+        val m = grouped.filter(size(col("ds")) >= 2)
+          .select(explode(expr(
+            "flatten(transform(ds, (x, i) -> " +
+              "transform(filter(slice(ds, i + 2, size(ds)), y -> y.doc_id != x.doc_id), " +
+              "y -> named_struct('doc_a', x.doc_id, 'doc_b', y.doc_id, " +
+              "'pa', x.pos, 'diag', x.pos - y.pos))))")).as("p"))
+          .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+            col("p.pa").as("pa"), col("p.diag").as("diag"))
         val wr = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
           .orderBy(col("pa"))
         m.withColumn("grp", col("pa") - row_number().over(wr))
@@ -1599,7 +1614,11 @@ object DedupQueries {
         import org.apache.spark.sql.expressions.Window
         import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
         graft.functions.VectorExpressions.register(s)
-        val base = graft.CacheTracker.track(Tables.spread(docs(s, d), "doc_id")
+        // round 12: eager — base feeds the hot-set pass, the bucket
+        // grouping AND the final per-source rollup (3 independent
+        // consumers over the tokenize lineage, the provably-heavy case);
+        // the lazy persist re-ran tokenization per consumer.
+        val base = graft.CacheTracker.eager(Tables.spread(docs(s, d), "doc_id")
           .withColumn("t", expr(tokensS("text")))
           .withColumn("th", expr(tokenHashesS("t")))
           .select(col("doc_id"), col("source"), size(col("t")).as("n_tok"),
@@ -1609,12 +1628,19 @@ object DedupQueries {
           .withColumn("pos", col("pos0") + 1).drop("pos0")
         val hot = pc0.groupBy(col("h")).agg(count(lit(1)).as("df"))
           .filter(col("df") > ShingleDfCap).select(col("h"))
-        val pc = graft.CacheTracker.track(pc0.join(hot, Seq("h"), "left_anti")
-          .persist(MEMORY_AND_DISK))
-        val m = pc.as("x")
-          .join(pc.as("y"), col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-            col("x.pos").as("pa"), (col("x.pos") - col("y.pos")).as("diag"))
+        // matches from each capped bucket's sorted (doc_id, pos) array —
+        // the dedup_span round-12 move; see that query's comment
+        val grouped = pc0.join(hot, Seq("h"), "left_anti")
+          .groupBy(col("h"))
+          .agg(sort_array(collect_list(struct(col("doc_id"), col("pos")))).as("ds"))
+        val m = grouped.filter(size(col("ds")) >= 2)
+          .select(explode(expr(
+            "flatten(transform(ds, (x, i) -> " +
+              "transform(filter(slice(ds, i + 2, size(ds)), y -> y.doc_id != x.doc_id), " +
+              "y -> named_struct('doc_a', x.doc_id, 'doc_b', y.doc_id, " +
+              "'pa', x.pos, 'diag', x.pos - y.pos))))")).as("p"))
+          .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+            col("p.pa").as("pa"), col("p.diag").as("diag"))
         val wr = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
           .orderBy(col("pa"))
         val isl = m.withColumn("grp", col("pa") - row_number().over(wr))
@@ -1718,12 +1744,20 @@ object DedupQueries {
           .select(col("doc_id"), col("f.pos").as("pos"), col("f.h").as("h"))
         val hot = fp0.groupBy(col("h")).agg(count(lit(1)).as("df"))
           .filter(col("df") > ShingleDfCap).select(col("h"))
-        val fp = graft.CacheTracker.track(fp0.join(hot, Seq("h"), "left_anti")
-          .persist(MEMORY_AND_DISK))
-        val m = fp.as("x")
-          .join(fp.as("y"), col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-            col("x.pos").as("pa"), (col("x.pos") - col("y.pos")).as("diag"))
+        // matches from each capped bucket's sorted (doc_id, pos) array —
+        // the dedup_span round-12 move (no posting self-join, no cache);
+        // the winnowed posting list reads once from the cached sh
+        val grouped = fp0.join(hot, Seq("h"), "left_anti")
+          .groupBy(col("h"))
+          .agg(sort_array(collect_list(struct(col("doc_id"), col("pos")))).as("ds"))
+        val m = grouped.filter(size(col("ds")) >= 2)
+          .select(explode(expr(
+            "flatten(transform(ds, (x, i) -> " +
+              "transform(filter(slice(ds, i + 2, size(ds)), y -> y.doc_id != x.doc_id), " +
+              "y -> named_struct('doc_a', x.doc_id, 'doc_b', y.doc_id, " +
+              "'pa', x.pos, 'diag', x.pos - y.pos))))")).as("p"))
+          .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+            col("p.pa").as("pa"), col("p.diag").as("diag"))
         val wr = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
           .orderBy(col("pa"))
         m.withColumn("brk",
