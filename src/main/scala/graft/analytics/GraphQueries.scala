@@ -107,17 +107,62 @@ object GraphQueries {
     */
   private def localRows(
       arcs: DataFrame, fieldNames: Seq[String])(
-      algo: Array[(Long, Long)] => Iterator[org.apache.spark.sql.Row]): DataFrame = {
+      algo: (Array[Long], Array[Long]) => Iterator[org.apache.spark.sql.Row]): DataFrame = {
     val spark = arcs.sparkSession
     val schema = org.apache.spark.sql.types.StructType(fieldNames.map(n =>
       org.apache.spark.sql.types.StructField(n,
         org.apache.spark.sql.types.LongType, nullable = false)))
     val rdd = graft.CacheTracker.trackRdd(
       arcs.rdd.coalesce(1).mapPartitions { it =>
-        algo(it.map(r => (r.getLong(0), r.getLong(1))).toArray)
+        // primitive (src, dst) arrays, grown by doubling — 16 B/arc exact.
+        // HEAP BOUND at the shared 16M-edge threshold (32M symmetrized
+        // arcs): 512 MB here + the CSR below (ids 8 B/node, neighbor ints
+        // 4 B/arc, offsets 4 B/node) ≈ 0.8 GB worst case in ONE task —
+        // the same primitive-array budget as the union-find solver whose
+        // threshold these tiers share (round 12; the boxed
+        // HashMap[Long, ArrayBuffer] form this replaces was several times
+        // that — the r11 ADVICE item). GraphHeapSpec pins the per-arc
+        // byte budget to this comment.
+        var cap = 1 << 16
+        var srcs = new Array[Long](cap)
+        var dsts = new Array[Long](cap)
+        var n = 0
+        it.foreach { r =>
+          if (n == cap) {
+            cap *= 2
+            srcs = java.util.Arrays.copyOf(srcs, cap)
+            dsts = java.util.Arrays.copyOf(dsts, cap)
+          }
+          srcs(n) = r.getLong(0); dsts(n) = r.getLong(1); n += 1
+        }
+        algo(java.util.Arrays.copyOf(srcs, n), java.util.Arrays.copyOf(dsts, n))
       }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     rdd.count() // materialize inside the tracked scope
     spark.createDataFrame(rdd, schema)
+  }
+
+  /** CSR adjacency over primitive arrays: sorted distinct node ids (so
+    * node INDEX order ≡ node ID order — tie-breaks on index replay
+    * tie-breaks on id), per-node offsets, neighbor indices. No boxing
+    * anywhere: ~16 B per input arc + ~12 B per node.
+    */
+  private[graft] def buildCsr(src: Array[Long], dst: Array[Long])
+      : (Array[Long], Array[Int], Array[Int]) = {
+    val ids = src.distinct.sorted
+    def idx(v: Long): Int = java.util.Arrays.binarySearch(ids, v)
+    val deg = new Array[Int](ids.length)
+    var i = 0
+    while (i < src.length) { deg(idx(src(i))) += 1; i += 1 }
+    val off = new Array[Int](ids.length + 1)
+    i = 0
+    while (i < ids.length) { off(i + 1) = off(i) + deg(i); i += 1 }
+    val pos = java.util.Arrays.copyOf(off, ids.length)
+    val nbr = new Array[Int](src.length)
+    i = 0
+    while (i < src.length) {
+      val s = idx(src(i)); nbr(pos(s)) = idx(dst(i)); pos(s) += 1; i += 1
+    }
+    (ids, off, nbr)
   }
 
   /** Whether the registry dup graph is under the local-solve threshold
@@ -139,30 +184,43 @@ object GraphQueries {
     * community_size) out; the self-vote is applied in code instead of via
     * materialized self-loop arcs — identical votes, identical tie-break.
     */
-  private[graft] def lpaLocal(arcs: Array[(Long, Long)], iters: Int)
+  private[graft] def lpaLocal(src: Array[Long], dst: Array[Long], iters: Int)
       : Iterator[org.apache.spark.sql.Row] = {
-    import scala.collection.mutable
-    val adj = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Long]]
-    arcs.foreach { case (a, b) => adj.getOrElseUpdate(a, mutable.ArrayBuffer.empty) += b }
-    var lbl = mutable.HashMap.empty[Long, Long]
-    adj.keysIterator.foreach(v => lbl(v) = v)
+    val (ids, off, nbr) = buildCsr(src, dst)
+    val n = ids.length
+    var lbl = Array.tabulate(n)(identity) // label = node index; ids sorted,
+    // so index comparison ≡ id comparison and tie-breaks are identical
+    var scratch = new Array[Int](0)
     for (_ <- 1 to iters) {
-      val next = mutable.HashMap.empty[Long, Long]
-      adj.foreach { case (v, ns) =>
-        val cnt = mutable.HashMap.empty[Long, Long].withDefaultValue(0L)
-        ns.foreach(u => cnt(lbl(u)) += 1)
-        cnt(lbl(v)) += 1 // the self-vote (the withSelf arc)
-        var bestL = Long.MaxValue; var bestC = 0L
-        cnt.foreach { case (l, c) =>
-          if (c > bestC || (c == bestC && l < bestL)) { bestC = c; bestL = l }
+      val next = new Array[Int](n)
+      var v = 0
+      while (v < n) {
+        val d = off(v + 1) - off(v)
+        if (scratch.length < d + 1) scratch = new Array[Int](d + 1)
+        var i = 0
+        while (i < d) { scratch(i) = lbl(nbr(off(v) + i)); i += 1 }
+        scratch(d) = lbl(v) // the self-vote (the withSelf arc)
+        java.util.Arrays.sort(scratch, 0, d + 1)
+        // mode with smallest-label tie-break: first run of max length in
+        // the ascending scan (strict > keeps the earliest = smallest)
+        var bestL = -1; var bestC = 0
+        var i2 = 0
+        while (i2 <= d) {
+          var j = i2
+          while (j <= d && scratch(j) == scratch(i2)) j += 1
+          if (j - i2 > bestC) { bestC = j - i2; bestL = scratch(i2) }
+          i2 = j
         }
         next(v) = bestL
+        v += 1
       }
       lbl = next
     }
-    val sizes = mutable.HashMap.empty[Long, Long].withDefaultValue(0L)
-    lbl.valuesIterator.foreach(l => sizes(l) += 1)
-    lbl.iterator.map { case (v, l) => org.apache.spark.sql.Row(v, l, sizes(l)) }
+    val sizes = new Array[Long](n)
+    var v = 0
+    while (v < n) { sizes(lbl(v)) += 1; v += 1 }
+    (0 until n).iterator.map(v =>
+      org.apache.spark.sql.Row(ids(v), ids(lbl(v)), sizes(lbl(v))))
   }
 
   /** PageRank's [[PrIters]] fixed-point rounds in one task: symmetric arcs
@@ -171,25 +229,27 @@ object GraphQueries {
     * `BaseMass/n + (85·m) div 100`), which is order-independent, so the
     * tiers are bit-equal.
     */
-  private[graft] def pagerankLocal(arcs: Array[(Long, Long)], iters: Int)
+  private[graft] def pagerankLocal(src: Array[Long], dst: Array[Long], iters: Int)
       : Iterator[org.apache.spark.sql.Row] = {
-    import scala.collection.mutable
-    val adj = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Long]]
-    arcs.foreach { case (a, b) => adj.getOrElseUpdate(a, mutable.ArrayBuffer.empty) += b }
-    val n = adj.size
-    var r = mutable.HashMap.empty[Long, Long]
-    adj.keysIterator.foreach(v => r(v) = Scale / n)
+    val (ids, off, nbr) = buildCsr(src, dst)
+    val n = ids.length
+    var r = Array.fill(n)(Scale / n)
     for (_ <- 1 to iters) {
-      val m = mutable.HashMap.empty[Long, Long].withDefaultValue(0L)
-      adj.foreach { case (src, dsts) =>
-        val c = r(src) / dsts.size // contribution r div deg, same per arc
-        dsts.foreach(dst => m(dst) += c)
+      val m = new Array[Long](n)
+      var v = 0
+      while (v < n) {
+        val d = off(v + 1) - off(v)
+        val c = r(v) / d // contribution r div deg, same per arc
+        var i = off(v)
+        while (i < off(v + 1)) { m(nbr(i)) += c; i += 1 }
+        v += 1
       }
-      val next = mutable.HashMap.empty[Long, Long]
-      m.foreach { case (v, mm) => next(v) = BaseMass / n + (85L * mm) / 100L }
-      r = next
+      // every node of a symmetrized arc set has an inbound arc, so the
+      // old map-keyed update touched exactly these n nodes
+      v = 0
+      while (v < n) { r(v) = BaseMass / n + (85L * m(v)) / 100L; v += 1 }
     }
-    r.iterator.map { case (v, rank) => org.apache.spark.sql.Row(v, rank) }
+    (0 until n).iterator.map(v => org.apache.spark.sql.Row(ids(v), r(v)))
   }
 
   /** [[kcoreRounds]] in one task: symmetric arcs in, (node, core_degree)
@@ -197,27 +257,34 @@ object GraphQueries {
     * set, then the survivors' induced degrees (nodes whose final induced
     * degree is 0 drop, as the distributed join+aggregate form does).
     */
-  private[graft] def kcoreLocal(arcs: Array[(Long, Long)], k: Int, iters: Int)
+  private[graft] def kcoreLocal(src: Array[Long], dst: Array[Long], k: Int, iters: Int)
       : Iterator[org.apache.spark.sql.Row] = {
-    import scala.collection.mutable
-    val adj = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Long]]
-    arcs.foreach { case (a, b) => adj.getOrElseUpdate(a, mutable.ArrayBuffer.empty) += b }
-    var alive = mutable.HashSet.empty[Long]
-    adj.keysIterator.foreach(alive += _)
+    val (ids, off, nbr) = buildCsr(src, dst)
+    val n = ids.length
+    var alive = Array.fill(n)(true)
+    def induced(v: Int, in: Array[Boolean]): Long = {
+      var c = 0L
+      var i = off(v)
+      while (i < off(v + 1)) { if (in(nbr(i))) c += 1; i += 1 }
+      c
+    }
     for (_ <- 1 to iters) {
-      val next = mutable.HashSet.empty[Long]
-      alive.foreach { v =>
-        var c = 0L
-        adj(v).foreach(u => if (alive(u)) c += 1)
-        if (c >= k) next += v
+      val next = new Array[Boolean](n)
+      var v = 0
+      while (v < n) {
+        if (alive(v) && induced(v, alive) >= k) next(v) = true
+        v += 1
       }
       alive = next
     }
-    alive.iterator.flatMap { v =>
-      var c = 0L
-      adj(v).foreach(u => if (alive(u)) c += 1)
-      if (c > 0) Iterator.single(org.apache.spark.sql.Row(v, c))
-      else Iterator.empty
+    val fin = alive
+    (0 until n).iterator.flatMap { v =>
+      if (!fin(v)) Iterator.empty
+      else {
+        val c = induced(v, fin)
+        if (c > 0) Iterator.single(org.apache.spark.sql.Row(ids(v), c))
+        else Iterator.empty
+      }
     }
   }
 
@@ -414,7 +481,7 @@ object GraphQueries {
         val e = edges(s, d)
         if (underLocalThreshold(s, d, e))
           localRows(arcs(e), Seq("node", "rank_e12"))(
-            pagerankLocal(_, PrIters)).orderBy(col("node"))
+            pagerankLocal(_, _, PrIters)).orderBy(col("node"))
         else pagerankDistributed(e)
       },
       Some {
@@ -456,7 +523,7 @@ object GraphQueries {
           // one task, no per-round shuffles — bit-equal to the distributed
           // form (GraphQueriesSpec pins it)
           localRows(arcs(e), Seq("node", "community", "community_size"))(
-            lpaLocal(_, LpaIters)).orderBy(col("node"))
+            lpaLocal(_, _, LpaIters)).orderBy(col("node"))
         else {
           val sym = arcs(e)
           val withSelf = sym.unionByName(
@@ -517,7 +584,7 @@ object GraphQueries {
         val e = edges(s, d)
         if (underLocalThreshold(s, d, e))
           localRows(arcs(e), Seq("node", "core_degree"))(
-            kcoreLocal(_, KcoreK, KcoreIters)).orderBy(col("node"))
+            kcoreLocal(_, _, KcoreK, KcoreIters)).orderBy(col("node"))
         else {
           val sym = graft.CacheTracker.track(arcs(e)
             .repartition(col("src"))

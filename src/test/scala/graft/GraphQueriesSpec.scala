@@ -169,6 +169,7 @@ class GraphQueriesSpec extends AnyFunSuite {
         val sym = e.select(col("doc_a").as("src"), col("doc_b").as("dst"))
           .unionByName(e.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         val symArr = es.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toArray
+        val (symSrc, symDst) = (symArr.map(_._1), symArr.map(_._2))
 
         // LPA: distributed rounds run over self-loop-extended arcs; the
         // local tier applies the self-vote in code
@@ -176,14 +177,14 @@ class GraphQueriesSpec extends AnyFunSuite {
           sym.select(col("src")).distinct().select(col("src"), col("src").as("dst")))
         val distLpa = GraphQueries.lpaRounds(withSelf, GraphQueries.LpaIters)
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-        val locLpa = GraphQueries.lpaLocal(symArr, GraphQueries.LpaIters)
+        val locLpa = GraphQueries.lpaLocal(symSrc, symDst, GraphQueries.LpaIters)
           .map(r => (r.getLong(0), r.getLong(1))).toSet
         assert(locLpa === distLpa, s"LPA diverged (trial $trial, n=$n, p=$p)")
 
         // PageRank: integer fixed-point — tiers must be bit-equal
         val distPr = GraphQueries.pagerankDistributed(e)
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-        val locPr = GraphQueries.pagerankLocal(symArr, GraphQueries.PrIters)
+        val locPr = GraphQueries.pagerankLocal(symSrc, symDst, GraphQueries.PrIters)
           .map(r => (r.getLong(0), r.getLong(1))).toSet
         assert(locPr === distPr, s"PageRank diverged (trial $trial, n=$n, p=$p)")
 
@@ -191,7 +192,7 @@ class GraphQueriesSpec extends AnyFunSuite {
         val distKc = GraphQueries.kcoreRounds(sym,
             GraphQueries.KcoreK, GraphQueries.KcoreIters)
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-        val locKc = GraphQueries.kcoreLocal(symArr,
+        val locKc = GraphQueries.kcoreLocal(symSrc, symDst,
             GraphQueries.KcoreK, GraphQueries.KcoreIters)
           .map(r => (r.getLong(0), r.getLong(1))).toSet
         assert(locKc === distKc, s"k-core diverged (trial $trial, n=$n, p=$p)")
