@@ -8,9 +8,16 @@ package graft
   * plan exactly as the optimization deliverables require (plan shape:
   * Exchange count, join strategy, PushedFilters/ReadSchema, codegen spans).
   * Sessions are created with the same sizing the bench uses so the plans
-  * match what the bench executes. Plans are captured WITHOUT executing the
-  * query (explain of the lazily-built frame), except that store-backed
-  * queries still run their ensure step on first touch.
+  * match what the bench executes. Capture is explain of the built frame,
+  * but NOT side-effect-free: store-backed queries run their ensure step on
+  * first touch, and frame CONSTRUCTION itself executes real work in
+  * several builders — eager cache builds (CacheTracker.eager counts),
+  * driver-resolved scalars (bm25RankedFrom's qids collect, graph tier
+  * probes), and whole driver-side training loops (txt_quality_distill,
+  * the BPE local tier). Dumped plans therefore show InMemoryRelations
+  * already materialized wherever a query's caches were populated at
+  * explain time — read raw Exchange/Scan counts accordingly (structural
+  * markers — store paths, join operators, PushedFilters — stay reliable).
   */
 object Explain {
   def main(args: Array[String]): Unit = {

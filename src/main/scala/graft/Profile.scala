@@ -38,7 +38,9 @@ object Profile {
 
     final case class St(name: String, tasks: Int, taskMs: Long, gcMs: Long,
         shufReadB: Long, shufWriteB: Long, inputB: Long, wallMs: Long)
-    val stages = scala.collection.mutable.ArrayBuffer.empty[St]
+    // concurrent queue: appended from the listener-bus thread, read from
+    // main — safe publication without hand-rolled locking (r11 ADVICE)
+    val stageQ = new java.util.concurrent.ConcurrentLinkedQueue[St]()
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
@@ -46,9 +48,9 @@ object Profile {
         val m = i.taskMetrics
         val wall = (for { s <- i.submissionTime; c <- i.completionTime }
           yield c - s).getOrElse(-1L)
-        stages += St(i.name, i.numTasks, m.executorRunTime, m.jvmGCTime,
+        stageQ.add(St(i.name, i.numTasks, m.executorRunTime, m.jvmGCTime,
           m.shuffleReadMetrics.totalBytesRead, m.shuffleWriteMetrics.bytesWritten,
-          m.inputMetrics.bytesRead, wall)
+          m.inputMetrics.bytesRead, wall))
       }
     }
     spark.sparkContext.addSparkListener(listener)
@@ -59,8 +61,17 @@ object Profile {
       spark.catalog.clearCache()
     }
     val dt = (System.nanoTime() - t0) / 1e9
+    // drain the listener bus BEFORE detaching (r11 ADVICE): a timed sleep
+    // alone gave no happens-before edge, so late-delivered stage-completed
+    // events could be dropped. listenerBus is private[spark] to scalac but
+    // public in bytecode — reflect; fall back to a sleep if the API moves.
+    try {
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+    } catch { case _: Throwable => Thread.sleep(1000) }
     spark.sparkContext.removeSparkListener(listener)
-    Thread.sleep(300) // let the listener bus drain
+    val stages = stageQ.toArray(Array.empty[St]).toSeq
     println(f"[profile] $name%s total ${dt}%.2f s over $repeats run(s), ${stages.size} stages")
     println(f"[profile] ${"wallMs"}%7s ${"taskMs"}%7s ${"gcMs"}%6s ${"tasks"}%5s " +
       f"${"shufR"}%9s ${"shufW"}%9s ${"input"}%9s  name")

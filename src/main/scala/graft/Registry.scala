@@ -34,8 +34,22 @@ object Tables {
   def spread(df: DataFrame, key: String): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     val maxSplit = org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (bytes / maxSplit >= target) df
+    val plan = df.queryExecution.optimizedPlan
+    // The skip applies only to RAW scans (scan + narrow projections):
+    // without CBO a Filter/Limit node passes its child's sizeInBytes
+    // through, so a tiny filtered slice of a huge table would estimate
+    // "big" and wrongly skip the parallelism exchange this helper exists
+    // to provide (r12, the r11 ADVICE item). Filtered frames keep the
+    // historical repartition — which shuffles only the SURVIVING rows, so
+    // the 100 TB full-corpus-shuffle concern does not apply to them.
+    val bareScan = !plan.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Filter => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalLimit => true
+      case _ => false
+    }
+    val bytes = plan.stats.sizeInBytes
+    if (bareScan && bytes / maxSplit >= target) df
     else df.repartition(target, org.apache.spark.sql.functions.col(key))
   }
   /** Load one of the driver-provided tables from a scale-factor dir.

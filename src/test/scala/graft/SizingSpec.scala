@@ -68,6 +68,13 @@ class SizingSpec extends AnyFunSuite {
       spark.conf.set(key, "1024")
       assert(!hasExchange(Tables.spread(docs, "doc_id")),
         "well-split input must not pay a corpus-wide repartition")
+      // r12 (the r11 ADVICE item): a FILTERED frame must keep the exchange
+      // even when the underlying table estimates "big" — without CBO the
+      // Filter passes its child's sizeInBytes through, so the skip gate
+      // would otherwise starve a tiny compute-heavy slice of parallelism
+      import org.apache.spark.sql.functions.col
+      assert(hasExchange(Tables.spread(docs.filter(col("doc_id") < 5), "doc_id")),
+        "filtered frame must keep the parallelism exchange")
     } finally spark.conf.set(key, old)
   }
 }
