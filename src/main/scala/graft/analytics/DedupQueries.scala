@@ -1744,20 +1744,19 @@ object DedupQueries {
           .select(col("doc_id"), col("f.pos").as("pos"), col("f.h").as("h"))
         val hot = fp0.groupBy(col("h")).agg(count(lit(1)).as("df"))
           .filter(col("df") > ShingleDfCap).select(col("h"))
-        // matches from each capped bucket's sorted (doc_id, pos) array —
-        // the dedup_span round-12 move (no posting self-join, no cache);
-        // the winnowed posting list reads once from the cached sh
-        val grouped = fp0.join(hot, Seq("h"), "left_anti")
-          .groupBy(col("h"))
-          .agg(sort_array(collect_list(struct(col("doc_id"), col("pos")))).as("ds"))
-        val m = grouped.filter(size(col("ds")) >= 2)
-          .select(explode(expr(
-            "flatten(transform(ds, (x, i) -> " +
-              "transform(filter(slice(ds, i + 2, size(ds)), y -> y.doc_id != x.doc_id), " +
-              "y -> named_struct('doc_a', x.doc_id, 'doc_b', y.doc_id, " +
-              "'pa', x.pos, 'diag', x.pos - y.pos))))")).as("p"))
-          .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
-            col("p.pa").as("pa"), col("p.diag").as("diag"))
+        // Round 12: the dedup_span grouped-pair-explode conversion was
+        // A/B'd HERE and LOST (gate 1.42-1.49 s self-join vs 2.26-2.79 s
+        // grouped; 64x 6.9-7.6 s vs 29.3 s) — winnowed postings are ~0.4x
+        // of span's mass, the winnow-selection HOF dominates this row's
+        // cost, and the grouped explode's per-bucket slice copies cost
+        // more than the (cached, small) posting self-join they replace.
+        // Kept in the measured-faster self-join form.
+        val fp = graft.CacheTracker.track(fp0.join(hot, Seq("h"), "left_anti")
+          .persist(MEMORY_AND_DISK))
+        val m = fp.as("x")
+          .join(fp.as("y"), col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+            col("x.pos").as("pa"), (col("x.pos") - col("y.pos")).as("diag"))
         val wr = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
           .orderBy(col("pa"))
         m.withColumn("brk",
