@@ -2221,6 +2221,12 @@ object TextQueries {
           .select(col("doc_id")).orderBy(col("doc_id")).limit(3)
           .collect().map(_.getLong(0)).toSeq
         val qidCol = col("doc_id").isin(qidList: _*)
+        // NOT cached, deliberately (round 12 A/B): the exploded posting
+        // frame feeds three consumers, but forcing it was measured SLOWER
+        // at gate (1.86 s eager vs 1.43 s lazy, min-of-4 solo) and a wash
+        // at 64× (8.67 vs 9.06) — the duplicate explodes re-read the
+        // cached chunk frame cheaply, while the forced build adds a job
+        // plus a corpus-sized posting materialization.
         val inv = chunks.select(col("doc_id"), col("idx"), explode(col("bset")).as("w"))
         val wdf = inv.groupBy(col("w")).agg(count(lit(1)).as("cdf"))
           .filter(col("cdf") <= graft.analytics.DedupQueries.ShingleDfCap)
